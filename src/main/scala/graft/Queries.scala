@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `SparkEntry.queries` / `oracleSql` registry, one entry per
+  * operator from SURVEY.md §2. Kept out of SparkEntry so the contract
+  * file stays small.
+  *
+  * Oracle conventions (driver compares by column-name-sorted value
+  * hash at sf0.01):
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - money staged as DECIMAL(18,2) in both engines → exact sums;
+  *  - fractional outputs emitted as DOUBLE via the same arithmetic
+  *    (CAST(exact decimal sum AS DOUBLE), ROUND(x, 6), ...);
+  *  - results ordered by their group keys for deterministic dumps.
+  */
+object Queries {
+
+  /** Shared DuckDB CTE prefix: the model DAG in ANSI SQL (mirrors
+    * graft.model.Models, which mirrors the reference dbt models). */
+  val modelCtes: String =
+    """WITH stg_orders AS (
+      |  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+      |         o_orderstatus AS order_status,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+      |         CAST(o_orderdate AS DATE) AS order_date,
+      |         o_orderpriority AS order_priority
+      |  FROM orders
+      |), stg_customers AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name,
+      |         c_nationkey AS nation_id,
+      |         CAST(c_acctbal AS DECIMAL(18,2)) AS account_balance,
+      |         c_mktsegment AS market_segment
+      |  FROM customer
+      |), fct_orders AS (
+      |  SELECT o.order_id, o.customer_id, c.customer_name, c.market_segment,
+      |         o.order_status, o.total_price, o.order_date, o.order_priority,
+      |         CAST(year(o.order_date) AS INT) AS order_year,
+      |         CAST(month(o.order_date) AS INT) AS order_month,
+      |         CAST(quarter(o.order_date) AS INT) AS order_quarter
+      |  FROM stg_orders o LEFT JOIN stg_customers c USING (customer_id)
+      |), fct_customer_summary AS (
+      |  SELECT c.customer_id, c.customer_name, c.market_segment, c.account_balance,
+      |         count(o.order_id) AS total_orders,
+      |         sum(o.total_price) AS total_spent,
+      |         CASE WHEN count(o.total_price) > 0
+      |              THEN round(CAST(sum(o.total_price) AS DOUBLE) / count(o.total_price), 6)
+      |         END AS avg_order_value,
+      |         min(o.order_date) AS first_order_date,
+      |         max(o.order_date) AS last_order_date
+      |  FROM stg_customers c LEFT JOIN stg_orders o USING (customer_id)
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------- model DAG
+
+  /** P1: staging rename-projection. Money emitted as double in the
+    * dump (stays decimal inside the engine — exact sums). */
+  def stgOrders(s: SparkSession, dir: String): DataFrame =
+    graft.model.Models.stgOrders(s, dir)
+      .withColumn("total_price", col("total_price").cast("double"))
+      .orderBy("order_id")
+
+  val stgOrdersSql: String =
+    modelCtes +
+      """SELECT order_id, customer_id, order_status,
+        |       CAST(total_price AS DOUBLE) AS total_price,
+        |       order_date, order_priority
+        |FROM stg_orders ORDER BY order_id""".stripMargin
+
+  def stgCustomers(s: SparkSession, dir: String): DataFrame =
+    graft.model.Models.stgCustomers(s, dir)
+      .withColumn("account_balance", col("account_balance").cast("double"))
+      .orderBy("customer_id")
+
+  val stgCustomersSql: String =
+    modelCtes +
+      """SELECT customer_id, customer_name, nation_id,
+        |       CAST(account_balance AS DOUBLE) AS account_balance, market_segment
+        |FROM stg_customers ORDER BY customer_id""".stripMargin
+
+  /** J1 + P2: fact⟕dim join with derived date parts. */
+  def fctOrders(s: SparkSession, dir: String): DataFrame =
+    graft.model.Models.fctOrders(s, dir)
+      .withColumn("total_price", col("total_price").cast("double"))
+      .orderBy("order_id")
+
+  val fctOrdersSql: String =
+    modelCtes +
+      """SELECT order_id, customer_id, customer_name, market_segment,
+        |       order_status, CAST(total_price AS DOUBLE) AS total_price,
+        |       order_date, order_priority, order_year, order_month, order_quarter
+        |FROM fct_orders ORDER BY order_id""".stripMargin
+
+  /** J2 + A1: dim⟕fact then per-customer rollup. avg emitted as
+    * round(sumd/count, 6) double on both sides. */
+  def fctCustomerSummary(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.model.Models.fctCustomerSummary(s, dir)
+    base.select(
+      col("customer_id"), col("customer_name"), col("market_segment"),
+      col("account_balance").cast("double").as("account_balance"),
+      col("total_orders"),
+      col("total_spent").cast("double").as("total_spent"),
+      when(col("total_orders") > 0,
+        round(col("total_spent").cast("double") / col("total_orders"), 6))
+        .as("avg_order_value"),
+      col("first_order_date"), col("last_order_date"))
+      .orderBy("customer_id")
+  }
+
+  val fctCustomerSummarySql: String =
+    modelCtes +
+      """SELECT customer_id, customer_name, market_segment,
+        |       CAST(account_balance AS DOUBLE) AS account_balance,
+        |       total_orders, CAST(total_spent AS DOUBLE) AS total_spent,
+        |       avg_order_value, first_order_date, last_order_date
+        |FROM fct_customer_summary ORDER BY customer_id""".stripMargin
+
+  // ------------------------------------------------------------- metric views
+
+  /** A2/A3/A4/A5 — flagship: MEASURE() over mv_order_metrics by
+    * market_segment (reference README.md:126-133). */
+  def mvOrderMetricsBySegment(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_orders", "total_revenue", "avg_order_value"))
+      .select(col("market_segment"), col("total_orders"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        round(col("avg_order_value").cast("double"), 6).as("avg_order_value"))
+      .orderBy("market_segment")
+
+  val mvOrderMetricsBySegmentSql: String =
+    modelCtes +
+      """SELECT market_segment,
+        |       count(*) AS total_orders,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       round(CAST(sum(total_price) AS DOUBLE) / count(total_price), 6) AS avg_order_value
+        |FROM fct_orders GROUP BY market_segment ORDER BY market_segment""".stripMargin
+
+  /** A2 + A6: multi-dim grain with max measure. */
+  def mvOrderMetricsYearStatus(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_year", "order_status"),
+        Seq("total_orders", "total_revenue", "max_order_value"))
+      .select(col("order_year"), col("order_status"), col("total_orders"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        col("max_order_value").cast("double").as("max_order_value"))
+      .orderBy("order_year", "order_status")
+
+  val mvOrderMetricsYearStatusSql: String =
+    modelCtes +
+      """SELECT order_year, order_status,
+        |       count(*) AS total_orders,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       CAST(max(total_price) AS DOUBLE) AS max_order_value
+        |FROM fct_orders GROUP BY order_year, order_status
+        |ORDER BY order_year, order_status""".stripMargin
+
+  /** P4-analogue (query-level WHERE over dims) on mv_orders_simple. */
+  def mvOrdersSimpleFiltered(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_simple")
+      .query(Seq("order_priority"), Seq("order_count", "total_revenue"),
+        where = Some("order_status = 'F'"))
+      .select(col("order_priority"), col("order_count"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("order_priority")
+
+  val mvOrdersSimpleFilteredSql: String =
+    modelCtes +
+      """SELECT order_priority, count(*) AS order_count,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
+        |FROM stg_orders WHERE order_status = 'F'
+        |GROUP BY order_priority ORDER BY order_priority""".stripMargin
+
+  /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
+    * measure with datediff/nullif. */
+  def mvCustomerMetrics(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_customer_metrics")
+      .query(Seq("market_segment"),
+        Seq("total_customers", "total_revenue", "avg_customer_value",
+          "avg_orders_per_customer", "high_value_customers", "avg_order_frequency"))
+      .select(col("market_segment"), col("total_customers"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        round(col("avg_customer_value").cast("double"), 6).as("avg_customer_value"),
+        round(col("avg_orders_per_customer"), 6).as("avg_orders_per_customer"),
+        col("high_value_customers"),
+        round(col("avg_order_frequency"), 6).as("avg_order_frequency"))
+      .orderBy("market_segment")
+
+  val mvCustomerMetricsSql: String =
+    modelCtes +
+      """SELECT market_segment,
+        |       count(*) AS total_customers,
+        |       CAST(sum(total_spent) AS DOUBLE) AS total_revenue,
+        |       round(CAST(sum(total_spent) AS DOUBLE) / count(total_spent), 6) AS avg_customer_value,
+        |       round(avg(total_orders), 6) AS avg_orders_per_customer,
+        |       count(*) FILTER (WHERE total_spent > 100000) AS high_value_customers,
+        |       round(avg(total_orders / nullif(datediff('day', first_order_date, last_order_date), 0)), 6) AS avg_order_frequency
+        |FROM fct_customer_summary
+        |GROUP BY market_segment ORDER BY market_segment""".stripMargin
+
+  /** J3/J4: semantic join chain with nested dot-path dims + view filter. */
+  def mvSalesGeo(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_sales_geo")
+      .query(Seq("region_name", "nation_name"),
+        Seq("order_count", "total_revenue", "avg_account_balance"))
+      .select(col("region_name"), col("nation_name"), col("order_count"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        round(col("avg_account_balance").cast("double"), 6).as("avg_account_balance"))
+      .orderBy("region_name", "nation_name")
+
+  val mvSalesGeoSql: String =
+    modelCtes +
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |       count(*) AS order_count,
+        |       CAST(sum(o.total_price) AS DOUBLE) AS total_revenue,
+        |       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c.c_acctbal), 6) AS avg_account_balance
+        |FROM stg_orders o
+        |LEFT JOIN customer c ON o.customer_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.order_status <> 'X'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
+    * ops get the driver's weaker rows-only check). */
+  val rowsOnly: Set[String] = Set()
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stg_orders"            -> (stgOrders _),
+    "q_stg_customers"         -> (stgCustomers _),
+    "q_fct_orders"            -> (fctOrders _),
+    "q_fct_customer_summary"  -> (fctCustomerSummary _),
+    "q_mv_segment"            -> (mvOrderMetricsBySegment _),
+    "q_mv_year_status"        -> (mvOrderMetricsYearStatus _),
+    "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
+    "q_mv_customer"           -> (mvCustomerMetrics _),
+    "q_mv_sales_geo"          -> (mvSalesGeo _))
+
+  def oracles: Map[String, String] = Map(
+    "q_stg_orders"            -> stgOrdersSql,
+    "q_stg_customers"         -> stgCustomersSql,
+    "q_fct_orders"            -> fctOrdersSql,
+    "q_fct_customer_summary"  -> fctCustomerSummarySql,
+    "q_mv_segment"            -> mvOrderMetricsBySegmentSql,
+    "q_mv_year_status"        -> mvOrderMetricsYearStatusSql,
+    "q_mv_filtered"           -> mvOrdersSimpleFilteredSql,
+    "q_mv_customer"           -> mvCustomerMetricsSql,
+    "q_mv_sales_geo"          -> mvSalesGeoSql)
+}

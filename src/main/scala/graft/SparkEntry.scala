@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.MetricViewCatalog
+import graft.model.Models
+import graft.spec.Specs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry + DuckDB `oracleSql` per
+  * implemented operator (SURVEY.md §2). Column names and (where
+  * floating-point) the exact arithmetic are aligned between the two
+  * sides: money is decimal(18,2) so sums are order-independent, and
+  * final fractional outputs are produced as doubles by the same
+  * deterministic computation in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val catalogs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), MetricViewCatalog]()
+
+  /** Metric-view catalog over the model registry, cached per (session,
+    * data dir) — registration validates every spec against the source
+    * schemas (CREATE-time analysis), which shouldn't be re-paid per
+    * query. */
+  def catalog(spark: SparkSession, dir: String): MetricViewCatalog =
+    catalogs.getOrElseUpdate((spark, dir), {
+      val cat = new MetricViewCatalog(spark, Models.resolve(spark, dir, _))
+      Specs.all.foreach { case (name, yaml) => cat.createOrReplace(name, yaml) }
+      cat
+    })
+
+  /** Flagship query (reference README.md:124-133): MEASURE() over
+    * mv_order_metrics grouped by market_segment. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.mvOrderMetricsBySegment(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

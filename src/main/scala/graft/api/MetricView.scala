@@ -1,0 +1,230 @@
+package graft.api
+
+import graft.plan.{AggDecompose, Expander, WindowPlanner}
+import graft.spec._
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** A registered metric view: the engine's queryable semantic object
+  * (reference README.md:122-141 — `SELECT dims, MEASURE(m) FROM mv
+  * GROUP BY dims`).
+  *
+  * `query(dims, measures, where)` is the DataFrame-native equivalent of
+  * the MEASURE() SQL (the SQL path itself is in graft.sqlext). The plan
+  * it builds is fully lazy/composable; source selection implements the
+  * reference's routing ladder (README.md:399-431): aggregated rollup ≫
+  * unaggregated baseline cache ≫ raw source, with window measures never
+  * routed to rollups.
+  */
+final class MetricView(
+    val name: String,
+    val spec: MetricViewSpec,
+    catalog: MetricViewCatalog) {
+
+  private def spark: SparkSession = catalog.spark
+  private val paths = Expander.joinPaths(spec.joins).map(_._1)
+
+  /** Measure expr rewritten into (flat) source terms. */
+  private[graft] def measureExpr(exprSql: String): Expression =
+    Expander.rewriteExpr(Expander.parse(spark, exprSql), paths)
+
+  private[graft] def decomposed(m: Measure): Option[graft.plan.Decomposed] =
+    AggDecompose(spark, measureExpr(m.expr), m.name)
+
+  /** Raw source columns (flat names) referenced by the given measures —
+    * what an unaggregated baseline must store besides the dims. */
+  private[graft] def measureInputColumns(ms: Seq[Measure]): Seq[String] = {
+    val dimNames = spec.dimensions.map(_.name).toSet
+    ms.flatMap { m =>
+      measureExpr(m.expr).collect {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
+      }
+    }.distinct.filterNot(dimNames.contains)
+  }
+
+  /** Dimension names referenced by a query-level WHERE. */
+  private def whereDims(whereSql: String): Seq[String] = {
+    val dimNames = spec.dimensions.map(_.name).toSet
+    Expander.parse(spark, whereSql).collect {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 && dimNames(ua.nameParts.head) =>
+        ua.nameParts.head
+    }.distinct
+  }
+
+  /** Query the view: group by `dims`, evaluate `measures`, optional
+    * `where` over dimension names. */
+  def query(dims: Seq[String], measures: Seq[String], where: Option[String] = None): DataFrame = {
+    dims.foreach(spec.dimension)
+    val ms = measures.map(spec.measure)
+    val (windowMs, plainMs) = ms.partition(_.isWindowed)
+
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // plain measures: rollup route ≫ baseline ≫ raw
+    if (plainMs.nonEmpty) {
+      val routed = catalog.materializer.flatMap(
+        _.route(this, dims, plainMs, where, where.toSeq.flatMap(whereDims)))
+      parts += routed.getOrElse(aggregateFromRows(dims, plainMs, where))
+    }
+    // window measures: computed on the fly (baseline-backed when built),
+    // never from rollups — reference README.md:431
+    windowMs.foreach { m =>
+      val (rows, dimFor, mExpr) = rowsFor(dims, Seq(m), where,
+        extraDims = m.window.map(_.order))
+      parts += WindowPlanner.plan(spark, spec, m, dims, rows, dimFor, mExpr)
+    }
+
+    val joined = parts.reduceLeft(joinParts(dims))
+    // stable output column order: dims, then measures as requested
+    joined.select((dims ++ measures).map(col): _*)
+  }
+
+  /** Null-safe equi-join of result parts on the dim columns. */
+  private def joinParts(dims: Seq[String])(l: DataFrame, r: DataFrame): DataFrame =
+    if (dims.isEmpty) l.crossJoin(r)
+    else {
+      val rKeep = r.columns.filterNot(dims.contains)
+      val la = l.alias("l"); val ra = r.alias("r")
+      val cond = dims.map(d => col(s"l.$d") <=> col(s"r.$d")).reduce(_ && _)
+      la.join(ra, cond, "inner")
+        .select(l.columns.map(c => col(s"l.$c")) ++ rKeep.map(c => col(s"r.$c")): _*)
+    }
+
+  /** Row-level input + resolvers, from baseline cache if built else the
+    * raw expansion. Returns (rows, dimName→Column, measureSql→Expression). */
+  private[graft] def rowsFor(
+      dims: Seq[String],
+      ms: Seq[Measure],
+      where: Option[String],
+      extraDims: Seq[String] = Nil): (DataFrame, String => Column, String => Expression) = {
+    val baseline = catalog.materializer.flatMap(_.baseline(this))
+    baseline match {
+      case Some(df) =>
+        val rows = where.fold(df)(w => df.filter(Expander.dimFilter(spark, identitySpec, w)))
+        (rows, d => col(d), measureExpr)
+      case None =>
+        val filterDims = where.toSeq.flatMap(whereDims)
+        val needed = (dims ++ extraDims ++ filterDims).distinct
+          .map(spec.dimension(_).expr) ++ ms.map(_.expr)
+        val raw = Expander.rowLevel(spark, spec, catalog.resolve, needed)
+        val rows = where.fold(raw)(w => raw.filter(Expander.dimFilter(spark, spec, w)))
+        (rows, d => Expander.dimCol(spark, spec, d), measureExpr)
+    }
+  }
+
+  /** Spec whose dims are identity over their own names — used to filter
+    * baseline/rollup tables where dims are already materialized columns. */
+  private lazy val identitySpec: MetricViewSpec =
+    spec.copy(dimensions = spec.dimensions.map(d => d.copy(expr = d.name)), joins = Nil)
+
+  private def aggregateFromRows(dims: Seq[String], ms: Seq[Measure], where: Option[String]): DataFrame = {
+    val (rows, dimFor, mExpr) = rowsFor(dims, ms, where)
+    val aggCols = ms.map(m => GraftBridge.column(mExpr(m.expr)).as(m.name))
+    rows.groupBy(dims.map(d => dimFor(d).as(d)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The fully expanded row-level relation with every dimension and all
+    * measure input columns — the shape an `unaggregated` baseline stores. */
+  private[graft] def baselineFrame: DataFrame = {
+    val needed = spec.dimensions.map(_.expr) ++ spec.measures.map(_.expr)
+    val rows = Expander.rowLevel(spark, spec, catalog.resolve, needed)
+    val dimCols = spec.dimensions.map(d => Expander.dimCol(spark, spec, d.name))
+    val dimNames = spec.dimensions.map(_.name).toSet
+    val inputCols = measureInputColumns(spec.measures).filterNot(dimNames.contains).map(col)
+    rows.select(dimCols ++ inputCols: _*)
+  }
+}
+
+/** In-memory registry of metric views + lifecycle ops (reference S5-S8:
+  * create/drop/describe/refresh — macros/generate_metric_views.sql:80-91,
+  * macros/drop_metric_views.sql:19-23, scripts/refresh_metric_views.py).
+  */
+final class MetricViewCatalog(
+    val spark: SparkSession,
+    val resolve: String => DataFrame,
+    materializationDir: Option[String] = None) {
+
+  private val views = scala.collection.mutable.LinkedHashMap[String, MetricView]()
+  private[graft] val materializer: Option[graft.mat.Materializer] =
+    materializationDir.map(new graft.mat.Materializer(_, resolve))
+
+  /** CREATE OR REPLACE (not drop+create): an unchanged spec keeps its
+    * materialization caches — reference macros/generate_metric_views
+    * .sql:78-79. */
+  def createOrReplace(name: String, yaml: String): MetricView = {
+    val spec = YamlParser.parse(yaml)
+    validate(name, spec)
+    val view = new MetricView(name, spec, this)
+    val specChanged = views.get(name).exists(_.spec.materializationHash != spec.materializationHash)
+    if (specChanged) materializer.foreach(_.invalidate(view))
+    views(name) = view
+    view
+  }
+
+  /** Validate every dimension/measure expr resolves against the expanded
+    * source schema — fail at CREATE time like Databricks does. */
+  private def validate(name: String, spec: MetricViewSpec): Unit = {
+    val probe = new MetricView(name, spec, this)
+    val needed = spec.dimensions.map(_.expr) ++ spec.measures.map(_.expr)
+    val rows = Expander.rowLevel(spark, spec, resolve, needed)
+    // resolving the full projection + a global aggregate forces analysis
+    val dimCols = spec.dimensions.map(d => Expander.dimCol(spark, spec, d.name))
+    rows.select(dimCols: _*).schema // throws AnalysisException on bad dim exprs
+    val aggCols = spec.measures.filterNot(_.isWindowed)
+      .map(m => GraftBridge.column(probe.measureExpr(m.expr)).as(m.name))
+    if (aggCols.nonEmpty) rows.groupBy().agg(aggCols.head, aggCols.tail: _*).schema
+    spec.measures.filter(_.isWindowed).foreach { m =>
+      m.window.map(_.order).foreach(spec.dimension) // order cols must be dims
+      require(WindowPlanner.supported(spark, spec, m),
+        s"window measure ${m.name} is not plannable (non-decomposable expr or bad stack)")
+    }
+  }
+
+  def get(name: String): MetricView =
+    views.getOrElse(name, sys.error(s"unknown metric view '$name'"))
+  def maybeGet(name: String): Option[MetricView] = views.get(name)
+  def list: Seq[String] = views.keys.toSeq
+
+  def drop(name: String, ifExists: Boolean = true): Unit = {
+    if (!ifExists && !views.contains(name)) sys.error(s"metric view '$name' does not exist")
+    views.remove(name).foreach(v => materializer.foreach(_.invalidate(v)))
+  }
+
+  /** DESCRIBE EXTENDED analogue: one (key, value) row per property
+    * (reference README.md:385-397). */
+  def describe(name: String): DataFrame = {
+    import spark.implicits._
+    val v = get(name)
+    val s = v.spec
+    val props = Seq(
+      "name" -> name,
+      "version" -> s.version,
+      "source" -> s.source,
+      "filter" -> s.filter.getOrElse(""),
+      "dimensions" -> s.dimensions.map(_.name).mkString(", "),
+      "measures" -> s.measures.map(_.name).mkString(", "),
+      "joins" -> Expander.joinPaths(s.joins).map(_._1.mkString(".")).mkString(", "),
+      "spec_hash" -> s.materializationHash) ++
+      s.materialization.toSeq.flatMap { m =>
+        Seq(
+          "metric_view.materialization.mode" -> m.mode.getOrElse(""),
+          "metric_view.materialization.schedule" -> m.schedule.getOrElse(""),
+          "metric_view.materialization.views" ->
+            m.materializedViews.map(mv => s"${mv.name}(${mv.mvType})").mkString(", "),
+          "metric_view.materialization.built" ->
+            materializer.exists(_.isBuilt(v)).toString)
+      }
+    props.toDF("key", "value")
+  }
+
+  /** Recompute materializations (reference refresh_metric_views.py —
+    * there a REST call to a pipeline service; here a synchronous batch
+    * job, the indirection existed only to drive a managed service). */
+  def refresh(name: String): Unit = {
+    val v = get(name)
+    materializer.getOrElse(sys.error("catalog has no materialization dir")).build(v)
+  }
+}

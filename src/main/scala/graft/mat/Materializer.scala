@@ -1,0 +1,118 @@
+package graft.mat
+
+import graft.api.MetricView
+import graft.plan.Expander
+import graft.spec._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds and routes to materialized metric-view tables (reference
+  * A9/A10 + S8: models/schema.yml:39-49/:105-129, README.md:326-353,
+  * :399-431).
+  *
+  * Layout: `<workDir>/<view>/<matView>/` parquet + `<workDir>/<view>/
+  * _spec_hash`. Rollups store *decomposed partials* per measure
+  * (`total_revenue__p0` = sum partial, `avg_order_value__p0/__p1` =
+  * sum/count pair) so any re-grouping to a dim subset stays exact —
+  * never an average of averages.
+  *
+  * Scale: a rollup is |dim-combination| rows — tiny next to the fact
+  * table — so routed queries read KBs instead of TBs (the reference's
+  * "~5 rows read", README.md:402). The baseline cache is the expanded
+  * row-level relation: at 100 TB it would be a partitioned/Z-ordered
+  * table; here plain parquet, but the routing logic is identical.
+  */
+final class Materializer(workDir: String, resolve: String => DataFrame) {
+
+  private def viewDir(v: MetricView) = s"$workDir/${v.name}"
+  private def path(v: MetricView, mvName: String) = s"${viewDir(v)}/$mvName"
+  private def hashFile(v: MetricView) = Paths.get(s"${viewDir(v)}/_spec_hash")
+
+  def isBuilt(v: MetricView): Boolean =
+    Files.exists(hashFile(v)) &&
+      new String(Files.readAllBytes(hashFile(v))).trim == v.spec.materializationHash
+
+  def invalidate(v: MetricView): Unit =
+    if (Files.exists(hashFile(v))) Files.delete(hashFile(v))
+
+  /** Materialize every declared view. Idempotent per spec hash: an
+    * unchanged spec is not rebuilt (CREATE OR REPLACE cache
+    * preservation, reference macros/generate_metric_views.sql:78-79). */
+  def build(v: MetricView, force: Boolean = false): Unit = {
+    if (!force && isBuilt(v)) return
+    v.spec.materialization.foreach { mat =>
+      mat.materializedViews.foreach { mv =>
+        val df =
+          if (mv.isAggregated) rollupFrame(v, mv)
+          else v.baselineFrame
+        df.write.mode("overwrite").parquet(path(v, mv.name))
+      }
+      Files.createDirectories(Paths.get(viewDir(v)))
+      Files.write(hashFile(v), v.spec.materializationHash.getBytes)
+    }
+  }
+
+  /** Rollup = group by the rollup's dims, store decomposed partials of
+    * each listed measure. */
+  private def rollupFrame(v: MetricView, mv: MatViewSpec): DataFrame = {
+    val spark = SparkSession.active
+    val dimCols = mv.dimensions.map(d => Expander.dimCol(spark, v.spec, d))
+    val partials = mv.measures.flatMap { mName =>
+      val m = v.spec.measure(mName)
+      require(!m.isWindowed,
+        s"rollup ${mv.name}: window measure $mName cannot be materialized in an aggregated view")
+      val dec = v.decomposed(m).getOrElse(sys.error(
+        s"rollup ${mv.name}: measure $mName ('${m.expr}') is not decomposable"))
+      dec.partials.map(_.agg)
+    }
+    val needed = mv.dimensions.map(v.spec.dimension(_).expr) ++
+      mv.measures.map(v.spec.measure(_).expr)
+    Expander.rowLevel(spark, v.spec, resolve, needed)
+      .groupBy(dimCols: _*)
+      .agg(partials.head, partials.tail: _*)
+  }
+
+  /** The built baseline cache, if declared and current. */
+  def baseline(v: MetricView): Option[DataFrame] =
+    for {
+      mat <- v.spec.materialization
+      mv <- mat.materializedViews.find(_.mvType == "unaggregated")
+      if isBuilt(v)
+    } yield SparkSession.active.read.parquet(path(v, mv.name))
+
+  /** Routing decision + routed plan (reference A10, README.md:399-431):
+    * eligible iff some aggregated rollup covers the query dims, the
+    * WHERE's dims, and every requested measure (all decomposable, none
+    * windowed). Smallest covering rollup wins. */
+  def route(
+      v: MetricView,
+      dims: Seq[String],
+      measures: Seq[Measure],
+      where: Option[String],
+      whereDims: Seq[String]): Option[DataFrame] = {
+    if (!isBuilt(v)) return None
+    val spark = SparkSession.active
+    val needed = (dims ++ whereDims).toSet
+    val candidates = v.spec.materialization.toSeq
+      .flatMap(_.materializedViews)
+      .filter(_.isAggregated)
+      .filter { r =>
+        needed.subsetOf(r.dimensions.toSet) &&
+          measures.forall(m => r.measures.contains(m.name)) &&
+          measures.forall(m => !m.isWindowed && v.decomposed(m).isDefined)
+      }
+    candidates.sortBy(_.dimensions.size).headOption.map { r =>
+      val pre0 = spark.read.parquet(path(v, r.name))
+      val pre = where.fold(pre0)(w => pre0.filter(
+        Expander.dimFilter(spark, identityDims(v), w)))
+      val aggCols = measures.map { m =>
+        v.decomposed(m).get.reaggregate(identity).as(m.name)
+      }
+      pre.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
+  private def identityDims(v: MetricView): MetricViewSpec =
+    v.spec.copy(dimensions = v.spec.dimensions.map(d => d.copy(expr = d.name)), joins = Nil)
+}

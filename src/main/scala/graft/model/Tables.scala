@@ -1,0 +1,31 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture table loaders (TESTDATA.md / FIXTURES.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. At
+  * cluster scale these would be partitioned/bucketed catalog tables; the
+  * loader is the only place that would change — everything downstream is
+  * plain lazy DataFrames, so predicate pushdown / column pruning reach
+  * the scan regardless of how the table is stored.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

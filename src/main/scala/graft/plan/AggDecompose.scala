@@ -1,0 +1,113 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Decomposition of a measure expression into partial aggregates + a
+  * re-aggregation + a scalar combiner — the same partial/final split
+  * Spark's own HashAggregateExec uses, lifted to the semantic layer so
+  * that (a) rollup tables store *decomposed* partials (`avg` = sum+count,
+  * never an average of averages — SURVEY.md §4 correctness rule) and
+  * (b) window measures can frame-aggregate per-order-grain partials
+  * instead of raw rows.
+  *
+  * A measure expr may be any scalar combination of aggregate calls
+  * (e.g. `sum(a) / sum(b)`, `avg(x)`, `count_if(p)`); each aggregate
+  * node is extracted into a partial. Non-decomposable aggregates
+  * (DISTINCT, percentile, ...) yield None — such measures are computed
+  * only on the fly and are never routed to rollups.
+  */
+final case class PartialAgg(
+    name: String,
+    /** aggregate for the base/rollup grain, e.g. sum(x) */
+    agg: Column,
+    /** re-aggregation over stored partials; usable in groupBy().agg or .over(window) */
+    reagg: String => Column)
+
+final case class Decomposed(partials: Seq[PartialAgg], combiner: Map[String, Column] => Column) {
+  /** Re-aggregate stored partials in a groupBy and combine. `colName`
+    * maps partial name → stored column name. */
+  def reaggregate(colName: String => String): Column =
+    combiner(partials.map(p => p.name -> p.reagg(colName(p.name))).toMap)
+
+  /** Frame-aggregate partials over a window spec and combine. */
+  def overWindow(w: org.apache.spark.sql.expressions.WindowSpec, colName: String => String): Column =
+    combiner(partials.map(p => p.name -> p.reagg(colName(p.name)).over(w)).toMap)
+}
+
+object AggDecompose {
+
+  /** Decompose `exprSql` (already in source terms; callers rewrite join
+    * dot-paths first). `prefix` namespaces the partial column names. */
+  def apply(spark: SparkSession, parsed: Expression, prefix: String): Option[Decomposed] = {
+    val partials = scala.collection.mutable.ArrayBuffer[PartialAgg]()
+    var ok = true
+
+    def fresh(agg: Column, reagg: String => Column): UnresolvedAttribute = {
+      val nm = s"${prefix}__p${partials.length}"
+      partials += PartialAgg(nm, agg.as(nm), reagg)
+      UnresolvedAttribute(Seq(nm))
+    }
+
+    val template = parsed.transformUp {
+      case f: UnresolvedFunction =>
+        val fname = f.nameParts.last.toLowerCase
+        val args = f.arguments.map(GraftBridge.column)
+        if (f.isDistinct && aggNames(fname)) { ok = false; f }
+        else fname match {
+          case "sum" =>
+            fresh(sum(args.head), c => sum(col(c)))
+          case "count" =>
+            // count(*) parses to count(1); count never null after re-agg
+            val partial =
+              if (f.arguments.isEmpty) count(lit(1)) else count(args.head)
+            fresh(partial, c => coalesce(sum(col(c)), lit(0L)))
+          case "min" => fresh(min(args.head), c => min(col(c)))
+          case "max" => fresh(max(args.head), c => max(col(c)))
+          case "avg" | "mean" =>
+            val s = fresh(sum(args.head), c => sum(col(c)))
+            val n = fresh(count(args.head), c => coalesce(sum(col(c)), lit(0L)))
+            // avg = sum/count, null (not error) on empty — matches avg()
+            UnresolvedFunction(
+              Seq("divide_null_safe_graft"), Seq(s, n), isDistinct = false)
+          case "count_if" =>
+            fresh(
+              coalesce(sum(when(args.head, 1L).otherwise(0L)), lit(0L)),
+              c => coalesce(sum(col(c)), lit(0L)))
+          case _ if aggNames(fname) => { ok = false; f }
+          case _ => f // scalar function — leave in the combiner template
+        }
+    }
+    if (!ok || partials.isEmpty) None
+    else Some(Decomposed(partials.toSeq, substitute(template)))
+  }
+
+  /** Build the combiner: substitute partial-name attributes in the
+    * template with the caller's re-aggregated columns. */
+  private def substitute(template: Expression)(cols: Map[String, Column]): Column = {
+    val substituted = template.transformUp {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 && cols.contains(ua.nameParts.head) =>
+        colExpr(cols(ua.nameParts.head))
+      case f: UnresolvedFunction if f.nameParts == Seq("divide_null_safe_graft") =>
+        val Seq(s, n) = f.arguments
+        val sc = GraftBridge.column(s)
+        val nc = GraftBridge.column(n)
+        colExpr(sc / nullif(nc, lit(0L)))
+    }
+    GraftBridge.column(substituted)
+  }
+
+  private def colExpr(c: Column): Expression = {
+    // Column → Expression without a SparkSession: go through the active one
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftBridge.expression(spark, c)
+  }
+
+  private val aggNames = Set(
+    "sum", "count", "min", "max", "avg", "mean", "count_if",
+    "first", "last", "collect_list", "collect_set", "stddev", "variance",
+    "stddev_samp", "var_samp", "percentile", "median", "approx_count_distinct",
+    "first_value", "last_value", "any_value", "max_by", "min_by")
+}

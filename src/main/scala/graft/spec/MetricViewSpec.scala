@@ -1,0 +1,116 @@
+package graft.spec
+
+/** AST for the metric-view YAML spec.
+  *
+  * Field set mirrors the Databricks metric-view YAML exercised by the
+  * reference (models/schema.yml:13-49, :65-130, :140-208 and
+  * README.md:226-300): version, source, optional filter, dimensions,
+  * measures (with optional stacked window specs + v1.1 semantic
+  * metadata), nested joins, and a materialization section.
+  */
+final case class MetricViewSpec(
+    version: String,
+    source: String,
+    filter: Option[String],
+    dimensions: Seq[Dimension],
+    measures: Seq[Measure],
+    joins: Seq[JoinSpec],
+    materialization: Option[Materialization]) {
+
+  def dimension(name: String): Dimension =
+    dimensions.find(_.name == name).getOrElse(
+      sys.error(s"unknown dimension '$name' (have: ${dimensions.map(_.name).mkString(", ")})"))
+
+  def measure(name: String): Measure =
+    measures.find(_.name == name).getOrElse(
+      sys.error(s"unknown measure '$name' (have: ${measures.map(_.name).mkString(", ")})"))
+
+  /** Stable fingerprint of the materialization-relevant part of the spec;
+    * used by createOrReplace to preserve existing materialization caches
+    * when the spec is unchanged (reference macros/generate_metric_views
+    * .sql:78-79 uses CREATE OR REPLACE for the same reason). */
+  def materializationHash: String = {
+    val relevant = (source, filter, dimensions.map(d => (d.name, d.expr)),
+      measures.map(m => (m.name, m.expr, m.window.toString)),
+      joins.toString, materialization.toString).toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(relevant.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+}
+
+/** Dimension: name + SQL expr (+ v1.1 display metadata,
+  * models/schema.yml:144-152). */
+final case class Dimension(
+    name: String,
+    expr: String,
+    displayName: Option[String] = None,
+    comment: Option[String] = None,
+    synonyms: Seq[String] = Nil)
+
+/** Measure: aggregate SQL expr, only addressable through MEASURE()
+  * (models/schema.yml:25-31, :83-103, :154-208). */
+final case class Measure(
+    name: String,
+    expr: String,
+    window: Seq[WindowSpec] = Nil,
+    displayName: Option[String] = None,
+    comment: Option[String] = None,
+    synonyms: Seq[String] = Nil,
+    format: Option[Map[String, String]] = None) {
+  def isWindowed: Boolean = window.nonEmpty
+}
+
+/** One level of a (possibly stacked) window measure spec
+  * (models/schema.yml:92-103; README.md:250-277). */
+final case class WindowSpec(
+    order: String,
+    range: RangeSpec,
+    semiadditive: Option[String])
+
+sealed trait RangeSpec
+object RangeSpec {
+  /** `range: trailing N <unit>` — frame of the last N units including
+    * the current order value. */
+  final case class Trailing(n: Int, unit: String) extends RangeSpec
+  /** `range: cumulative` — running frame from the start. */
+  case object Cumulative extends RangeSpec
+  /** `range: current` — restrict to the current order value; as an outer
+    * level of a stack this resets the inner frame per order value
+    * (YTD pattern, README.md:267-277). */
+  case object Current extends RangeSpec
+
+  def parse(s: String): RangeSpec = s.trim.toLowerCase match {
+    case "cumulative" => Cumulative
+    case "current"    => Current
+    case t =>
+      val m = "^trailing\\s+(\\d+)\\s+(\\w+?)s?$".r
+      t match {
+        case m(n, unit) => Trailing(n.toInt, unit)
+        case _ => sys.error(s"unparseable window range '$s'")
+      }
+  }
+}
+
+/** Semantic join (README.md:281-300): left join applied lazily when a
+  * query references a dimension under the join's dot-path; may nest. */
+final case class JoinSpec(
+    name: String,
+    source: String,
+    on: String,
+    joins: Seq[JoinSpec] = Nil)
+
+final case class Materialization(
+    schedule: Option[String],
+    mode: Option[String],
+    materializedViews: Seq[MatViewSpec])
+
+/** One pre-computed table: `unaggregated` = row-level baseline cache,
+  * `aggregated` = rollup keyed by a dimension subset
+  * (models/schema.yml:39-49, :110-129). */
+final case class MatViewSpec(
+    name: String,
+    mvType: String,
+    dimensions: Seq[String] = Nil,
+    measures: Seq[String] = Nil) {
+  def isAggregated: Boolean = mvType == "aggregated"
+}

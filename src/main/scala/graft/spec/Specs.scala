@@ -1,0 +1,196 @@
+package graft.spec
+
+/** The reference's metric-view specs, verbatim modulo `__SOURCE__` →
+  * model-registry name (the reference macro substitutes the dbt
+  * relation the same way, macros/generate_metric_views.sql:40-43).
+  */
+object Specs {
+
+  /** models/schema.yml:13-49 (on stg_orders). */
+  val mvOrdersSimple: String =
+    """version: 0.1
+      |source: stg_orders
+      |dimensions:
+      |  - name: order_status
+      |    expr: order_status
+      |  - name: order_priority
+      |    expr: order_priority
+      |  - name: order_date
+      |    expr: order_date
+      |measures:
+      |  - name: order_count
+      |    expr: count(*)
+      |  - name: total_revenue
+      |    expr: sum(total_price)
+      |  - name: avg_order_value
+      |    expr: avg(total_price)
+      |materialization:
+      |  schedule: every 8 weeks
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: baseline
+      |      type: unaggregated
+      |    - name: orders_by_status
+      |      type: aggregated
+      |      dimensions:
+      |        - order_status
+      |      measures:
+      |        - order_count
+      |        - total_revenue
+      |""".stripMargin
+
+  /** models/schema.yml:65-130 (on fct_orders) — window measures +
+    * materialization. */
+  val mvOrderMetrics: String =
+    """version: 0.1
+      |source: fct_orders
+      |dimensions:
+      |  - name: market_segment
+      |    expr: market_segment
+      |  - name: order_status
+      |    expr: order_status
+      |  - name: order_priority
+      |    expr: order_priority
+      |  - name: order_date
+      |    expr: order_date
+      |  - name: order_year
+      |    expr: order_year
+      |  - name: order_month
+      |    expr: order_month
+      |measures:
+      |  - name: total_orders
+      |    expr: count(*)
+      |  - name: total_revenue
+      |    expr: sum(total_price)
+      |  - name: avg_order_value
+      |    expr: avg(total_price)
+      |  - name: max_order_value
+      |    expr: max(total_price)
+      |  - name: trailing_7d_revenue
+      |    expr: sum(total_price)
+      |    window:
+      |      - order: order_date
+      |        range: trailing 7 day
+      |        semiadditive: last
+      |  - name: cumulative_revenue
+      |    expr: sum(total_price)
+      |    window:
+      |      - order: order_date
+      |        range: cumulative
+      |        semiadditive: last
+      |  - name: ytd_revenue
+      |    expr: sum(total_price)
+      |    window:
+      |      - order: order_date
+      |        range: cumulative
+      |        semiadditive: last
+      |      - order: order_year
+      |        range: current
+      |        semiadditive: last
+      |materialization:
+      |  schedule: every 6 hours
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: baseline
+      |      type: unaggregated
+      |    - name: revenue_by_segment
+      |      type: aggregated
+      |      dimensions:
+      |        - market_segment
+      |        - order_status
+      |      measures:
+      |        - total_revenue
+      |        - total_orders
+      |    - name: monthly_revenue
+      |      type: aggregated
+      |      dimensions:
+      |        - order_year
+      |        - order_month
+      |      measures:
+      |        - total_revenue
+      |""".stripMargin
+
+  /** models/schema.yml:140-208 (on fct_customer_summary) — v1.1
+    * semantic metadata. */
+  val mvCustomerMetrics: String =
+    """version: 1.1
+      |source: fct_customer_summary
+      |dimensions:
+      |  - name: market_segment
+      |    expr: market_segment
+      |    display_name: "Market Segment"
+      |    comment: "Customer market segment classification"
+      |    synonyms:
+      |      - "segment"
+      |      - "business segment"
+      |      - "customer type"
+      |measures:
+      |  - name: total_customers
+      |    expr: count(*)
+      |    display_name: "Total Customers"
+      |    synonyms: ["customer count", "number of customers"]
+      |  - name: total_revenue
+      |    expr: sum(total_spent)
+      |    display_name: "Total Revenue"
+      |    format:
+      |      type: currency
+      |      currency_code: USD
+      |  - name: avg_customer_value
+      |    expr: avg(total_spent)
+      |    display_name: "Average Customer Lifetime Value"
+      |    format:
+      |      type: currency
+      |      currency_code: USD
+      |  - name: avg_orders_per_customer
+      |    expr: avg(total_orders)
+      |  - name: high_value_customers
+      |    expr: count_if(total_spent > 100000)
+      |  - name: avg_order_frequency
+      |    expr: avg(total_orders / nullif(datediff(last_order_date, first_order_date), 0))
+      |""".stripMargin
+
+  /** Semantic-join demo (README.md:281-300 pattern) over the fixture
+    * star: stg_orders → customer → nation → region, with dot-path
+    * dimensions and a view-level filter. */
+  val mvSalesGeo: String =
+    """version: 1.1
+      |source: stg_orders
+      |filter: order_status <> 'X'
+      |joins:
+      |  - name: customer
+      |    source: customer
+      |    on: source.customer_id = customer.c_custkey
+      |    joins:
+      |      - name: nation
+      |        source: nation
+      |        on: customer.c_nationkey = nation.n_nationkey
+      |        joins:
+      |          - name: region
+      |            source: region
+      |            on: nation.n_regionkey = region.r_regionkey
+      |dimensions:
+      |  - name: customer_name
+      |    expr: customer.c_name
+      |  - name: nation_name
+      |    expr: customer.nation.n_name
+      |  - name: region_name
+      |    expr: customer.nation.region.r_name
+      |  - name: market_segment
+      |    expr: customer.c_mktsegment
+      |  - name: order_year
+      |    expr: year(order_date)
+      |measures:
+      |  - name: order_count
+      |    expr: count(*)
+      |  - name: total_revenue
+      |    expr: sum(total_price)
+      |  - name: avg_account_balance
+      |    expr: avg(cast(customer.c_acctbal as decimal(18,2)))
+      |""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "mv_orders_simple"    -> mvOrdersSimple,
+    "mv_order_metrics"    -> mvOrderMetrics,
+    "mv_customer_metrics" -> mvCustomerMetrics,
+    "mv_sales_geo"        -> mvSalesGeo)
+}

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` Spark internals that every serious
+  * Spark extension library needs: Catalyst Expression → public Column
+  * (Spark 4 ColumnNode world) and LogicalPlan → DataFrame. Kept to two
+  * one-liners so the internal surface we depend on is explicit.
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+}
