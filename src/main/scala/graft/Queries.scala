@@ -229,7 +229,11 @@ object Queries {
     * ops get the driver's weaker rows-only check). */
   val rowsOnly: Set[String] = Set()
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = base ++ WindowQueries.all
+
+  def oracles: Map[String, String] = baseOracles ++ WindowQueries.oracles
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stg_orders"            -> (stgOrders _),
     "q_stg_customers"         -> (stgCustomers _),
     "q_fct_orders"            -> (fctOrders _),
@@ -240,7 +244,7 @@ object Queries {
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _))
 
-  def oracles: Map[String, String] = Map(
+  private def baseOracles: Map[String, String] = Map(
     "q_stg_orders"            -> stgOrdersSql,
     "q_stg_customers"         -> stgCustomersSql,
     "q_fct_orders"            -> fctOrdersSql,

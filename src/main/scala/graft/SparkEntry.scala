@@ -29,6 +29,20 @@ object SparkEntry {
       cat
     })
 
+  /** Catalog with materialization enabled + rollups built (idempotent
+    * per spec hash — rebuilt only when the spec changes, mirroring the
+    * reference's CREATE OR REPLACE cache preservation). */
+  def matCatalog(spark: SparkSession, dir: String): MetricViewCatalog =
+    catalogs.getOrElseUpdate((spark, dir + "#mat"), {
+      val workDir = "/root/repo/target/graft-mat/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val cat = new MetricViewCatalog(spark, Models.resolve(spark, dir, _), Some(workDir))
+      Specs.all.foreach { case (name, yaml) => cat.createOrReplace(name, yaml) }
+      cat.refresh("mv_orders_simple")
+      cat.refresh("mv_order_metrics")
+      cat
+    })
+
   /** Flagship query (reference README.md:124-133): MEASURE() over
     * mv_order_metrics grouped by market_segment. */
   def entry(spark: SparkSession): DataFrame =

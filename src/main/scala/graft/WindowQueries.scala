@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Window-measure queries (SURVEY.md §2.5 W1-W4) + routing queries
+  * (A9/A10). The DuckDB oracles hand-expand the same two-phase plan —
+  * per-order-grain partials, then a frame over the day number — so the
+  * window semantics contract is explicit and testable (SURVEY.md §7.3).
+  */
+object WindowQueries {
+
+  import Queries.modelCtes
+
+  /** W1: trailing-7-day revenue at the order_date grain. */
+  def trailing7d(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("trailing_7d_revenue"))
+      .select(col("order_date"),
+        col("trailing_7d_revenue").cast("double").as("trailing_7d_revenue"))
+      .orderBy("order_date")
+
+  val trailing7dSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT order_date, sum(total_price) AS s FROM fct_orders GROUP BY 1
+        |)
+        |SELECT order_date,
+        |       CAST(sum(s) OVER (
+        |         ORDER BY datediff('day', DATE '1970-01-01', order_date)
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_7d_revenue
+        |FROM base ORDER BY order_date""".stripMargin
+
+  /** W1 partitioned: trailing-7d within each market segment. */
+  def trailing7dSegment(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("market_segment", "order_date"), Seq("trailing_7d_revenue"))
+      .select(col("market_segment"), col("order_date"),
+        col("trailing_7d_revenue").cast("double").as("trailing_7d_revenue"))
+      .orderBy("market_segment", "order_date")
+
+  val trailing7dSegmentSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT market_segment, order_date, sum(total_price) AS s
+        |  FROM fct_orders GROUP BY 1, 2
+        |)
+        |SELECT market_segment, order_date,
+        |       CAST(sum(s) OVER (
+        |         PARTITION BY market_segment
+        |         ORDER BY datediff('day', DATE '1970-01-01', order_date)
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_7d_revenue
+        |FROM base ORDER BY market_segment, order_date""".stripMargin
+
+  /** W2: cumulative (running-total) revenue over order_date. */
+  def cumulative(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("cumulative_revenue"))
+      .select(col("order_date"),
+        col("cumulative_revenue").cast("double").as("cumulative_revenue"))
+      .orderBy("order_date")
+
+  val cumulativeSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT order_date, sum(total_price) AS s FROM fct_orders GROUP BY 1
+        |)
+        |SELECT order_date,
+        |       CAST(sum(s) OVER (
+        |         ORDER BY order_date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS cumulative_revenue
+        |FROM base ORDER BY order_date""".stripMargin
+
+  /** W4: semiadditive `last` — window measures at a grain coarser than
+    * the order column: value at max(order_date) per (year, month).
+    * Contract: the frame partitions by the query dims, so cumulative
+    * resets per group (documented in WindowPlanner). */
+  def semiadditiveMonthly(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_year", "order_month"),
+        Seq("trailing_7d_revenue", "cumulative_revenue", "total_revenue"))
+      .select(col("order_year"), col("order_month"),
+        col("trailing_7d_revenue").cast("double").as("trailing_7d_revenue"),
+        col("cumulative_revenue").cast("double").as("cumulative_revenue"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("order_year", "order_month")
+
+  val semiadditiveMonthlySql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT order_year, order_month, order_date, sum(total_price) AS s
+        |  FROM fct_orders GROUP BY 1, 2, 3
+        |), valued AS (
+        |  SELECT order_year, order_month, order_date,
+        |         sum(s) OVER (
+        |           PARTITION BY order_year, order_month
+        |           ORDER BY datediff('day', DATE '1970-01-01', order_date)
+        |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS t7,
+        |         sum(s) OVER (
+        |           PARTITION BY order_year, order_month
+        |           ORDER BY order_date
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM base
+        |)
+        |SELECT v.order_year, v.order_month,
+        |       CAST(max_by(v.t7, v.order_date) AS DOUBLE) AS trailing_7d_revenue,
+        |       CAST(max_by(v.cum, v.order_date) AS DOUBLE) AS cumulative_revenue,
+        |       CAST(tot.total_revenue AS DOUBLE) AS total_revenue
+        |FROM valued v
+        |JOIN (SELECT order_year, order_month, sum(total_price) AS total_revenue
+        |      FROM fct_orders GROUP BY 1, 2) tot
+        |  USING (order_year, order_month)
+        |GROUP BY v.order_year, v.order_month, tot.total_revenue
+        |ORDER BY v.order_year, v.order_month""".stripMargin
+
+  /** W3: stacked YTD — cumulative over order_date reset by
+    * `range: current` on order_year (reference README.md:267-277). */
+  def ytd(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("ytd_revenue"))
+      .select(col("order_date"),
+        col("ytd_revenue").cast("double").as("ytd_revenue"))
+      .orderBy("order_date")
+
+  val ytdSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT order_date, CAST(year(order_date) AS INT) AS order_year,
+        |         sum(total_price) AS s
+        |  FROM fct_orders GROUP BY 1, 2
+        |)
+        |SELECT order_date,
+        |       CAST(sum(s) OVER (
+        |         PARTITION BY order_year ORDER BY order_date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS ytd_revenue
+        |FROM base ORDER BY order_date""".stripMargin
+
+  // ------------------------------------------------------- routing (A9/A10)
+
+  /** A10: routed to the revenue_by_segment rollup (reference
+    * README.md:399-415 "reads ~5 rows"). Semantically invisible —
+    * oracle is the direct aggregation. */
+  def routedSegment(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+      .select(col("market_segment"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        col("total_orders"))
+      .orderBy("market_segment")
+
+  val routedSegmentSql: String =
+    modelCtes +
+      """SELECT market_segment,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       count(*) AS total_orders
+        |FROM fct_orders GROUP BY market_segment ORDER BY market_segment""".stripMargin
+
+  /** A10: routed to monthly_revenue rollup. */
+  def routedMonthly(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_year", "order_month"), Seq("total_revenue"))
+      .select(col("order_year"), col("order_month"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("order_year", "order_month")
+
+  val routedMonthlySql: String =
+    modelCtes +
+      """SELECT order_year, order_month,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
+        |FROM fct_orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A10 + WHERE: rollup-routed with a dim filter covered by the
+    * rollup (order_status ∈ revenue_by_segment dims). */
+  def routedWhere(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue"),
+        where = Some("order_status = 'F'"))
+      .select(col("market_segment"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("market_segment")
+
+  val routedWhereSql: String =
+    modelCtes +
+      """SELECT market_segment, CAST(sum(total_price) AS DOUBLE) AS total_revenue
+        |FROM fct_orders WHERE order_status = 'F'
+        |GROUP BY market_segment ORDER BY market_segment""".stripMargin
+
+  /** Baseline fallback (reference README.md:430): order_priority is not
+    * covered by any rollup → served from the unaggregated cache. */
+  def baselinePriority(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_priority"), Seq("total_revenue", "avg_order_value"))
+      .select(col("order_priority"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        round(col("avg_order_value").cast("double"), 6).as("avg_order_value"))
+      .orderBy("order_priority")
+
+  val baselinePrioritySql: String =
+    modelCtes +
+      """SELECT order_priority,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       round(CAST(sum(total_price) AS DOUBLE) / count(total_price), 6) AS avg_order_value
+        |FROM fct_orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Window measure served from the baseline cache (never from rollups,
+    * reference README.md:431). */
+  def trailingFromBaseline(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("trailing_7d_revenue"))
+      .select(col("order_date"),
+        col("trailing_7d_revenue").cast("double").as("trailing_7d_revenue"))
+      .orderBy("order_date")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_trailing7d"         -> (trailing7d _),
+    "q_win_trailing7d_segment" -> (trailing7dSegment _),
+    "q_win_cumulative"         -> (cumulative _),
+    "q_win_semiadditive"       -> (semiadditiveMonthly _),
+    "q_win_ytd"                -> (ytd _),
+    "q_routed_segment"         -> (routedSegment _),
+    "q_routed_monthly"         -> (routedMonthly _),
+    "q_routed_where"           -> (routedWhere _),
+    "q_baseline_priority"      -> (baselinePriority _),
+    "q_win_from_baseline"      -> (trailingFromBaseline _))
+
+  val oracles: Map[String, String] = Map(
+    "q_win_trailing7d"         -> trailing7dSql,
+    "q_win_trailing7d_segment" -> trailing7dSegmentSql,
+    "q_win_cumulative"         -> cumulativeSql,
+    "q_win_semiadditive"       -> semiadditiveMonthlySql,
+    "q_win_ytd"                -> ytdSql,
+    "q_routed_segment"         -> routedSegmentSql,
+    "q_routed_monthly"         -> routedMonthlySql,
+    "q_routed_where"           -> routedWhereSql,
+    "q_baseline_priority"      -> baselinePrioritySql,
+    "q_win_from_baseline"      -> trailing7dSql)
+}

@@ -23,18 +23,23 @@ final case class PartialAgg(
     name: String,
     /** aggregate for the base/rollup grain, e.g. sum(x) */
     agg: Column,
-    /** re-aggregation over stored partials; usable in groupBy().agg or .over(window) */
-    reagg: String => Column)
+    /** re-aggregation over stored partials — must be a bare aggregate
+      * function so `.over(window)` applies to it directly */
+    reagg: String => Column,
+    /** scalar post-step applied AFTER re-aggregation/windowing (e.g.
+      * coalesce(count, 0)); wrapping it inside `.over` would hoist the
+      * inner aggregate out of the frame */
+    post: Column => Column = identity)
 
 final case class Decomposed(partials: Seq[PartialAgg], combiner: Map[String, Column] => Column) {
   /** Re-aggregate stored partials in a groupBy and combine. `colName`
     * maps partial name → stored column name. */
   def reaggregate(colName: String => String): Column =
-    combiner(partials.map(p => p.name -> p.reagg(colName(p.name))).toMap)
+    combiner(partials.map(p => p.name -> p.post(p.reagg(colName(p.name)))).toMap)
 
   /** Frame-aggregate partials over a window spec and combine. */
   def overWindow(w: org.apache.spark.sql.expressions.WindowSpec, colName: String => String): Column =
-    combiner(partials.map(p => p.name -> p.reagg(colName(p.name)).over(w)).toMap)
+    combiner(partials.map(p => p.name -> p.post(p.reagg(colName(p.name)).over(w))).toMap)
 }
 
 object AggDecompose {
@@ -45,9 +50,10 @@ object AggDecompose {
     val partials = scala.collection.mutable.ArrayBuffer[PartialAgg]()
     var ok = true
 
-    def fresh(agg: Column, reagg: String => Column): UnresolvedAttribute = {
+    def fresh(agg: Column, reagg: String => Column,
+        post: Column => Column = identity): UnresolvedAttribute = {
       val nm = s"${prefix}__p${partials.length}"
-      partials += PartialAgg(nm, agg.as(nm), reagg)
+      partials += PartialAgg(nm, agg.as(nm), reagg, post)
       UnresolvedAttribute(Seq(nm))
     }
 
@@ -63,19 +69,19 @@ object AggDecompose {
             // count(*) parses to count(1); count never null after re-agg
             val partial =
               if (f.arguments.isEmpty) count(lit(1)) else count(args.head)
-            fresh(partial, c => coalesce(sum(col(c)), lit(0L)))
+            fresh(partial, c => sum(col(c)), post = coalesce(_, lit(0L)))
           case "min" => fresh(min(args.head), c => min(col(c)))
           case "max" => fresh(max(args.head), c => max(col(c)))
           case "avg" | "mean" =>
             val s = fresh(sum(args.head), c => sum(col(c)))
-            val n = fresh(count(args.head), c => coalesce(sum(col(c)), lit(0L)))
+            val n = fresh(count(args.head), c => sum(col(c)), post = coalesce(_, lit(0L)))
             // avg = sum/count, null (not error) on empty — matches avg()
             UnresolvedFunction(
               Seq("divide_null_safe_graft"), Seq(s, n), isDistinct = false)
           case "count_if" =>
             fresh(
-              coalesce(sum(when(args.head, 1L).otherwise(0L)), lit(0L)),
-              c => coalesce(sum(col(c)), lit(0L)))
+              sum(when(args.head, 1L).otherwise(0L)),
+              c => sum(col(c)), post = coalesce(_, lit(0L)))
           case _ if aggNames(fname) => { ok = false; f }
           case _ => f // scalar function — leave in the combiner template
         }

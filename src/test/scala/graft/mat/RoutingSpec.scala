@@ -1,0 +1,108 @@
+package graft.mat
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Routing equivalence + plan checks — our analogue of the reference's
+  * EXPLAIN verification (README.md:417-421): a routed query must (a)
+  * return exactly the unrouted result and (b) scan the rollup table,
+  * never the raw source. */
+class RoutingSpec extends SparkSpec {
+
+  private def plain = SparkEntry.catalog(spark, sfDir)
+  private def mat = SparkEntry.matCatalog(spark, sfDir)
+
+  /** Root paths of every file scan in the optimized plan (full, not the
+    * truncated plan-string rendering). */
+  private def scans(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case other => Seq(other.toString)
+        }
+    }.flatten.mkString("\n")
+
+  test("covered query routes to the rollup (no raw source scan)") {
+    val routed = mat.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+    val p = scans(routed)
+    assert(p.contains("graft-mat"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+  }
+
+  test("routed result == unrouted result") {
+    val routed = mat.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+    val direct = plain.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+    val r = routed.collect().map(_.toSeq).toSet
+    val d = direct.collect().map(_.toSeq).toSet
+    assert(r == d)
+  }
+
+  test("dim-subset re-aggregation from rollup is exact (incl. count re-sum)") {
+    // rollup revenue_by_segment has dims (market_segment, order_status);
+    // querying only market_segment re-aggregates partials
+    val routed = mat.get("mv_order_metrics")
+      .query(Seq("order_status"), Seq("total_orders"))
+    val direct = plain.get("mv_order_metrics")
+      .query(Seq("order_status"), Seq("total_orders"))
+    assert(routed.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("uncovered measure falls back (avg not in any rollup) but stays correct") {
+    val q = mat.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("avg_order_value"))
+    val p = scans(q)
+    // avg_order_value isn't materialized in a rollup -> baseline cache
+    assert(p.contains("baseline") || p.contains("orders.parquet"), p)
+    val direct = plain.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("avg_order_value"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("window measures never route to rollups") {
+    val q = mat.get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("trailing_7d_revenue"))
+    val p = scans(q)
+    assert(!p.contains("revenue_by_segment") && !p.contains("monthly_revenue"), p)
+  }
+
+  test("smallest covering rollup is chosen") {
+    // monthly_revenue (2 dims) covers (order_year -> total_revenue);
+    // so does nothing else; ensure it picks monthly_revenue
+    val q = mat.get("mv_order_metrics").query(Seq("order_year"), Seq("total_revenue"))
+    assert(scans(q).contains("monthly_revenue"), scans(q))
+  }
+
+  test("where over a covered dim stays routed; uncovered dim filter does not") {
+    val covered = mat.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue"), Some("order_status = 'F'"))
+    assert(scans(covered).contains("revenue_by_segment"), scans(covered))
+    val uncovered = mat.get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue"), Some("order_priority = '1-URGENT'"))
+    assert(!scans(uncovered).contains("revenue_by_segment"), scans(uncovered))
+  }
+
+  test("unchanged spec preserves materialization; changed spec invalidates") {
+    val c = mat
+    val v1 = c.get("mv_orders_simple")
+    assert(c.describe("mv_orders_simple").collect()
+      .exists(r => r.getString(0) == "metric_view.materialization.built" && r.getString(1) == "true"))
+    // re-create with identical yaml: still built
+    c.createOrReplace("mv_orders_simple", graft.spec.Specs.mvOrdersSimple)
+    assert(c.describe("mv_orders_simple").collect()
+      .exists(r => r.getString(0) == "metric_view.materialization.built" && r.getString(1) == "true"))
+    // changed spec: invalidated until refreshed
+    c.createOrReplace("mv_orders_simple",
+      graft.spec.Specs.mvOrdersSimple.replace("order_priority", "order_status")
+        .replaceFirst("name: order_status", "name: order_status_x"))
+    val built = c.describe("mv_orders_simple").collect()
+      .find(_.getString(0) == "metric_view.materialization.built").get.getString(1)
+    assert(built == "false")
+    // restore for other tests
+    c.createOrReplace("mv_orders_simple", graft.spec.Specs.mvOrdersSimple)
+    c.refresh("mv_orders_simple")
+  }
+}
