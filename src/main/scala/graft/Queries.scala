@@ -223,6 +223,30 @@ object Queries {
         |WHERE o.order_status <> 'X'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A2 via SQL: the MEASURE() surface end-to-end through the injected
+    * analyzer rule (reference README.md:124-133 verbatim shape). */
+  def sqlMeasure(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.catalog(s, dir) // registers views for the SQL path
+    s.sql(
+      """SELECT market_segment,
+        |       CAST(MEASURE(total_revenue) AS DOUBLE) AS total_revenue,
+        |       MEASURE(total_orders) AS total_orders,
+        |       round(CAST(MEASURE(total_revenue) AS DOUBLE) / MEASURE(total_orders), 6) AS avg_order_value
+        |FROM mv_order_metrics
+        |WHERE order_year >= 1993
+        |GROUP BY market_segment
+        |ORDER BY market_segment""".stripMargin)
+  }
+
+  val sqlMeasureSql: String =
+    modelCtes +
+      """SELECT market_segment,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       count(*) AS total_orders,
+        |       round(CAST(sum(total_price) AS DOUBLE) / count(*), 6) AS avg_order_value
+        |FROM fct_orders WHERE order_year >= 1993
+        |GROUP BY market_segment ORDER BY market_segment""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
@@ -242,7 +266,8 @@ object Queries {
     "q_mv_year_status"        -> (mvOrderMetricsYearStatus _),
     "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
-    "q_mv_sales_geo"          -> (mvSalesGeo _))
+    "q_mv_sales_geo"          -> (mvSalesGeo _),
+    "q_sql_measure"           -> (sqlMeasure _))
 
   private def baseOracles: Map[String, String] = Map(
     "q_stg_orders"            -> stgOrdersSql,
@@ -253,5 +278,6 @@ object Queries {
     "q_mv_year_status"        -> mvOrderMetricsYearStatusSql,
     "q_mv_filtered"           -> mvOrdersSimpleFilteredSql,
     "q_mv_customer"           -> mvCustomerMetricsSql,
-    "q_mv_sales_geo"          -> mvSalesGeoSql)
+    "q_mv_sales_geo"          -> mvSalesGeoSql,
+    "q_sql_measure"           -> sqlMeasureSql)
 }

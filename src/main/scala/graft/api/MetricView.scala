@@ -60,6 +60,11 @@ final class MetricView(
     val ms = measures.map(spec.measure)
     val (windowMs, plainMs) = ms.partition(_.isWindowed)
 
+    if (ms.isEmpty) { // dims-only query: the distinct dimension space
+      val (rows, dimFor, _) = rowsFor(dims, Nil, where)
+      return rows.select(dims.map(d => dimFor(d).as(d)): _*).distinct()
+    }
+
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     // plain measures: rollup route ≫ baseline ≫ raw
@@ -161,6 +166,7 @@ final class MetricViewCatalog(
     val specChanged = views.get(name).exists(_.spec.materializationHash != spec.materializationHash)
     if (specChanged) materializer.foreach(_.invalidate(view))
     views(name) = view
+    graft.sqlext.SqlMetricViews.register(view) // SQL MEASURE() path
     view
   }
 
@@ -190,7 +196,10 @@ final class MetricViewCatalog(
 
   def drop(name: String, ifExists: Boolean = true): Unit = {
     if (!ifExists && !views.contains(name)) sys.error(s"metric view '$name' does not exist")
-    views.remove(name).foreach(v => materializer.foreach(_.invalidate(v)))
+    views.remove(name).foreach { v =>
+      materializer.foreach(_.invalidate(v))
+      graft.sqlext.SqlMetricViews.unregister(name)
+    }
   }
 
   /** DESCRIBE EXTENDED analogue: one (key, value) row per property

@@ -1,0 +1,63 @@
+package graft.sqlext
+
+import graft.api.{MetricView, MetricViewCatalog}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL-parity surface for metric views (reference README.md:122-141):
+  *
+  * {{{
+  * spark.sql("SELECT market_segment, MEASURE(total_revenue) " +
+  *           "FROM mv_order_metrics GROUP BY market_segment")
+  * }}}
+  *
+  * Register with
+  * `.config("spark.sql.extensions", "graft.sqlext.GraftExtensions")`,
+  * then publish views via [[SqlMetricViews.register]] (the catalog does
+  * this automatically on createOrReplace).
+  *
+  * `MEASURE()` is not a real aggregate — it is a resolution marker the
+  * analyzer replaces (SURVEY.md §2.10). The injected rule rewrites the
+  * whole Aggregate over the metric-view relation into the expanded plan
+  * built by [[MetricView.query]], so the SQL path shares routing,
+  * baseline fallback, window planning and join culling with the
+  * DataFrame path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // placeholder so the analyzer's eager LookupFunctions check passes;
+    // MeasureExpansionRule replaces every call before resolution
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("measure"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MeasureMarker].getCanonicalName, "measure"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MeasureMarker(args.head)))
+    ext.injectResolutionRule(s => new MeasureExpansionRule(s))
+  }
+}
+
+/** Placeholder for MEASURE(x): never evaluated — only legal inside an
+  * aggregate over a metric-view relation, where the expansion rule
+  * rewrites it away. Surviving to execution means the query shape was
+  * unsupported (e.g. MEASURE over a plain table). */
+case class MeasureMarker(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def dataType: org.apache.spark.sql.types.DataType = child.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "measure"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MeasureMarker =
+    copy(child = newChild)
+}
+
+/** Process-wide registry the analyzer rule consults. Keyed by view
+  * name; a catalog createOrReplace overwrites, drop removes. */
+object SqlMetricViews {
+  private val views = scala.collection.concurrent.TrieMap[String, MetricView]()
+  def register(v: MetricView): Unit = views(v.name) = v
+  def registerAll(cat: MetricViewCatalog): Unit = cat.list.foreach(n => register(cat.get(n)))
+  def unregister(name: String): Unit = views.remove(name)
+  def get(name: String): Option[MetricView] = views.get(name)
+  def clear(): Unit = views.clear()
+}

@@ -1,0 +1,118 @@
+package graft.sqlext
+
+import graft.api.MetricView
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedOrdinal, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Analyzer rule expanding `MEASURE()` queries over metric-view
+  * relations (SURVEY.md §4: "custom analyzer rule (SQL path)").
+  *
+  * Fires while the tree is still unresolved — the metric-view relation
+  * is not a real table, so nothing below the Aggregate can resolve
+  * until this rule replaces it. Supported shape (the reference's query
+  * contract, README.md:124-141, :402-421):
+  *
+  *   SELECT <dim | MEASURE(m) | scalar-of-those> ...
+  *   FROM <metric view> [alias]  [WHERE <pred over dims>]
+  *   [GROUP BY <dims | ordinals>]  [HAVING <pred over MEASURE()/dims>]
+  *
+  * The rewrite delegates to MetricView.query(dims, measures, where), so
+  * rollup routing / baseline fallback / window measures behave exactly
+  * as on the DataFrame path; the SELECT list is projected over that
+  * expansion (HAVING becomes a Filter between them). ORDER BY / LIMIT /
+  * further joins compose naturally above the emitted Project.
+  */
+class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  // top-down so UnresolvedHaving(_, Aggregate) is seen before its child
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case h @ UnresolvedHaving(cond, Aggregate(g, a, child, _)) =>
+      expand(g, a, child, having = Some(cond)).getOrElse(h)
+    case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+      expand(groupExprs, aggExprs, child, having = None).getOrElse(agg)
+    case proj @ Project(projList, child) if hasMeasureCall(projList) =>
+      expand(Nil, projList, child, having = None).getOrElse(proj)
+  }
+
+  private def isMeasureFn(f: UnresolvedFunction): Boolean =
+    f.nameParts.map(_.toLowerCase) == Seq("measure")
+
+  private def hasMeasureCall(exprs: Seq[Expression]): Boolean =
+    exprs.exists(_.exists {
+      case f: UnresolvedFunction => isMeasureFn(f)
+      case _ => false
+    })
+
+  /** Unwrap [SubqueryAlias|Filter]* down to an UnresolvedRelation that
+    * names a registered view. Returns (view, qualifier names, filters). */
+  private def unwrap(p: LogicalPlan, quals: Set[String], filters: Seq[Expression])
+      : Option[(MetricView, Set[String], Seq[Expression])] = p match {
+    case r: UnresolvedRelation =>
+      SqlMetricViews.get(r.multipartIdentifier.last)
+        .map(v => (v, quals + r.multipartIdentifier.last, filters))
+    case SubqueryAlias(id, c) => unwrap(c, quals + id.name, filters)
+    case Filter(cond, c)      => unwrap(c, quals, filters :+ cond)
+    case _ => None
+  }
+
+  private def expand(
+      groupExprs: Seq[Expression],
+      outExprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      having: Option[Expression]): Option[LogicalPlan] =
+    unwrap(child, Set.empty, Nil).map { case (view, quals, filters) =>
+      val dimNames = view.spec.dimensions.map(_.name).toSet
+      val measureNames = view.spec.measures.map(_.name).toSet
+
+      def asDim(e: Expression): Option[String] = e match {
+        case ua: UnresolvedAttribute
+            if dimNames(ua.nameParts.last) &&
+              (ua.nameParts.length == 1 || quals(ua.nameParts.init.mkString("."))) =>
+          Some(ua.nameParts.last)
+        case UnresolvedOrdinal(i) if i >= 1 && i <= outExprs.length =>
+          asDim(stripAlias(outExprs(i - 1)))
+        case _ => None
+      }
+
+      val dims = groupExprs.map(g => asDim(g).getOrElse(sys.error(
+        s"metric view ${view.name}: GROUP BY must reference dimensions " +
+          s"(${view.spec.dimensions.map(_.name).mkString(", ")}); got: ${g.sql}")))
+
+      def measuresIn(es: Seq[Expression]): Seq[String] = es.flatMap(_.collect {
+        case f: UnresolvedFunction if isMeasureFn(f) =>
+          f.arguments match {
+            case Seq(ua: UnresolvedAttribute) if measureNames(ua.nameParts.last) =>
+              ua.nameParts.last
+            case other => sys.error(
+              s"MEASURE() takes a single measure name (one of " +
+                s"${view.spec.measures.map(_.name).mkString(", ")}); got: $other")
+          }
+      })
+      val measures = (measuresIn(outExprs) ++ measuresIn(having.toSeq)).distinct
+
+      val where = filters.map(f => s"(${f.sql})").reduceOption(_ + " AND " + _)
+      val expanded = GraftBridge.logicalPlan(view.query(dims, measures, where))
+
+      // MEASURE(m) -> column m; strip view/alias qualifiers off dims
+      def rewrite(e: Expression): Expression = e.transformUp {
+        case f: UnresolvedFunction if isMeasureFn(f) =>
+          val Seq(ua: UnresolvedAttribute) = f.arguments
+          UnresolvedAttribute(Seq(ua.nameParts.last))
+        case ua: UnresolvedAttribute
+            if ua.nameParts.length > 1 && quals(ua.nameParts.init.mkString(".")) =>
+          UnresolvedAttribute(Seq(ua.nameParts.last))
+      }
+
+      val filtered = having.fold(expanded)(c => Filter(rewrite(c), expanded))
+      Project(outExprs.map(ne => rewrite(ne).asInstanceOf[NamedExpression]), filtered)
+    }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => stripAlias(c)
+    case UnresolvedAlias(c, _) => stripAlias(c)
+    case other => other
+  }
+}

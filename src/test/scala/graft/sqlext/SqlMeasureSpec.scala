@@ -1,0 +1,96 @@
+package graft.sqlext
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The SQL MEASURE() surface (reference README.md:124-141): parity with
+  * the DataFrame path, including routing and window measures. */
+class SqlMeasureSpec extends SparkSpec {
+
+  private def init(): Unit = SparkEntry.catalog(spark, sfDir)
+
+  test("SELECT dim, MEASURE(m) FROM mv GROUP BY dim") {
+    init()
+    val sql = spark.sql(
+      """SELECT market_segment, MEASURE(total_revenue) AS total_revenue,
+        |       MEASURE(total_orders) AS total_orders
+        |FROM mv_order_metrics GROUP BY market_segment""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+    assert(sql.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+  }
+
+  test("WHERE over dims + GROUP BY ordinal + scalar over MEASURE") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_status, round(MEASURE(avg_order_value), 2) AS aov
+        |FROM mv_order_metrics WHERE order_year = 1995 GROUP BY 1""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("order_status"), Seq("avg_order_value"), Some("order_year = 1995"))
+      .selectExpr("order_status", "round(avg_order_value, 2) AS aov")
+    assert(sql.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+  }
+
+  test("global aggregate: SELECT MEASURE(m) FROM mv") {
+    init()
+    val n = spark.sql("SELECT MEASURE(total_orders) AS n FROM mv_order_metrics")
+      .collect()(0).getLong(0)
+    assert(n == graft.model.Models.stgOrders(spark, sfDir).count())
+  }
+
+  test("window measure through SQL") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_date, MEASURE(trailing_7d_revenue) AS t7
+        |FROM mv_order_metrics GROUP BY order_date""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("order_date"), Seq("trailing_7d_revenue"))
+    assert(sql.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+  }
+
+  test("table alias + qualified dim references") {
+    init()
+    val sql = spark.sql(
+      """SELECT m.market_segment, MEASURE(total_customers) AS c
+        |FROM mv_customer_metrics m GROUP BY m.market_segment""".stripMargin)
+    assert(sql.collect().length == 5)
+  }
+
+  test("ORDER BY / HAVING compose over the expansion") {
+    init()
+    val rows = spark.sql(
+      """SELECT market_segment, MEASURE(total_revenue) AS rev
+        |FROM mv_order_metrics GROUP BY market_segment
+        |HAVING MEASURE(total_orders) > 0 ORDER BY rev DESC LIMIT 3""".stripMargin)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => r.getDecimal(1).doubleValue).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("routed SQL query scans the rollup, not the raw source") {
+    SparkEntry.matCatalog(spark, sfDir) // registers + builds rollups
+    val df = spark.sql(
+      """SELECT market_segment, MEASURE(total_revenue) AS r
+        |FROM mv_order_metrics GROUP BY market_segment""".stripMargin)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(scans.exists(_.contains("revenue_by_segment")), scans.mkString("\n"))
+    assert(!scans.exists(_.contains("orders.parquet")), scans.mkString("\n"))
+    // restore plain (unrouted) registration for other tests
+    SqlMetricViews.registerAll(SparkEntry.catalog(spark, sfDir))
+  }
+
+  test("non-dim GROUP BY is rejected with a helpful error") {
+    init()
+    val e = intercept[Exception] {
+      spark.sql("SELECT customer_name, MEASURE(total_revenue) FROM mv_order_metrics GROUP BY customer_name").collect()
+    }
+    assert(e.getMessage.contains("GROUP BY must reference dimensions")
+      || e.getMessage.contains("UNRESOLVED"))
+  }
+}
