@@ -1,0 +1,230 @@
+package graft
+
+import graft.model.Tables
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline + classic-analytics queries (builder brief:
+  * dedup / text analysis / sessionization as first-class operators, and
+  * TPC-H-shaped aggregations as bench headliners). */
+object ExtQueries {
+
+  // ------------------------------------------------------------ text analysis
+
+  /** Token counting + quality scoring over documents (per-row HOFs,
+    * fully codegen'd — no shuffle). */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables.documents(s, dir))
+      .select("doc_id", "token_count", "char_count", "avg_token_len",
+        "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |), stats AS (
+      |  SELECT doc_id,
+      |         len(tk) AS token_count,
+      |         length(text) AS char_count,
+      |         round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk), 6) AS avg_token_len,
+      |         round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+      |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+      |         round(CAST(len(list_filter(tk, w -> list_contains(['the','a','an','of','and','or','is','are','in','on','to','it','this','that','with','for','as','at','by','be'], w))) AS DOUBLE) / len(tk), 6) AS stopword_ratio
+      |  FROM toks
+      |)
+      |SELECT doc_id, token_count, char_count, avg_token_len, punct_ratio,
+      |       digit_ratio, stopword_ratio,
+      |       round(least(1.0, greatest(0.0,
+      |         0.15 * ln(1.0 + token_count)
+      |         - 2.0 * punct_ratio - 2.0 * digit_ratio
+      |         - abs(stopword_ratio - 0.35))), 6) AS quality_score
+      |FROM stats ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprinting (md5 over normalized text) + exact dedup. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(Tables.documents(s, dir)).orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |       min(doc_id) AS keep_id, count(*) AS copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Language ID over documents (heuristic; fixture text is uniform
+    * word-soup so this mostly exercises the operator shape — accuracy
+    * is spec-tested on real multilingual samples). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- sessionization
+
+  /** Gap-based sessionization of the events table (30 min gap). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize(Tables.events(s, dir))
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("session_end"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("n_clicks"), col("duration_s"))
+      .orderBy("user_id", "session_idx")
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessioned AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+      |       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
+      |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- classic analytics bench
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    * map-side-combinable aggregate (per-row decimal products rounded
+    * to 4dp so both engines sum exactly). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    // all-decimal products: exact, order-independent, identical across
+    // engines (a per-row double round(x,4) straddles half-way points
+    // differently between Spark and DuckDB)
+    val l = Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("ep", col("l_extendedprice").cast("decimal(18,2)"))
+      .withColumn("disc_price",
+        col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)")))
+      .withColumn("charge",
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)")))
+          * (lit(1).cast("decimal(9,4)") + col("l_tax").cast("decimal(9,4)")))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("qty").cast("double").as("sum_qty"),
+        sum("ep").cast("double").as("sum_base_price"),
+        sum("disc_price").cast("double").as("sum_disc_price"),
+        sum("charge").cast("double").as("sum_charge"),
+        round(sum("qty").cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum("ep").cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4))) AS disc_price,
+      |         (CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4))))
+      |           * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4))) AS charge
+      |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(ep) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(charge) AS DOUBLE) AS sum_charge,
+      |       round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |       round(CAST(sum(ep) AS DOUBLE) / count(*), 6) AS avg_price,
+      |       count(*) AS count_order
+      |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q5-shaped star join: revenue by nation through
+    * region⋈nation⋈customer⋈orders⋈lineitem. The small dims (region,
+    * nation) are explicitly broadcast — they stay tiny at any SF —
+    * while customer/orders/lineitem join shuffle-side under AQE. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(Tables.nation(s, dir))
+    val region = broadcast(Tables.region(s, dir))
+    val rev = Tables.lineitem(s, dir)
+      .withColumn("rev",
+        col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)")))
+      .select("l_orderkey", "rev")
+    Tables.orders(s, dir)
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(9,4)) - CAST(l.l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE year(CAST(o.o_orderdate AS DATE)) = 1995
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top-k with ORDER BY + LIMIT (SURVEY §2.6 — free from Spark, shown
+    * once): top 10 parts by shipped quantity. TakeOrderedAndProject —
+    * no global sort at scale. */
+  def topParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"),
+        count(lit(1)).as("n_ships"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_name", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_name", "p_brand", "total_qty", "n_ships")
+      .orderBy(desc("total_qty"), asc("p_partkey"))
+      .limit(10)
+
+  val topPartsSql: String =
+    """SELECT p.p_partkey, p.p_name, p.p_brand,
+      |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |       count(*) AS n_ships
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY total_qty DESC, p_partkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"        -> (textStats _),
+    "q_dedup_exact"       -> (dedupExact _),
+    "q_lang_id"           -> (langId _),
+    "q_sessionize"        -> (sessionize _),
+    "q_pricing_summary"   -> (pricingSummary _),
+    "q_revenue_by_nation" -> (revenueByNation _),
+    "q_top_parts"         -> (topParts _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats"        -> textStatsSql,
+    "q_dedup_exact"       -> dedupExactSql,
+    "q_sessionize"        -> sessionizeSql,
+    "q_pricing_summary"   -> pricingSummarySql,
+    "q_revenue_by_nation" -> revenueByNationSql,
+    "q_top_parts"         -> topPartsSql)
+
+  /** rows-only (heuristic output — no SQL-expressible ground truth). */
+  val rowsOnly: Set[String] = Set("q_lang_id")
+}

@@ -251,11 +251,13 @@ object Queries {
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
     * ops get the driver's weaker rows-only check). */
-  val rowsOnly: Set[String] = Set()
+  def rowsOnly: Set[String] = ExtQueries.rowsOnly
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = base ++ WindowQueries.all
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ WindowQueries.all ++ ExtQueries.all
 
-  def oracles: Map[String, String] = baseOracles ++ WindowQueries.oracles
+  def oracles: Map[String, String] =
+    baseOracles ++ WindowQueries.oracles ++ ExtQueries.oracles
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stg_orders"            -> (stgOrders _),

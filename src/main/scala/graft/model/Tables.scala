@@ -25,7 +25,23 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by our session
+    * builders). Sub-microsecond parts are zero in the fixtures, so the
+    * long→timestamp conversion is lossless. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: epoch-nanos exceed double's 2^53
+        // mantissa, so fractional division drifts by ±1µs
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

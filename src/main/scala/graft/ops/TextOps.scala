@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder brief:
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is built from codegen'd built-in functions —
+  * `split`/`regexp_replace`/higher-order array functions — no UDFs, so
+  * the whole stage stays inside WholeStageCodegen and runs at scan
+  * speed on 100 TB: per-row narrow transforms, zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the contract used by stats + dedup). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private val stopwords = Seq(
+    "the", "a", "an", "of", "and", "or", "is", "are", "in", "on", "to",
+    "it", "this", "that", "with", "for", "as", "at", "by", "be")
+
+  /** Per-document statistics + a deterministic quality score.
+    * All arithmetic is per-row (order-independent) so results are
+    * bit-identical across engines and cluster sizes. */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("token_count", size(toks))
+      .withColumn("char_count", length(t))
+      .withColumn("avg_token_len",
+        round(aggregate(transform(toks, w => length(w)), lit(0),
+          (acc: Column, x: Column) => acc + x).cast("double") / size(toks), 6))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t), 6))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t), 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, w => array_contains(stopArr, w))).cast("double") / size(toks), 6))
+      .withColumn("quality_score", round(qualityScore(
+        size(toks), col("punct_ratio"), col("stopword_ratio"), col("digit_ratio")), 6))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards length and a natural
+    * stopword rate, penalizes punctuation/digit noise. Deterministic
+    * closed form (documented contract; mirrored in the DuckDB oracle). */
+  private def qualityScore(tokenCount: Column, punct: Column, stop: Column,
+      digit: Column): Column =
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.15) * log(lit(1.0) + tokenCount.cast("double"))
+        - lit(2.0) * punct - lit(2.0) * digit
+        - abs(stop - lit(0.35))))
+
+  /** Content fingerprint: md5 over whitespace-collapsed, lower-cased
+    * text. Exact-dup keys at any scale (hash-groupBy distributes). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Exact dedup: one surviving doc per distinct normalized content
+    * (deterministic survivor = min id), with the duplicate count.
+    * Single hash-shuffle on the fingerprint — the canonical exact-dedup
+    * shape at 100 TB (map-side partial min/count first). */
+  def exactDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Character n-grams (distinct, ordered) of the normalized text —
+    * building block for Jaccard similarity. Pure per-row HOFs. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => substring(norm, lit(1) + i, lit(n))))
+  }
+
+  /** Language identification via character/word n-gram profiles — a
+    * tiny embedded profile per language (public-knowledge marker sets),
+    * scored per row with array intersections; no shuffle, no UDF.
+    * Returns the best-scoring language code or 'und'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def wordScore(markers: Seq[String]): Column =
+      size(filter(toks, w => array_contains(array(markers.map(lit): _*), w)))
+        .cast("double") / (size(toks) + lit(1))
+    // CJK presence dominates for zh/ja/ko-family text
+    val cjkRatio = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+      .cast("double") / greatest(length(text), lit(1))
+    val scores = map(
+      lit("en"), wordScore(Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")),
+      lit("de"), wordScore(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")),
+      lit("fr"), wordScore(Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour")),
+      lit("es"), wordScore(Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por")),
+      lit("zh"), cjkRatio * lit(10.0))
+    // argmax over the map — fold entries with a (lang, score) struct
+    val entries = map_entries(scores)
+    val best = aggregate(entries,
+      struct(lit("und").as("key"), lit(0.005).as("value")),
+      (acc: Column, e: Column) =>
+        when(e.getField("value") > acc.getField("value"), e).otherwise(acc))
+    best.getField("key")
+  }
+}

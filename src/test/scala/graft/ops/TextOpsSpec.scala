@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies real multilingual samples") {
+    val samples = Seq(
+      ("the quick brown fox jumps over the lazy dog and it is fast", "en"),
+      ("der schnelle braune fuchs springt und das ist nicht langsam mit ein", "de"),
+      ("le renard brun saute et la vitesse est une chose pour les chiens", "fr"),
+      ("el zorro marrón salta y es una cosa que los perros ven por la noche", "es"),
+      ("敏捷的棕色狐狸跳过了懒狗", "zh"),
+      ("zzz qqq xxx www", "und"))
+    val got = samples.toDF("text", "expected")
+      .withColumn("pred", TextOps.langId(col("text")))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    got.foreach { case (expected, pred) => assert(pred == expected, s"want $expected got $pred") }
+  }
+
+  test("charNgrams produces distinct ordered n-grams") {
+    val got = Seq("abcab").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("abc", "bca", "cab"))
+  }
+
+  test("quality score stays within [0,1] and favors clean text") {
+    val df = Seq(
+      "the system processes data in parallel and it is efficient for large tables",
+      "!!!! ???? ,,,, 1234 5678 .... ;;;; 9999 !!!!").toDF("text")
+    val scores = TextOps.textStats(df).select("quality_score").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("Hello   World", "hello world", "different")
+      .toDF("text").select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val df = Seq((1L, "aa bb"), (2L, "aa  bb"), (3L, "cc")).toDF("doc_id", "text")
+    val got = TextOps.exactDedup(df).orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+}
