@@ -206,6 +206,78 @@ object ExtQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY total_qty DESC, p_partkey ASC LIMIT 10""".stripMargin
 
+  // ----------------------------------------------------- dedup / similarity
+
+  /** MinHash+LSH near-dup candidates: top-20 verified pairs by exact
+    * Jaccard (deterministic seed; rows-only — xxhash64 has no DuckDB
+    * equivalent; recall/precision are spec-tested). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.candidatePairs(Tables.documents(s, dir))
+      .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+      .limit(20)
+
+  /** SimHash fingerprints (per-row HOFs, no shuffle). */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    SimHash.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** Char-3-gram Jaccard over MinHash candidates (n-gram variant of the
+    * verify stage). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("g"))
+    MinHashLSH.candidatePairs(docs)
+      .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")), "a_id")
+      .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")), "b_id")
+      .withColumn("ngram_jaccard", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 6))
+      .select("a_id", "b_id", "ngram_jaccard")
+      .orderBy(desc("ngram_jaccard"), asc("a_id"), asc("b_id"))
+      .limit(20)
+  }
+
+  /** Brute-force cosine top-5 for the first 10 vectors (exact ANN
+    * baseline). Oracle: identical left-to-right double fold in DuckDB. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteForceSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |           AS cos_raw
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, cos_raw,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (approximate; recall vs brute force is
+    * spec-tested — rows-only here). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs (LSH candidates, exact verify):
+    * top-20 most-similar pairs. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = -1.0)
+      .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
+      .limit(20)
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,7 +287,13 @@ object ExtQueries {
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_revenue_by_nation" -> (revenueByNation _),
-    "q_top_parts"         -> (topParts _))
+    "q_top_parts"         -> (topParts _),
+    "q_dedup_minhash"     -> (dedupMinhash _),
+    "q_dedup_simhash"     -> (simhashFingerprints _),
+    "q_ngram_jaccard"     -> (ngramJaccard _),
+    "q_ann_brute"         -> (annBruteForce _),
+    "q_ann_lsh"           -> (annLsh _),
+    "q_embed_neardup"     -> (embedNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -223,8 +301,12 @@ object ExtQueries {
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
-    "q_top_parts"         -> topPartsSql)
+    "q_top_parts"         -> topPartsSql,
+    "q_ann_brute"         -> annBruteForceSql)
 
-  /** rows-only (heuristic output — no SQL-expressible ground truth). */
-  val rowsOnly: Set[String] = Set("q_lang_id")
+  /** rows-only: heuristic / hash-seeded outputs with no SQL-expressible
+    * ground truth (each is property-tested in its ops spec instead). */
+  val rowsOnly: Set[String] = Set(
+    "q_lang_id", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+    "q_ann_lsh", "q_embed_neardup")
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection over text — the
+  * standard web-scale dedup pipeline (shingle → minhash signature →
+  * band buckets → candidate join → exact-Jaccard verify), expressed
+  * entirely in DataFrame ops so it distributes:
+  *
+  *  - signature computation is per-row higher-order functions (no
+  *    shuffle, stays in codegen);
+  *  - banding explodes to `bands` rows per doc and shuffles once on the
+  *    bucket key — at 100 TB this is the only wide stage, and buckets
+  *    with pathological collision counts are dropped by
+  *    `maxBucketSize` (skew guard, standard practice);
+  *  - candidate pairs are verified with exact Jaccard over the shingle
+  *    sets, so false LSH positives never surface.
+  *
+  * All hash parameters derive from a fixed seed → fully deterministic.
+  */
+object MinHashLSH {
+
+  private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Word w-shingles of the normalized text, distinct. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextOps.tokens(lower(text))
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)),
+        s => length(s) > lit(0)))
+  }
+
+  /** 32-bit base hash per shingle (non-negative). */
+  private def baseHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(Prime)))
+
+  /** k-minhash signature: h_i(x) = (a_i·x + b_i) mod p, a_i,b_i drawn
+    * deterministically from the seed. a_i < 2^31 so a_i·x fits a long. */
+  def signature(text: Column, k: Int = 128, w: Int = 3, seed: Long = 42L): Column = {
+    val hs = baseHashes(shingles(text, w))
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = pmod(xxhash64(concat(lit("a"), i, lit(seed))), lit(Prime - 1)) + lit(1)
+      val b = pmod(xxhash64(concat(lit("b"), i, lit(seed))), lit(Prime))
+      coalesce(
+        aggregate(hs, lit(Long.MaxValue),
+          (acc: Column, h: Column) => least(acc, pmod(a * h + b, lit(Prime)))),
+        lit(Long.MaxValue))
+    })
+  }
+
+  /** Candidate near-duplicate pairs with exact Jaccard similarity.
+    * Output: (a_id, b_id, jaccard), a_id < b_id.
+    *
+    * @param bands        signature is split into `bands` bands of
+    *                     k/bands rows; docs sharing any band bucket are
+    *                     candidates (P[candidate] ≈ 1-(1-j^r)^b)
+    * @param maxBucketSize drop degenerate buckets (skew guard)
+    */
+  def candidatePairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 128,
+      bands: Int = 32,
+      w: Int = 3,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val withSig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__sig", signature(col("__text"), k, w, seed))
+      .withColumn("__sh", shingles(col("__text"), w))
+
+    val banded = withSig.select(
+      col("__id"), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(concat_ws(",", bi.cast("string"),
+          call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("__band", "__bucket")))
+
+    // skew guard: degenerate buckets (e.g. empty docs) explode O(n^2)
+    val sized = banded
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__band", "__bucket")))
+      .filter(col("__bsize") <= maxBucketSize)
+
+    val a = sized.select(col("__band"), col("__bucket"),
+      col("__id").as("a_id"), col("__sh").as("a_sh"))
+    val b = sized.select(col("__band"), col("__bucket"),
+      col("__id").as("b_id"), col("__sh").as("b_sh"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 6))
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Near-duplicate pairs at an exact-Jaccard threshold. */
+  def nearDuplicates(df: DataFrame, threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    candidatePairs(df, textCol, idCol).filter(col("jaccard") >= threshold)
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash (Charikar) 64-bit document fingerprints + hamming-banded
+  * near-dup pairing.
+  *
+  * Fingerprint: per token-hash, each of the 64 bits votes ±1; the sign
+  * of each accumulated bit becomes the fingerprint bit. Computed with
+  * per-row higher-order functions — no shuffle, no UDF.
+  *
+  * Pairing: near-dups (hamming ≤ d) must share at least one of d+1
+  * equal bit-blocks (pigeonhole), so docs are bucketed by each of 4
+  * 16-bit blocks — one shuffle on (block idx, block value) — and
+  * verified with exact `bit_count(a XOR b)`.
+  */
+object SimHash {
+
+  def simhash(text: Column): Column = {
+    val hs = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
+    val votes = aggregate(hs, array_repeat(lit(0), 64),
+      (acc: Column, h: Column) => zip_with(acc, sequence(lit(0), lit(63)),
+        (v: Column, b: Column) =>
+          v + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v: Column, b: Column) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc: Column, x: Column) => acc.bitwiseOR(x))
+  }
+
+  def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+
+  /** Pairs with hamming distance ≤ maxHamming (needs maxHamming ≤ 3
+    * for the 4-block pigeonhole to be complete). */
+  def nearDuplicates(df: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-block banding guarantees recall only for hamming <= 3")
+    val fp = fingerprints(df, textCol, idCol)
+    val blocked = fp.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        bi => call_function("shiftright", col("simhash"), bi * 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("block", "block_val")))
+    val a = blocked.select(col("block"), col("block_val"),
+      col("doc_id").as("a_id"), col("simhash").as("a_hash"))
+    val b = blocked.select(col("block"), col("block_val"),
+      col("doc_id").as("b_id"), col("simhash").as("b_hash"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_hash").bitwiseXOR(col("b_hash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Baseline: brute-force cosine top-k (query-set × corpus join — exact;
+  * right shape when |queries| ≪ |corpus|, the corpus side is scanned
+  * once and never shuffled wide because the query side broadcasts).
+  * Scale path: random-hyperplane LSH with L tables — candidates share a
+  * bucket in ≥1 table; one shuffle on the bucket key. Hyperplanes are
+  * derived deterministically from the seed via integer hashes, so plans
+  * are reproducible across runs and engines.
+  *
+  * Dot products fold left-to-right over doubles (`zip_with` +
+  * `aggregate`) — deterministic, and bit-identical to the same fold in
+  * the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p: Column, q: Column) =>
+        p.cast("double") * q.cast("double")),
+        lit(0.0), (acc: Column, v: Column) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cosine). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component for (table,
+    * plane-bit, dim): uniform in [-1, 1) from an integer hash — sign
+    * patterns are all that matter for hyperplane LSH. */
+  private def planeComponent(table: Int, bit: Int, d: Column, seed: Long): Column =
+    (pmod(xxhash64(concat_ws(":", lit(table), lit(bit), d, lit(seed))), lit(2000000L))
+      .cast("double") - lit(1000000.0)) / lit(1000000.0)
+
+  /** Bucket key of a vector for one LSH table: `bits` sign bits of
+    * projections onto pseudo-random hyperplanes —
+    * bucket = Σ_b (sign(Σ_d v[d]·plane(t,b,d)) << b). */
+  private def bucketExpr(vec: Column, table: Int, bits: Int, seed: Long): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v: Column, d: Column) => v.cast("double") * planeComponent(table, b, d, seed)),
+        lit(0.0), (acc: Column, v: Column) => acc + v)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: search only candidates
+    * sharing a bucket with the query in any of `tables` tables, then
+    * rank exactly. Same output shape as bruteForceTopK (approximate
+    * contents; recall is spec-tested against the exact baseline). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 16, bits: Int = 5, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(array((0 until tables).map(t =>
+          bucketExpr(col(vecCol), t, bits, seed)): _*)).as(Seq("__table", "__bucket")))
+
+    val c = withBuckets(corpus, "neighbor_id", "__cv")
+    val q = broadcast(withBuckets(queries, "query_id", "__qv"))
+    val scored = c.join(q, Seq("__table", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed then
+    * exactly verified. Output (a_id, b_id, cosine). */
+  def embeddingNearDup(
+      corpus: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def withBuckets(id: String, v: String): DataFrame =
+      corpus.select(col(idCol).as(id), col(vecCol).as(v),
+        posexplode(array((0 until tables).map(t =>
+          bucketExpr(col(vecCol), t, bits, seed)): _*)).as(Seq("__table", "__bucket")))
+    val a = withBuckets("a_id", "__av")
+    val b = withBuckets("b_id", "__bv")
+    a.join(b, Seq("__table", "__bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", round(cosine(col("__av"), col("__bv")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall/precision properties of the near-dup pipeline on a corpus
+  * with planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 base docs + near-dup mutations (drop/replace a few words). */
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "table", "query", "join", "filter", "agg",
+      "window", "batch", "stream", "column", "row", "hash", "sort", "scan",
+      "merge", "key", "value", "data", "fast", "slow")
+    val base = (0 until 40).map(i =>
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val mutated = base.take(10).map { t =>
+      val ws = t.split(" ").toVector
+      val drop = rnd.nextInt(ws.size)
+      ws.zipWithIndex.collect { case (w, j) if j != drop => w }.mkString(" ")
+    }
+    val rows = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      mutated.zipWithIndex.map { case (t, i) => (100L + i, t) }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def bruteJaccard(threshold: Double): Set[(Long, Long)] = {
+    val grams = corpus.select(col("doc_id"),
+      MinHashLSH.shingles(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (for {
+      a <- grams.keys; b <- grams.keys if a < b
+      j = grams(a).intersect(grams(b)).size.toDouble / grams(a).union(grams(b)).size
+      if j >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minhash-LSH finds every true near-dup pair (recall @ J>=0.7)") {
+    val truth = bruteJaccard(0.7)
+    assert(truth.nonEmpty, "test corpus must contain planted near-dups")
+    val found = MinHashLSH.nearDuplicates(corpus, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found), s"missed: ${truth -- found}")
+  }
+
+  test("minhash-LSH verify stage reports exact jaccard (no false positives)") {
+    val pairs = MinHashLSH.candidatePairs(corpus).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val grams = corpus.select(col("doc_id"),
+      MinHashLSH.shingles(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case ((a, b), j) =>
+      val exact = grams(a).intersect(grams(b)).size.toDouble / grams(a).union(grams(b)).size
+      assert(math.abs(j - exact) < 1e-6, s"pair ($a,$b): reported $j, exact $exact")
+    }
+  }
+
+  test("simhash near-dups: planted mutations found with small hamming") {
+    val found = SimHash.nearDuplicates(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each mutated doc 100+i differs from base i by one dropped word
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    val hit = planted.intersect(found)
+    assert(hit.size >= 8, s"simhash found only ${hit.size}/10 planted near-dups")
+  }
+
+  test("simhash hamming distance is exact") {
+    val fp = SimHash.fingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SimHash.nearDuplicates(corpus, 3).collect().foreach { r =>
+      val expect = java.lang.Long.bitCount(fp(r.getLong(0)) ^ fp(r.getLong(1)))
+      assert(r.getInt(2) == expect || r.getLong(2) == expect)
+    }
+  }
+}

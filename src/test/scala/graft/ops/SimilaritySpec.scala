@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2
+  }
+
+  test("brute-force top-k is exact vs driver-side computation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expect = (0L until 3L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5)
+        .zipWithIndex.map { case ((n, _), i) => (q, i + 1, n) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("LSH ANN recall@5 >= 0.6 vs brute force on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 = $mean")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.embeddingNearDup(emb, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.5)
+    }
+  }
+}
