@@ -224,7 +224,9 @@ object ExtQueries {
     * verify stage). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val grams = docs.select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("g"))
+    val grams = docs
+      .withColumn("__norm", TextOps.normalized(col("text")))
+      .select(col("doc_id"), TextOps.charNgramsFromNorm(col("__norm"), 3).as("g"))
     MinHashLSH.candidatePairs(docs)
       .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")), "b_id")
@@ -278,6 +280,16 @@ object ExtQueries {
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
       .limit(20)
 
+  /** Multimodal plumbing: blob → stub-decode → typed metadata/features
+    * (rows-only; decode determinism + schema are spec-tested). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.blobTable(Tables.documents(s, dir))
+    Multimodal.decode(blobs).toDF()
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.format"), size(col("features")).as("feature_dim"))
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +305,8 @@ object ExtQueries {
     "q_ngram_jaccard"     -> (ngramJaccard _),
     "q_ann_brute"         -> (annBruteForce _),
     "q_ann_lsh"           -> (annLsh _),
-    "q_embed_neardup"     -> (embedNearDup _))
+    "q_embed_neardup"     -> (embedNearDup _),
+    "q_multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -308,5 +321,5 @@ object ExtQueries {
     * ground truth (each is property-tested in its ops spec instead). */
   val rowsOnly: Set[String] = Set(
     "q_lang_id", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
-    "q_ann_lsh", "q_embed_neardup")
+    "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode")
 }

@@ -23,24 +23,36 @@ object MinHashLSH {
 
   private val Prime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** Word w-shingles of the normalized text, distinct. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextOps.tokens(lower(text))
+  /** Word w-shingles from an ALREADY-MATERIALIZED tokens column.
+    *
+    * HOF evaluation rule that shapes this whole file: the *input* of a
+    * higher-order function is evaluated once per row, but any subtree
+    * referenced *inside* a lambda body is re-evaluated per element. So
+    * every stage here takes a Column that the caller has projected as a
+    * real attribute (`withColumn`) — inlining `split(lower(text))`
+    * into the signature lambdas re-tokenized each document k× per row
+    * (measured: single task pinned for 14 min on 500 docs).
+    */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
           i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)),
         s => length(s) > lit(0)))
-  }
+
+  /** Convenience (single evaluation contexts only — see above). */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(lower(text)), w)
 
   /** 32-bit base hash per shingle (non-negative). */
-  private def baseHashes(sh: Column): Column =
+  def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(Prime)))
 
-  /** k-minhash signature: h_i(x) = (a_i·x + b_i) mod p, a_i,b_i drawn
-    * deterministically from the seed. a_i < 2^31 so a_i·x fits a long. */
-  def signature(text: Column, k: Int = 128, w: Int = 3, seed: Long = 42L): Column = {
-    val hs = baseHashes(shingles(text, w))
+  /** k-minhash signature from a MATERIALIZED base-hash column:
+    * h_i(x) = (a_i·x + b_i) mod p, a_i,b_i drawn deterministically from
+    * the seed. a_i < 2^31 so a_i·x fits a long. O(k·|shingles|) cheap
+    * long ops per row. */
+  def signatureFromHashes(hs: Column, k: Int = 128, seed: Long = 42L): Column =
     transform(sequence(lit(0), lit(k - 1)), i => {
       val a = pmod(xxhash64(concat(lit("a"), i, lit(seed))), lit(Prime - 1)) + lit(1)
       val b = pmod(xxhash64(concat(lit("b"), i, lit(seed))), lit(Prime))
@@ -49,7 +61,6 @@ object MinHashLSH {
           (acc: Column, h: Column) => least(acc, pmod(a * h + b, lit(Prime)))),
         lit(Long.MaxValue))
     })
-  }
 
   /** Candidate near-duplicate pairs with exact Jaccard similarity.
     * Output: (a_id, b_id, jaccard), a_id < b_id.
@@ -63,16 +74,26 @@ object MinHashLSH {
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 128,
-      bands: Int = 32,
+      k: Int = 64,
+      bands: Int = 16,
       w: Int = 3,
       seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // each stage materialized as a column so no lambda re-evaluates an
+    // upstream subtree (see shinglesFromTokens scaladoc); persisted
+    // because the bucket self-join consumes it on BOTH sides (aliased
+    // subplans are not deduped by ReuseExchange — without the persist
+    // the k-hash signature is computed twice). At cluster scale this
+    // would be a checkpoint to storage; the shape is the same.
     val withSig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig", signature(col("__text"), k, w, seed))
-      .withColumn("__sh", shingles(col("__text"), w))
+      .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
+      .withColumn("__hs", baseHashes(col("__sh")))
+      .withColumn("__sig", signatureFromHashes(col("__hs"), k, seed))
+      .select("__id", "__sh", "__sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withSig.select(
       col("__id"), col("__sh"),

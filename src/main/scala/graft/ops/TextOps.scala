@@ -65,14 +65,23 @@ object TextOps {
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Character n-grams (distinct, ordered) of the normalized text —
-    * building block for Jaccard similarity. Pure per-row HOFs. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Whitespace-collapsed lower-cased text (fingerprint/n-gram input). */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-grams (distinct, ordered) over an ALREADY-MATERIALIZED
+    * normalized-text column. `norm` sits inside the transform lambda,
+    * so it must be a projected attribute — passing the normalization
+    * subtree re-runs the regex per n-gram (O(len²) per row; measured
+    * 60s on 5000 docs vs ~2s materialized). */
+  def charNgramsFromNorm(norm: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(length(norm) - n, lit(0))),
       i => substring(norm, lit(1) + i, lit(n))))
-  }
+
+  /** Convenience for single-evaluation contexts (tests, tiny inputs). */
+  def charNgrams(text: Column, n: Int): Column =
+    charNgramsFromNorm(normalized(text), n)
 
   /** Language identification via character/word n-gram profiles — a
     * tiny embedded profile per language (public-knowledge marker sets),

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream (SURVEY.md
+  * §2.9 — the reference's only streaming concern is incremental MV
+  * refresh; these give the engine first-class streaming equivalents).
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long, value: Double, clicks: Long)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double, n_clicks: Long)
+
+  /** Event-time sessionization with real keyed state:
+    * `flatMapGroupsWithState` + event-time timeout. Emits a session
+    * when a gap > `gapSeconds` closes it (or on watermark timeout).
+    *
+    * Scale: state is one small record per active user key, partitioned
+    * by user_id across executors; the watermark bounds state size.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def micro(t: Timestamp): Long = t.getTime * 1000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur = state.getOption
+          def emit(s: SessionState): Unit = out += Session(
+            userId, new Timestamp(s.start / 1000L), new Timestamp(s.end / 1000L),
+            s.n, math.round(s.value * 100.0) / 100.0, s.clicks)
+          if (state.hasTimedOut) { cur.foreach(emit); cur = None; state.remove() }
+          else {
+            val sorted = it.toVector.sortBy(e => (micro(e.ts), e.event_id))
+            sorted.foreach { e =>
+              val t = micro(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds * 1000000L =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+                    s.value + e.value, s.clicks + (if (e.event_type == "click") 1 else 0)))
+                case other =>
+                  other.foreach(emit) // gap exceeded → close previous session
+                  cur = Some(SessionState(t, t, 1, e.value,
+                    if (e.event_type == "click") 1 else 0))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end / 1000L + gapSeconds * 1000L)
+              case None => ()
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** Tumbling-window revenue per event type with a watermark — the
+    * canonical `readStream → window agg → writeStream` shape. Works on
+    * both a streaming and a batch DataFrame (same plan — that is the
+    * point of the unified Dataset API). */
+  def windowedValue(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** One `Trigger.AvailableNow` pass of a streaming query into a memory
+    * sink; returns the sink table name. Drives both ops above in specs
+    * and doubles as the engine's "process whatever arrived" entry. */
+  def runAvailableNow(df: DataFrame, sinkName: String,
+      outputMode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
