@@ -48,19 +48,20 @@ object MinHashLSH {
   def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(Prime)))
 
-  /** k-minhash signature from a MATERIALIZED base-hash column:
-    * h_i(x) = (a_i·x + b_i) mod p, a_i,b_i drawn deterministically from
-    * the seed. a_i < 2^31 so a_i·x fits a long. O(k·|shingles|) cheap
-    * long ops per row. */
-  def signatureFromHashes(hs: Column, k: Int = 128, seed: Long = 42L): Column =
+  /** k-minhash signature from a MATERIALIZED base-hash column —
+    * reference HOF implementation, kept as the semantic spec for the
+    * codegen'd `graft.functions.MinHashSignature` (the two are asserted
+    * equal in MinHashSignatureSpec; production paths use the native
+    * expression, ~8× faster because HOF lambdas run interpreted). */
+  def signatureFromHashes(hs: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val (as, bs) = graft.functions.MinHashSignature.params(k, seed)
     transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = pmod(xxhash64(concat(lit("a"), i, lit(seed))), lit(Prime - 1)) + lit(1)
-      val b = pmod(xxhash64(concat(lit("b"), i, lit(seed))), lit(Prime))
-      coalesce(
-        aggregate(hs, lit(Long.MaxValue),
-          (acc: Column, h: Column) => least(acc, pmod(a * h + b, lit(Prime)))),
-        lit(Long.MaxValue))
+      val a = element_at(lit(as), i + 1)
+      val b = element_at(lit(bs), i + 1)
+      aggregate(hs, lit(Long.MaxValue),
+        (acc: Column, h: Column) => least(acc, pmod(a * h + b, lit(Prime))))
     })
+  }
 
   /** Candidate near-duplicate pairs with exact Jaccard similarity.
     * Output: (a_id, b_id, jaccard), a_id < b_id.
@@ -91,7 +92,7 @@ object MinHashLSH {
       .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
       .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
       .withColumn("__hs", baseHashes(col("__sh")))
-      .withColumn("__sig", signatureFromHashes(col("__hs"), k, seed))
+      .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
       .select("__id", "__sh", "__sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

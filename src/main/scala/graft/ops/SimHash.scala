@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  def simhash(text: Column): Column = {
+  /** Production path: native codegen'd expression over token hashes. */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64(
+      transform(TextOps.tokens(lower(text)), t => xxhash64(t)))
+
+  /** Reference HOF implementation — the semantic spec the native
+    * expression is asserted against (SimHash64Spec); interpreted and
+    * allocating a 64-slot array per token, so not used on hot paths. */
+  def simhashHof(text: Column): Column = {
     val hs = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
     val votes = aggregate(hs, array_repeat(lit(0), 64),
       (acc: Column, h: Column) => zip_with(acc, sequence(lit(0), lit(63)),
