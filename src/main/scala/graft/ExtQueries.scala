@@ -280,6 +280,34 @@ object ExtQueries {
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
       .limit(20)
 
+  /** IVF ANN (data-adaptive cells; rows-only — recall spec-tested). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = IvfIndex.train(emb)
+    IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), k = 5, model)
+      .orderBy("query_id", "rank")
+  }
+
+  /** CUBE rollup (SURVEY §2.4 'free from Spark' tier, exposed +
+    * oracle-checked): revenue over all subsets of (segment, status). */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.model.Models.fctOrders(s, dir)
+      .cube(col("market_segment"), col("order_status"))
+      .agg(sum("total_price").cast("double").as("total_revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("market_segment"), asc_nulls_first("order_status"), asc("gid"))
+
+  val cubeRevenueSql: String =
+    Queries.modelCtes +
+      """SELECT market_segment, order_status,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       count(*) AS n,
+        |       GROUPING(market_segment) * 2 + GROUPING(order_status) AS gid
+        |FROM fct_orders
+        |GROUP BY CUBE (market_segment, order_status)
+        |ORDER BY market_segment ASC NULLS FIRST, order_status ASC NULLS FIRST, gid ASC""".stripMargin
+
   /** Multimodal plumbing: blob → stub-decode → typed metadata/features
     * (rows-only; decode determinism + schema are spec-tested). */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
@@ -306,7 +334,9 @@ object ExtQueries {
     "q_ann_brute"         -> (annBruteForce _),
     "q_ann_lsh"           -> (annLsh _),
     "q_embed_neardup"     -> (embedNearDup _),
-    "q_multimodal_decode" -> (multimodalDecode _))
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_ann_ivf"           -> (annIvf _),
+    "q_cube_revenue"      -> (cubeRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -315,11 +345,12 @@ object ExtQueries {
     "q_pricing_summary"   -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_top_parts"         -> topPartsSql,
-    "q_ann_brute"         -> annBruteForceSql)
+    "q_ann_brute"         -> annBruteForceSql,
+    "q_cube_revenue"      -> cubeRevenueSql)
 
   /** rows-only: heuristic / hash-seeded outputs with no SQL-expressible
     * ground truth (each is property-tested in its ops spec instead). */
   val rowsOnly: Set[String] = Set(
     "q_lang_id", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
-    "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode")
+    "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode", "q_ann_ivf")
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the
+  * corpus into K centroid cells, search only the `nprobe` cells nearest
+  * to each query.
+  *
+  * Training (Lloyd's iterations) runs driver-side on a bounded sample —
+  * standard IVF practice: centroid quality needs only a sample, and K·d
+  * doubles are tiny. The trained centroids ship to executors as array
+  * literals; cell assignment is then a per-row codegen-friendly argmin
+  * (no shuffle), and the probe is an equi-join on cell id — the same
+  * one-wide-stage shape as the LSH path, but with data-adaptive cells
+  * (better recall on clustered embeddings at the same candidate count).
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Deterministic Lloyd's k-means on a driver-side sample. */
+  def train(corpus: DataFrame, k: Int = 16, iters: Int = 8,
+      sampleSize: Int = 2048, seed: Long = 42L,
+      vecCol: String = "embedding"): Model = {
+    val sample = corpus.select(vecCol)
+      .limit(sampleSize) // deterministic fixed-prefix sample
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = cs(c)(i) - v(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared L2 distance to one centroid literal (per-row, no shuffle). */
+  private def distExpr(vec: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(vec, lit(centroid),
+      (v: Column, c: Column) => (v.cast("double") - c) * (v.cast("double") - c)),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  /** Cell id column: argmin over centroid distances. */
+  def cellExpr(vec: Column, model: Model): Column = {
+    val dists = array(model.centroids.map(c => distExpr(vec, c)): _*)
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  /** `nprobe` nearest cell ids for a query vector (array column). */
+  def probeCellsExpr(vec: Column, model: Model, nprobe: Int): Column = {
+    val dists = array(model.centroids.map(c => distExpr(vec, c)): _*)
+    val sorted = array_sort(dists)
+    call_function("slice",
+      transform(sorted, d => array_position(dists, d).cast("int") - 1),
+      lit(1), lit(nprobe))
+  }
+
+  /** ANN top-k: probe the nprobe nearest cells per query, rank exactly.
+    * Output shape matches Similarity.bruteForceTopK. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      model: Model, nprobe: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", cellExpr(col("__cv"), model))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__cell", explode(probeCellsExpr(col("__qv"), model, nprobe))))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -48,6 +48,33 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("IVF ANN recall@5 >= 0.6 vs brute force on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val model = IvfIndex.train(emb)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = IvfIndex.topK(emb, queries, 5, model)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"IVF mean recall@5 = $mean")
+  }
+
+  test("IVF cell assignment covers all rows; training is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m1 = IvfIndex.train(emb)
+    val m2 = IvfIndex.train(emb)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val cells = emb.withColumn("cell", IvfIndex.cellExpr(col("embedding"), m1))
+      .select("cell").collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < m1.k))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val rows = Similarity.embeddingNearDup(emb, threshold = 0.5)
