@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
 final class MetricView(
     val name: String,
     val spec: MetricViewSpec,
-    catalog: MetricViewCatalog) {
+    catalog: MetricViewCatalog,
+    /** CREATE VIEW ... COMMENT '...' (reference macro :84) */
+    val comment: Option[String] = None) {
 
   private def spark: SparkSession = catalog.spark
   private val paths = Expander.joinPaths(spec.joins).map(_._1)
@@ -159,10 +161,10 @@ final class MetricViewCatalog(
   /** CREATE OR REPLACE (not drop+create): an unchanged spec keeps its
     * materialization caches — reference macros/generate_metric_views
     * .sql:78-79. */
-  def createOrReplace(name: String, yaml: String): MetricView = {
+  def createOrReplace(name: String, yaml: String, comment: Option[String] = None): MetricView = {
     val spec = YamlParser.parse(yaml)
     validate(name, spec)
-    val view = new MetricView(name, spec, this)
+    val view = new MetricView(name, spec, this, comment)
     val specChanged = views.get(name).exists(_.spec.materializationHash != spec.materializationHash)
     if (specChanged) materializer.foreach(_.invalidate(view))
     views(name) = view
@@ -210,6 +212,7 @@ final class MetricViewCatalog(
     val s = v.spec
     val props = Seq(
       "name" -> name,
+      "comment" -> v.comment.getOrElse(""),
       "version" -> s.version,
       "source" -> s.source,
       "filter" -> s.filter.getOrElse(""),
