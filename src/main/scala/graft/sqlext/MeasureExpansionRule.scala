@@ -27,8 +27,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  // top-down so UnresolvedHaving(_, Aggregate) is seen before its child
+  // top-down so wrappers (Sort / UnresolvedHaving) are seen before the
+  // Aggregate they decorate
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case s @ Sort(order, global, UnresolvedHaving(cond, Aggregate(g, a, child, _)), _)
+        if hasMeasureCall(order.map(_.child)) =>
+      expand(g, a, child, having = Some(cond), sort = Some((order, global))).getOrElse(s)
+    case s @ Sort(order, global, Aggregate(g, a, child, _), _)
+        if hasMeasureCall(order.map(_.child)) =>
+      expand(g, a, child, having = None, sort = Some((order, global))).getOrElse(s)
     case h @ UnresolvedHaving(cond, Aggregate(g, a, child, _)) =>
       expand(g, a, child, having = Some(cond)).getOrElse(h)
     case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
@@ -62,7 +69,8 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       groupExprs: Seq[Expression],
       outExprs: Seq[NamedExpression],
       child: LogicalPlan,
-      having: Option[Expression]): Option[LogicalPlan] =
+      having: Option[Expression],
+      sort: Option[(Seq[SortOrder], Boolean)] = None): Option[LogicalPlan] =
     unwrap(child, Set.empty, Nil).map { case (view, quals, filters) =>
       val dimNames = view.spec.dimensions.map(_.name).toSet
       val measureNames = view.spec.measures.map(_.name).toSet
@@ -91,7 +99,8 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 s"${view.spec.measures.map(_.name).mkString(", ")}); got: $other")
           }
       })
-      val measures = (measuresIn(outExprs) ++ measuresIn(having.toSeq)).distinct
+      val measures = (measuresIn(outExprs) ++ measuresIn(having.toSeq) ++
+        measuresIn(sort.toSeq.flatMap(_._1.map(_.child)))).distinct
 
       val where = filters.map(f => s"(${f.sql})").reduceOption(_ + " AND " + _)
       val expanded = GraftBridge.logicalPlan(view.query(dims, measures, where))
@@ -107,7 +116,13 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
       val filtered = having.fold(expanded)(c => Filter(rewrite(c), expanded))
-      Project(outExprs.map(ne => rewrite(ne).asInstanceOf[NamedExpression]), filtered)
+      // ORDER BY MEASURE(...) sorts below the projection — equivalent
+      // (the projection is 1:1) and lets sort refs resolve against the
+      // expansion's dim+measure columns even when unselected
+      val sorted = sort.fold(filtered) { case (order, global) =>
+        Sort(order.map(so => so.copy(child = rewrite(so.child))), global, filtered)
+      }
+      Project(outExprs.map(ne => rewrite(ne).asInstanceOf[NamedExpression]), sorted)
     }
 
   private def stripAlias(e: Expression): Expression = e match {

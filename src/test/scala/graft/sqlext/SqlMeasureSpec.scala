@@ -85,6 +85,19 @@ class SqlMeasureSpec extends SparkSpec {
     SqlMetricViews.registerAll(SparkEntry.catalog(spark, sfDir))
   }
 
+  test("ORDER BY MEASURE() on an unselected measure") {
+    init()
+    val rows = spark.sql(
+      """SELECT market_segment
+        |FROM mv_order_metrics GROUP BY market_segment
+        |ORDER BY MEASURE(total_revenue) DESC""".stripMargin).collect()
+    val want = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue"))
+      .orderBy(org.apache.spark.sql.functions.desc("total_revenue"))
+      .select("market_segment").collect()
+    assert(rows.map(_.getString(0)).toSeq == want.map(_.getString(0)).toSeq)
+  }
+
   test("non-dim GROUP BY is rejected with a helpful error") {
     init()
     val e = intercept[Exception] {
