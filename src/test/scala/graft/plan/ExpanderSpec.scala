@@ -98,6 +98,30 @@ class ExpanderSpec extends SparkSpec {
     assert(props("metric_view.materialization.views").contains("revenue_by_segment(aggregated)"))
   }
 
+  test("global-grain query (no dims): plain, window and mixed measures") {
+    val mv = cat.get("mv_order_metrics")
+    val n = graft.model.Models.stgOrders(spark, sfDir).count()
+    // plain global
+    val plain = mv.query(Nil, Seq("total_orders", "total_revenue")).collect()
+    assert(plain.length == 1 && plain(0).getLong(0) == n)
+    // window global: semiadditive last over the whole series
+    val win = mv.query(Nil, Seq("cumulative_revenue")).collect()
+    assert(win.length == 1)
+    assert(win(0).getDecimal(0).doubleValue > 0)
+    // mixed: cross-joined single rows
+    val mixed = mv.query(Nil, Seq("total_orders", "cumulative_revenue")).collect()
+    assert(mixed.length == 1 && mixed(0).getLong(0) == n)
+    // cumulative over everything == total revenue
+    val rev = mv.query(Nil, Seq("total_revenue")).collect()(0).getDecimal(0)
+    assert(mixed(0).getDecimal(1) == rev)
+  }
+
+  test("dims-only query returns the distinct dimension space") {
+    val mv = cat.get("mv_orders_simple")
+    val got = mv.query(Seq("order_status"), Nil).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("F", "O", "P"))
+  }
+
   test("drop removes the view") {
     val c = cat
     c.createOrReplace("mv_tmp", Specs.mvOrdersSimple)
