@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
+      // local-mode knob: fixture files are ~10-30 MB, so the 128 MB
+      // default gives one scan task per table and idles the other
+      // cores; 8 MB splits restore scan parallelism. (On a real
+      // cluster with TB-scale tables the default is correct.)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

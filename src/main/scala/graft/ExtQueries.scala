@@ -16,8 +16,9 @@ object ExtQueries {
     * fully codegen'd — no shuffle). */
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables.documents(s, dir))
-      .select("doc_id", "token_count", "char_count", "avg_token_len",
-        "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score")
+      .select("doc_id", "token_count", "bpe_token_count", "char_count",
+        "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio",
+        "quality_score")
       .orderBy("doc_id")
 
   val textStatsSql: String =
@@ -28,6 +29,7 @@ object ExtQueries {
       |), stats AS (
       |  SELECT doc_id,
       |         len(tk) AS token_count,
+      |         len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS bpe_token_count,
       |         length(text) AS char_count,
       |         round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk), 6) AS avg_token_len,
       |         round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
@@ -35,7 +37,8 @@ object ExtQueries {
       |         round(CAST(len(list_filter(tk, w -> list_contains(['the','a','an','of','and','or','is','are','in','on','to','it','this','that','with','for','as','at','by','be'], w))) AS DOUBLE) / len(tk), 6) AS stopword_ratio
       |  FROM toks
       |)
-      |SELECT doc_id, token_count, char_count, avg_token_len, punct_ratio,
+      |SELECT doc_id, token_count, bpe_token_count,
+      |       char_count, avg_token_len, punct_ratio,
       |       digit_ratio, stopword_ratio,
       |       round(least(1.0, greatest(0.0,
       |         0.15 * ln(1.0 + token_count)

@@ -28,6 +28,7 @@ object TextOps {
     val toks = tokens(t)
     val stopArr = array(stopwords.map(lit): _*)
     df.withColumn("token_count", size(toks))
+      .withColumn("bpe_token_count", bpeishTokenCount(t))
       .withColumn("char_count", length(t))
       .withColumn("avg_token_len",
         round(aggregate(transform(toks, w => length(w)), lit(0),
@@ -64,6 +65,18 @@ object TextOps {
   def exactDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** BPE-style pretokenizer count: the GPT-2 pretokenizer pattern
+    * (contractions | letter runs | digit runs | punct runs | spaces)
+    * without its trailing-space lookahead, so the same pattern runs on
+    * Java regex (Spark) and RE2 (DuckDB oracle). Approximates
+    * LLM-tokenizer token counts far better than whitespace splitting
+    * on punctuation-heavy text. */
+  val bpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
   /** Whitespace-collapsed lower-cased text (fingerprint/n-gram input). */
   def normalized(text: Column): Column =

@@ -24,11 +24,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if df[c].map(lambda v: isinstance(v, decimal.Decimal) or v is None).all():
                 df[c] = df[c].astype(float).round(6)
             else:
-                df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+                df[c] = df[c].apply(lambda v: None if pd.isna(v) else str(v))
         elif "float" in str(df[c].dtype):
             df[c] = df[c].round(6)
         elif "datetime" in str(df[c].dtype):
-            df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str).replace("NaT", None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
