@@ -57,9 +57,20 @@ object Similarity {
     Array.fill(dim)(rnd.nextGaussian())
   }
 
+  /** Full plane tensor [table][bit][dim] for the native expression. */
+  def planesFor(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits)((t, b) => plane(t, b, dim, seed))
+
+  /** All per-table bucket keys at once — native codegen expression
+    * (graft.functions.HyperplaneBuckets); the HOF bucketExpr below is
+    * its executable semantic spec (asserted equal in SimilaritySpec). */
+  def bucketsExpr(vec: Column, tables: Int, bits: Int, dim: Int, seed: Long): Column =
+    graft.functions.HyperplaneBuckets(vec, planesFor(tables, bits, dim, seed))
+
   /** Bucket key of a vector for one LSH table:
-    * bucket = Σ_b (sign(Σ_d v[d]·plane(t,b,d)) << b). */
-  private def bucketExpr(vec: Column, table: Int, bits: Int, dim: Int, seed: Long): Column = {
+    * bucket = Σ_b (sign(Σ_d v[d]·plane(t,b,d)) << b). Reference HOF
+    * implementation — interpreted; hot paths use bucketsExpr. */
+  def bucketExpr(vec: Column, table: Int, bits: Int, dim: Int, seed: Long): Column = {
     val bitCols = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, lit(plane(table, b, dim, seed)),
@@ -81,8 +92,8 @@ object Similarity {
 
     def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        posexplode(array((0 until tables).map(t =>
-          bucketExpr(col(vecCol), t, bits, dim, seed)): _*)).as(Seq("__table", "__bucket")))
+        posexplode(bucketsExpr(col(vecCol), tables, bits, dim, seed))
+          .as(Seq("__table", "__bucket")))
 
     val c = withBuckets(corpus, "neighbor_id", "__cv")
     val q = broadcast(withBuckets(queries, "query_id", "__qv"))
@@ -107,8 +118,8 @@ object Similarity {
     // persisted: the bucket self-join reads the projected corpus on
     // both sides (see MinHashLSH.candidatePairs)
     val bucketed = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
-      posexplode(array((0 until tables).map(t =>
-        bucketExpr(col(vecCol), t, bits, dim, seed)): _*)).as(Seq("__table", "__bucket")))
+      posexplode(bucketsExpr(col(vecCol), tables, bits, dim, seed))
+        .as(Seq("__table", "__bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def withBuckets(id: String, v: String): DataFrame =
       bucketed.select(col("__nid").as(id), col("__nv").as(v),

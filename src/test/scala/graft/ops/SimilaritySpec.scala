@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("native HyperplaneBuckets == interpreted HOF bucketExpr, both code paths") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    Seq("true", "false").foreach { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val rows = emb
+          .withColumn("native", Similarity.bucketsExpr(col("embedding"), 4, 6, 64, 42L))
+          .withColumn("hof", array((0 until 4).map(t =>
+            Similarity.bucketExpr(col("embedding"), t, 6, 64, 42L)): _*))
+          .select("vec_id", "native", "hof").collect()
+        rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"vec ${r.getLong(0)} mismatch (codegen=$codegen)"))
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("IVF ANN recall@5 >= 0.6 vs brute force on fixture embeddings") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)
