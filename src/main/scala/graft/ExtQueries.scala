@@ -283,6 +283,23 @@ object ExtQueries {
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
       .limit(20)
 
+  /** Winnowing (rolling-hash) fingerprint dedup: docs sharing
+    * fingerprints are near-dup candidates, ranked by overlap count
+    * (rows-only; the winnowing guarantee is spec-tested). */
+  def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    val prints = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowingFingerprints(col("text"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = prints.select(col("fp"), col("doc_id").as("a_id"))
+    val b = prints.select(col("fp"), col("doc_id").as("b_id"))
+    a.join(b, "fp").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_prints"))
+      .orderBy(desc("shared_prints"), asc("a_id"), asc("b_id"))
+      .limit(20)
+  }
+
   /** IVF ANN (data-adaptive cells; rows-only — recall spec-tested). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -339,7 +356,8 @@ object ExtQueries {
     "q_embed_neardup"     -> (embedNearDup _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_ann_ivf"           -> (annIvf _),
-    "q_cube_revenue"      -> (cubeRevenue _))
+    "q_cube_revenue"      -> (cubeRevenue _),
+    "q_dedup_winnow"      -> (winnowDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -355,5 +373,6 @@ object ExtQueries {
     * ground truth (each is property-tested in its ops spec instead). */
   val rowsOnly: Set[String] = Set(
     "q_lang_id", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
-    "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode", "q_ann_ivf")
+    "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode", "q_ann_ivf",
+    "q_dedup_winnow")
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document fingerprinting via Rabin-Karp rolling hash + winnowing
+  * (Schleimer/Wilkerson/Aiken's MOSS algorithm, a public classic):
+  *
+  *  1. hash every k-gram of the text with a polynomial rolling hash
+  *     (O(1) per shift: h' = (h - c_out·B^(k-1))·B + c_in);
+  *  2. slide a window of `w` consecutive k-gram hashes and keep each
+  *     window's minimum (rightmost on ties) — the winnowed fingerprint
+  *     set, guaranteeing any match of length ≥ w+k-1 shares a print.
+  *
+  * Emitted as a sorted distinct `array<long>` per document; documents
+  * sharing prints are near-dup candidates (same bucket-join shape as
+  * minhash). Native expression with doGenCode: per-char interpreted
+  * HOFs would be quadratic-ish and interpreter-bound.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && window >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnowing_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    new GenericArrayData(WinnowingFingerprints.compute(bytes, k, window))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowingFingerprints.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, input => {
+      s"""
+         |${ev.value} = new ${classOf[GenericArrayData].getName}(
+         |  $cls.compute($input.getBytes(), $k, $window));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowingFingerprints {
+
+  private val B = 1000000007L
+  private val Mask = (1L << 61) - 1 // work mod 2^61-1-ish via masking
+
+  /** Rolling k-gram hashes + winnowing; shared by interpreted eval and
+    * generated code (the kernel is branchy enough that a single JIT'd
+    * static method beats inlined codegen anyway). */
+  def compute(bytes: Array[Byte], k: Int, window: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < k) return Array.empty[Long]
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    // B^(k-1) within the mask domain
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = (bk * B) & Mask; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + (bytes(i) & 0xff)) & Mask; i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < m) {
+      h = ((h - ((bytes(i - 1) & 0xff) * bk & Mask) + (Mask + 1)) & Mask)
+      h = (h * B + (bytes(i + k - 1) & 0xff)) & Mask
+      grams(i) = h
+      i += 1
+    }
+    if (m <= window) {
+      // document shorter than one window: keep the global min
+      var min = grams(0); i = 1
+      while (i < m) { if (grams(i) <= min) min = grams(i); i += 1 }
+      return Array(min)
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w <= m - window) {
+      var min = grams(w)
+      var idx = w
+      var j = w + 1
+      while (j < w + window) {
+        if (grams(j) <= min) { min = grams(j); idx = j } // rightmost min
+        j += 1
+      }
+      out.add(min)
+      w += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    arr
+  }
+
+  def apply(text: Column, k: Int = 8, window: Int = 16): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftBridge.column(
+      WinnowingFingerprints(GraftBridge.expression(spark, text), k, window))
+  }
+}
