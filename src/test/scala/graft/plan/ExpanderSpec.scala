@@ -98,6 +98,31 @@ class ExpanderSpec extends SparkSpec {
     assert(props("metric_view.materialization.views").contains("revenue_by_segment(aggregated)"))
   }
 
+  test("query-level WHERE on a joined dot-path dimension pulls its join chain") {
+    val mv = cat.get("mv_sales_geo")
+    val rows = mv.query(Seq("nation_name"), Seq("order_count"),
+      where = Some("region_name = 'EUROPE'")).collect()
+    assert(rows.nonEmpty)
+    // every returned nation must be in EUROPE per the fixture star
+    val eur = graft.model.Tables.nation(spark, sfDir)
+      .join(graft.model.Tables.region(spark, sfDir),
+        org.apache.spark.sql.functions.col("n_regionkey") ===
+          org.apache.spark.sql.functions.col("r_regionkey"))
+      .filter(org.apache.spark.sql.functions.col("r_name") === "EUROPE")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet.subsetOf(eur))
+  }
+
+  test("SQL MEASURE over the semantic-join view with dot-path dims") {
+    SparkEntry.catalog(spark, sfDir)
+    val sql = spark.sql(
+      """SELECT region_name, MEASURE(total_revenue) AS rev
+        |FROM mv_sales_geo WHERE region_name <> 'AFRICA'
+        |GROUP BY region_name ORDER BY region_name""".stripMargin)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(sql.nonEmpty && !sql.contains("AFRICA"))
+  }
+
   test("global-grain query (no dims): plain, window and mixed measures") {
     val mv = cat.get("mv_order_metrics")
     val n = graft.model.Models.stgOrders(spark, sfDir).count()
