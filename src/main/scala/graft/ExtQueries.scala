@@ -95,6 +95,24 @@ object ExtQueries {
       |       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
       |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Structured-Streaming surface in the driver contract: watermarked
+    * tumbling-window agg over events driven by Trigger.AvailableNow into
+    * a memory sink (rows-only; append-mode watermark boundary semantics
+    * are spec-tested against batch instead of oracled). */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_stream").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val sink = s"stream_win_${math.abs(dir.hashCode)}"
+    graft.streaming.StreamingOps.runAvailableNow(
+      graft.streaming.StreamingOps.windowedValue(
+        s.readStream.schema(events.schema).parquet(tmp))
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value")),
+      sink)
+    s.table(sink).orderBy("window_start", "event_type")
+  }
+
   // ------------------------------------------------- classic analytics bench
 
   /** TPC-H Q1-shaped pricing summary over lineitem: the canonical
@@ -357,7 +375,8 @@ object ExtQueries {
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_ann_ivf"           -> (annIvf _),
     "q_cube_revenue"      -> (cubeRevenue _),
-    "q_dedup_winnow"      -> (winnowDedup _))
+    "q_dedup_winnow"      -> (winnowDedup _),
+    "q_stream_window"     -> (streamWindow _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -374,5 +393,5 @@ object ExtQueries {
   val rowsOnly: Set[String] = Set(
     "q_lang_id", "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_ann_lsh", "q_embed_neardup", "q_multimodal_decode", "q_ann_ivf",
-    "q_dedup_winnow")
+    "q_dedup_winnow", "q_stream_window")
 }
