@@ -69,18 +69,34 @@ final class MetricView(
 
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-    // plain measures: rollup route ≫ baseline ≫ raw
-    if (plainMs.nonEmpty) {
-      val routed = catalog.materializer.flatMap(
+    // window measures sharing a frame key (order column + reset keys)
+    // share ONE base-grain partial aggregate and ONE window stage —
+    // k measures over one order column must not cost k scans
+    val frameKeys = windowMs.map(WindowPlanner.frameKey).distinct
+    val windowGroups = frameKeys.map(k => windowMs.filter(m => WindowPlanner.frameKey(m) == k))
+
+    // plain measures: rollup route ≫ folded into a window base ≫
+    // baseline ≫ raw. Folding is free (the partials ride the window
+    // group's base aggregate) but only valid when every plain measure
+    // decomposes and no rollup can serve them.
+    val routed =
+      if (plainMs.isEmpty) None
+      else catalog.materializer.flatMap(
         _.route(this, dims, plainMs, where, where.toSeq.flatMap(whereDims)))
+    val foldedPlain =
+      if (routed.isEmpty && windowGroups.nonEmpty && plainMs.forall(decomposed(_).isDefined))
+        plainMs
+      else Nil
+    if (plainMs.nonEmpty && foldedPlain.isEmpty)
       parts += routed.getOrElse(aggregateFromRows(dims, plainMs, where))
-    }
+
     // window measures: computed on the fly (baseline-backed when built),
     // never from rollups — reference README.md:431
-    windowMs.foreach { m =>
-      val (rows, dimFor, mExpr) = rowsFor(dims, Seq(m), where,
-        extraDims = m.window.map(_.order))
-      parts += WindowPlanner.plan(spark, spec, m, dims, rows, dimFor, mExpr)
+    windowGroups.zipWithIndex.foreach { case (group, gi) =>
+      val fold = if (gi == 0) foldedPlain else Nil
+      val (rows, dimFor, mExpr) = rowsFor(dims, group ++ fold, where,
+        extraDims = group.head.window.map(_.order))
+      parts += WindowPlanner.planShared(spark, spec, group, fold, dims, rows, dimFor, mExpr)
     }
 
     val joined = parts.reduceLeft(joinParts(dims))
@@ -152,11 +168,17 @@ final class MetricView(
 final class MetricViewCatalog(
     val spark: SparkSession,
     val resolve: String => DataFrame,
-    materializationDir: Option[String] = None) {
+    materializationDir: Option[String] = None,
+    /** Streaming view of a source table's NEW rows (by source name),
+      * when the source is append-only — enables incremental refresh. */
+    streamSource: String => Option[DataFrame] = _ => None) {
 
   private val views = scala.collection.mutable.LinkedHashMap[String, MetricView]()
   private[graft] val materializer: Option[graft.mat.Materializer] =
     materializationDir.map(new graft.mat.Materializer(_, resolve))
+  private[graft] val incremental: Option[graft.streaming.IncrementalMaterializer] =
+    materializationDir.map(d =>
+      new graft.streaming.IncrementalMaterializer(spark, d, s"$d/_checkpoints", resolve))
 
   /** CREATE OR REPLACE (not drop+create): an unchanged spec keeps its
     * materialization caches — reference macros/generate_metric_views
@@ -234,9 +256,30 @@ final class MetricViewCatalog(
 
   /** Recompute materializations (reference refresh_metric_views.py —
     * there a REST call to a pipeline service; here a synchronous batch
-    * job, the indirection existed only to drive a managed service). */
+    * job, the indirection existed only to drive a managed service).
+    *
+    * Incremental whenever possible (reference README.md:118): when the
+    * catalog has a streaming view of the source's new rows (append-only
+    * source) and the view declares aggregated rollups, the rollups are
+    * maintained by folding only the arrived delta — the first refresh
+    * folds everything, later refreshes cost O(delta), never a source
+    * rescan. A spec change resets fold state and starts over. Baseline
+    * (unaggregated) caches recompute in batch — a row-level cache can't
+    * fold without a transaction log. Without a stream source, refresh
+    * is the full batch build. Either path writes versioned snapshots
+    * with an atomic pointer flip (`mode: relaxed` stale reads). */
   def refresh(name: String): Unit = {
     val v = get(name)
-    materializer.getOrElse(sys.error("catalog has no materialization dir")).build(v)
+    val mat = materializer.getOrElse(sys.error("catalog has no materialization dir"))
+    val hasRollups = v.spec.materialization.exists(_.materializedViews.exists(_.isAggregated))
+    streamSource(v.spec.source) match {
+      case Some(stream) if hasRollups =>
+        val inc = incremental.get
+        if (!mat.isBuilt(v)) { mat.reset(v); inc.resetCheckpoint(v) }
+        inc.maintain(v, stream)
+        mat.buildUnaggregated(v)
+        mat.markBuilt(v)
+      case _ => mat.build(v)
+    }
   }
 }

@@ -31,14 +31,20 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
 
   def isBuilt(v: MetricView): Boolean =
     Files.exists(hashFile(v)) &&
-      new String(Files.readAllBytes(hashFile(v))).trim == v.spec.materializationHash
+      new String(Files.readAllBytes(hashFile(v))).trim == v.spec.materializationHash &&
+      v.spec.materialization.toSeq.flatMap(_.materializedViews)
+        .forall(mv => VersionedTable.exists(path(v, mv.name)))
 
   def invalidate(v: MetricView): Unit =
     if (Files.exists(hashFile(v))) Files.delete(hashFile(v))
 
   /** Materialize every declared view. Idempotent per spec hash: an
     * unchanged spec is not rebuilt (CREATE OR REPLACE cache
-    * preservation, reference macros/generate_metric_views.sql:78-79). */
+    * preservation, reference macros/generate_metric_views.sql:78-79).
+    *
+    * Every write goes through [[VersionedTable]] (write next version →
+    * atomic pointer flip), so a rebuild serves stale-but-complete reads
+    * while in flight — `mode: relaxed`, reference schema.yml:108. */
   def build(v: MetricView, force: Boolean = false): Unit = {
     if (!force && isBuilt(v)) return
     v.spec.materialization.foreach { mat =>
@@ -46,11 +52,32 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
         val df =
           if (mv.isAggregated) rollupFrame(v, mv)
           else v.baselineFrame
-        df.write.mode("overwrite").parquet(path(v, mv.name))
+        VersionedTable.write(df, path(v, mv.name))
       }
-      Files.createDirectories(Paths.get(viewDir(v)))
-      Files.write(hashFile(v), v.spec.materializationHash.getBytes)
+      markBuilt(v)
     }
+  }
+
+  /** Rebuild only the unaggregated (baseline) caches — the batch half of
+    * an incremental refresh (rollups fold; a row-level cache without a
+    * transaction log recomputes). */
+  def buildUnaggregated(v: MetricView): Unit =
+    v.spec.materialization.toSeq.flatMap(_.materializedViews)
+      .filterNot(_.isAggregated)
+      .foreach(mv => VersionedTable.write(v.baselineFrame, path(v, mv.name)))
+
+  /** Record the spec hash after an out-of-band (incremental) build. */
+  def markBuilt(v: MetricView): Unit = {
+    Files.createDirectories(Paths.get(viewDir(v)))
+    Files.write(hashFile(v), v.spec.materializationHash.getBytes)
+  }
+
+  /** Drop the stored rollup/baseline tables (spec changed — incremental
+    * state must restart from scratch). */
+  def reset(v: MetricView): Unit = {
+    invalidate(v)
+    v.spec.materialization.toSeq.flatMap(_.materializedViews)
+      .foreach(mv => VersionedTable.destroy(path(v, mv.name)))
   }
 
   /** Rollup = group by the rollup's dims, store decomposed partials of
@@ -79,7 +106,7 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
       mat <- v.spec.materialization
       mv <- mat.materializedViews.find(_.mvType == "unaggregated")
       if isBuilt(v)
-    } yield SparkSession.active.read.parquet(path(v, mv.name))
+    } yield VersionedTable.read(SparkSession.active, path(v, mv.name))
 
   /** Routing decision + routed plan (reference A10, README.md:399-431):
     * eligible iff some aggregated rollup covers the query dims, the
@@ -103,7 +130,7 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
           measures.forall(m => !m.isWindowed && v.decomposed(m).isDefined)
       }
     candidates.sortBy(_.dimensions.size).headOption.map { r =>
-      val pre0 = spark.read.parquet(path(v, r.name))
+      val pre0 = VersionedTable.read(spark, path(v, r.name))
       val pre = where.fold(pre0)(w => pre0.filter(
         Expander.dimFilter(spark, identityDims(v), w)))
       val aggCols = measures.map { m =>

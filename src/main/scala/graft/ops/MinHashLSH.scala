@@ -96,28 +96,44 @@ object MinHashLSH {
       .select("__id", "__sh", "__sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // SLIM banded table: (band, bucket, id) — three fixed-width values
+    // per row. The pair join must never carry the shingle arrays: at
+    // corpus scale that would shuffle ~the whole text of the corpus
+    // through the one wide stage twice. Ids shuffle; text stays put.
     val banded = withSig.select(
-      col("__id"), col("__sh"),
+      col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bi => xxhash64(concat_ws(",", bi.cast("string"),
           call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("__band", "__bucket")))
 
-    // skew guard: degenerate buckets (e.g. empty docs) explode O(n^2)
-    val sized = banded
-      .withColumn("__bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__band", "__bucket")))
-      .filter(col("__bsize") <= maxBucketSize)
+    // skew guard as an aggregate, not a window (a window over the full
+    // banded table forces a sort of every row; groupBy-count is a
+    // map-side-combinable aggregate over the same shuffle). Size-1
+    // buckets can't produce a pair, so the lower bound also prunes the
+    // (dominant) singleton mass before the self-join.
+    val okBuckets = banded.groupBy("__band", "__bucket")
+      .count()
+      .filter(col("count") >= 2 && col("count") <= maxBucketSize)
+      .select("__band", "__bucket")
 
-    val a = sized.select(col("__band"), col("__bucket"),
-      col("__id").as("a_id"), col("__sh").as("a_sh"))
-    val b = sized.select(col("__band"), col("__bucket"),
-      col("__id").as("b_id"), col("__sh").as("b_sh"))
-    a.join(b, Seq("__band", "__bucket"))
+    val slim = banded.join(okBuckets, Seq("__band", "__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pairs = slim.select(col("__band"), col("__bucket"), col("__id").as("a_id"))
+      .join(slim.select(col("__band"), col("__bucket"), col("__id").as("b_id")),
+        Seq("__band", "__bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+
+    // exact-Jaccard verify: join the slim pair table BACK to the
+    // persisted signature table by id (pairs ≪ corpus — the join
+    // shuffles candidate rows, not the corpus).
+    val sh = withSig.select(col("__id"), col("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")
       .withColumn("jaccard", round(
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))), 6))

@@ -40,6 +40,12 @@ final case class Decomposed(partials: Seq[PartialAgg], combiner: Map[String, Col
   /** Frame-aggregate partials over a window spec and combine. */
   def overWindow(w: org.apache.spark.sql.expressions.WindowSpec, colName: String => String): Column =
     combiner(partials.map(p => p.name -> p.post(p.reagg(colName(p.name)).over(w))).toMap)
+
+  /** Combine when the stored grain IS the query grain: each group holds
+    * exactly one partial row, so re-aggregation is the identity and the
+    * combiner applies straight to the stored partial columns. */
+  def finalizeAtGrain(colName: String => String): Column =
+    combiner(partials.map(p => p.name -> p.post(col(colName(p.name)))).toMap)
 }
 
 object AggDecompose {

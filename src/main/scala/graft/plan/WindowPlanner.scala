@@ -54,13 +54,14 @@ object WindowPlanner {
     case u       => sys.error(s"unsupported trailing-window unit '$u'")
   }
 
-  /** Plan one window measure at query grain `dims`.
-    *
-    * @param dimExprFor dimension name → Column in `rows`'s terms (raw
-    *        expansion or precomputed baseline column)
-    * @param rows row-level input (expanded source or baseline cache)
-    * @return DataFrame with columns: dims ++ [m.name]
-    */
+  /** The frame-sharing key: measures with the same (order, reset keys)
+    * can share one base-grain partial aggregate and one window
+    * partitioning — only the frame bounds differ per measure. */
+  def frameKey(m: Measure): (String, Seq[String]) =
+    (m.window.head.order, m.window.tail.map(_.order))
+
+  /** Plan one window measure at query grain `dims` (single-measure
+    * convenience over [[planShared]]). */
   def plan(
       spark: SparkSession,
       spec: MetricViewSpec,
@@ -68,50 +69,106 @@ object WindowPlanner {
       dims: Seq[String],
       rows: DataFrame,
       dimExprFor: String => Column,
+      measureExpr: String => org.apache.spark.sql.catalyst.expressions.Expression): DataFrame =
+    planShared(spark, spec, Seq(m), Nil, dims, rows, dimExprFor, measureExpr)
+
+  /** Plan a GROUP of window measures sharing one [[frameKey]] — one
+    * base-grain partial aggregate, one window partitioning (Spark plans
+    * the per-measure frames as window expressions over the same
+    * exchange), one semiadditive resolution — plus optional decomposable
+    * PLAIN measures folded into the same base so they cost no extra
+    * scan/shuffle: their partials ride the base aggregate and are
+    * re-aggregated in the resolution step.
+    *
+    * Scale: for a query with k window measures over one order column
+    * this is one collapse of the fact table + one sorted window stage,
+    * instead of k independent scan→agg→window pipelines joined at the
+    * end (k+1 scans, 2k+1 shuffles → 2 shuffles total).
+    *
+    * @param ms       window measures, all with the same frameKey
+    * @param plainMs  decomposable plain measures to fold into the base
+    * @return DataFrame with columns: dims ++ ms.names ++ plainMs.names
+    */
+  def planShared(
+      spark: SparkSession,
+      spec: MetricViewSpec,
+      ms: Seq[Measure],
+      plainMs: Seq[Measure],
+      dims: Seq[String],
+      rows: DataFrame,
+      dimExprFor: String => Column,
       measureExpr: String => org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
 
-    val primary = m.window.head
-    val currents = m.window.tail
-    require(currents.forall(_.range == RangeSpec.Current),
-      s"measure ${m.name}: only 'current' ranges may stack above the primary window level")
+    require(ms.nonEmpty, "planShared needs at least one window measure")
+    require(ms.map(frameKey).distinct.size == 1,
+      s"measures ${ms.map(_.name).mkString(",")} do not share a frame key")
+    ms.foreach { m =>
+      require(m.window.tail.forall(_.range == RangeSpec.Current),
+        s"measure ${m.name}: only 'current' ranges may stack above the primary window level")
+    }
 
-    val o = primary.order
-    val currentKeys = currents.map(_.order)
+    val o = ms.head.window.head.order
+    val currentKeys = ms.head.window.tail.map(_.order)
     val baseGrain = (dims ++ Seq(o) ++ currentKeys).distinct
 
-    val dec = AggDecompose(spark, measureExpr(m.expr), m.name).getOrElse(
-      sys.error(s"window measure ${m.name}: expression '${m.expr}' is not decomposable"))
+    def decompose(m: Measure): (Measure, Decomposed) =
+      m -> AggDecompose(spark, measureExpr(m.expr), m.name).getOrElse(
+        sys.error(s"window measure ${m.name}: expression '${m.expr}' is not decomposable"))
+    val winDecs = ms.map(decompose)
+    val plainDecs = plainMs.map(decompose)
 
-    // 1. collapse to base grain with decomposed partials
+    // 1. collapse to base grain with ALL measures' decomposed partials
+    //    (partial names are namespaced by measure, so they can't collide)
+    val allPartials = (winDecs ++ plainDecs).flatMap(_._2.partials)
     val base = rows
       .groupBy(baseGrain.map(d => dimExprFor(d).as(d)): _*)
-      .agg(dec.partials.head.agg, dec.partials.tail.map(_.agg): _*)
+      .agg(allPartials.head.agg, allPartials.tail.map(_.agg): _*)
 
-    // 2. frame value over the window
+    // 2. frame value per window measure, all over ONE partitioning —
+    //    Spark's window planner shares the exchange (and the sort, when
+    //    the order expression matches) across frames
     val partitionKeys = (dims.filterNot(_ == o) ++ currentKeys).distinct
     val part = if (partitionKeys.isEmpty) Window.partitionBy() else
       Window.partitionBy(partitionKeys.map(col): _*)
-    val w = primary.range match {
-      case RangeSpec.Trailing(n, unit) =>
-        val days = if (unit == "week") n * 7 else n
-        part.orderBy(orderNumber(col(o), unit)).rangeBetween(-(days - 1).toLong, 0L)
-      case RangeSpec.Cumulative =>
-        part.orderBy(col(o)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      case RangeSpec.Current =>
-        part.orderBy(col(o)).rowsBetween(Window.currentRow, Window.currentRow)
-    }
-    val valued = base.withColumn(m.name, dec.overWindow(w, identity))
-
-    // 3. semiadditive resolution down to the query grain
-    if (baseGrain.toSet == dims.toSet) valued.select(dims.map(col) :+ col(m.name): _*)
-    else {
-      val resolver = primary.semiadditive.getOrElse("last") match {
-        case "last"  => max_by(col(m.name), col(o))
-        case "first" => min_by(col(m.name), col(o))
-        case other   => sys.error(s"unsupported semiadditive rule '$other'")
+    def frameFor(m: Measure): org.apache.spark.sql.expressions.WindowSpec =
+      m.window.head.range match {
+        case RangeSpec.Trailing(n, unit) =>
+          val days = if (unit == "week") n * 7 else n
+          part.orderBy(orderNumber(col(o), unit)).rangeBetween(-(days - 1).toLong, 0L)
+        case RangeSpec.Cumulative =>
+          part.orderBy(col(o)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        case RangeSpec.Current =>
+          part.orderBy(col(o)).rowsBetween(Window.currentRow, Window.currentRow)
       }
-      if (dims.isEmpty) valued.agg(resolver.as(m.name))
-      else valued.groupBy(dims.map(col): _*).agg(resolver.as(m.name))
+    val valued = winDecs.foldLeft(base) { case (df, (m, dec)) =>
+      df.withColumn(m.name, dec.overWindow(frameFor(m), identity))
+    }
+
+    val outNames = ms.map(_.name) ++ plainMs.map(_.name)
+
+    // 3. semiadditive resolution down to the query grain; folded plain
+    //    measures re-aggregate their partials in the same pass
+    if (baseGrain.toSet == dims.toSet) {
+      // base grain IS the query grain: each group is a single base row,
+      // so a plain measure's re-aggregation is the partial itself
+      val plainCols = plainDecs.map { case (m, dec) =>
+        dec.finalizeAtGrain(identity).as(m.name)
+      }
+      valued.select(dims.map(col) ++ ms.map(m => col(m.name)) ++ plainCols: _*)
+    } else {
+      val resolvers = winDecs.map { case (m, _) =>
+        (m.window.head.semiadditive.getOrElse("last") match {
+          case "last"  => max_by(col(m.name), col(o))
+          case "first" => min_by(col(m.name), col(o))
+          case other   => sys.error(s"unsupported semiadditive rule '$other'")
+        }).as(m.name)
+      }
+      val plainAggs = plainDecs.map { case (m, dec) => dec.reaggregate(identity).as(m.name) }
+      val aggCols = resolvers ++ plainAggs
+      val resolved =
+        if (dims.isEmpty) valued.agg(aggCols.head, aggCols.tail: _*)
+        else valued.groupBy(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      resolved.select((dims ++ outNames).map(col): _*)
     }
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.api.MetricView
+import graft.mat.VersionedTable
 import graft.plan.Expander
 import graft.spec.MatViewSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,29 +21,44 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Runs as Structured Streaming `foreachBatch` + Trigger.AvailableNow:
   * each invocation drains newly-arrived files and folds them into the
-  * rollup atomically (write-then-swap), serving stale reads meanwhile —
-  * the reference's `mode: relaxed` semantics (schema.yml:108).
+  * rollup. Each fold writes a NEW [[VersionedTable]] snapshot and flips
+  * the pointer atomically, so concurrent readers keep a complete stale
+  * snapshot mid-fold — the reference's `mode: relaxed` semantics
+  * (schema.yml:108).
+  *
+  * Scale: a fold costs O(|batch| + |rollup|), never a source rescan —
+  * at 100 TB the rollup side is |dim-combination| rows, so maintenance
+  * cost tracks the arrival rate, not the table size.
   */
 final class IncrementalMaterializer(
     spark: SparkSession,
     workDir: String,
-    checkpointDir: String) {
+    checkpointDir: String,
+    resolve: String => DataFrame = name =>
+      sys.error(s"incremental materializer has no resolver for joined source '$name'")) {
 
   private def rollupPath(view: String, mv: String) = s"$workDir/$view/$mv"
 
-  /** Partial-agg frame of one batch of source rows for a rollup. */
+  /** Partial-agg frame of one batch of source rows for a rollup. The
+    * batch stands in for the view source inside the full row-level
+    * expansion, so semantic joins and the view filter apply to it
+    * exactly as in a batch build (dim tables resolve via `resolve`;
+    * they're treated as slowly-changing — the standard incremental-MV
+    * contract for star joins). */
   private def batchPartials(v: MetricView, mv: MatViewSpec, batch: DataFrame): DataFrame = {
     val dimCols = mv.dimensions.map(d => Expander.dimCol(spark, v.spec, d))
     val partials = mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials.map(_.agg))
-    val filtered = v.spec.filter.fold(batch)(f => batch.filter(expr(f)))
-    filtered.groupBy(dimCols: _*).agg(partials.head, partials.tail: _*)
+    val needed = mv.dimensions.map(v.spec.dimension(_).expr) ++
+      mv.measures.map(v.spec.measure(_).expr)
+    val rows = Expander.rowLevel(spark, v.spec,
+      name => if (name == v.spec.source) batch else resolve(name), needed)
+    rows.groupBy(dimCols: _*).agg(partials.head, partials.tail: _*)
   }
 
   /** Merge partial frames: union → groupBy dims → re-merge partials
     * (sum of sums, sum of counts, min of mins, max of maxs). */
   private def merge(v: MetricView, mv: MatViewSpec, frames: Seq[DataFrame]): DataFrame = {
     val merged = frames.reduce(_.unionByName(_))
-    val partialCols = merged.columns.filterNot(mv.dimensions.contains)
     val mergeAggs = mv.measures.flatMap { m =>
       v.decomposed(v.spec.measure(m)).get.partials.map(p => p.reagg(p.name).as(p.name))
     }
@@ -50,25 +66,27 @@ final class IncrementalMaterializer(
   }
 
   /** Fold one micro-batch of new source rows into every aggregated
-    * rollup of the view. Atomic swap via versioned directory + read
-    * redirection is elided here (single overwrite after computing from
-    * the previous snapshot into memory). */
+    * rollup of the view. The merged snapshot lands in a fresh version
+    * directory (reading the old snapshot while writing the new one is
+    * safe — they are different directories), then the pointer flips. */
   def foldBatch(v: MetricView, batch: DataFrame): Unit = {
     v.spec.materialization.toSeq.flatMap(_.materializedViews).filter(_.isAggregated)
       .foreach { mv =>
         val path = rollupPath(v.name, mv.name)
         val fresh = batchPartials(v, mv, batch)
         val updated =
-          if (new java.io.File(path).exists()) {
-            val old = spark.read.parquet(path)
-            merge(v, mv, Seq(old, fresh)).localCheckpoint(true) // cut lineage before overwrite
-          } else fresh.localCheckpoint(true)
-        updated.write.mode("overwrite").parquet(path)
+          if (VersionedTable.exists(path))
+            merge(v, mv, Seq(VersionedTable.read(spark, path), fresh))
+          else fresh
+        VersionedTable.write(updated, path)
       }
   }
 
   /** Maintain the rollups from a streaming source of new rows: drains
-    * available input (Trigger.AvailableNow) and folds each micro-batch. */
+    * available input (Trigger.AvailableNow) and folds each micro-batch.
+    * The checkpoint remembers which files were already folded, so the
+    * first call builds the rollup from scratch and every later call
+    * touches only the delta. */
   def maintain(v: MetricView, stream: DataFrame): Unit = {
     val q = stream.writeStream
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -78,4 +96,10 @@ final class IncrementalMaterializer(
       .start()
     q.awaitTermination()
   }
+
+  /** Forget fold progress (spec changed → rollups were reset; the next
+    * maintain() must re-fold from the beginning of the source). */
+  def resetCheckpoint(v: MetricView): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$checkpointDir/${v.name}"))
 }

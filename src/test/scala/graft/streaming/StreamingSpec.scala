@@ -86,7 +86,7 @@ class StreamingSpec extends SparkSpec {
     inc.foldBatch(v, part2)
 
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
-    val incremental = s.read.parquet(s"$work/${v.name}/${mv.name}")
+    val incremental = graft.mat.VersionedTable.read(s, s"$work/${v.name}/${mv.name}")
       .collect().map(_.toSeq).toSet
     // full recompute via the batch materializer path
     val full = part1.unionByName(part2)
@@ -112,8 +112,58 @@ class StreamingSpec extends SparkSpec {
     inc.maintain(v, s.readStream.schema(src.schema).parquet(srcDir))
 
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
-    val got = s.read.parquet(s"$work/${v.name}/${mv.name}")
+    val got = graft.mat.VersionedTable.read(s, s"$work/${v.name}/${mv.name}")
       .agg(sum("order_count__p0")).collect()(0).getLong(0)
     assert(got == 1000L)
+  }
+
+  test("catalog.refresh routes through incremental fold when a stream source exists") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cat_src").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_cat_work").toString
+    val src = graft.model.Models.stgOrders(s, sfDir)
+
+    val cat = new graft.api.MetricViewCatalog(s,
+      resolve = name => s.read.parquet(srcDir),
+      materializationDir = Some(work),
+      streamSource = name => Some(s.readStream.schema(src.schema).parquet(srcDir)))
+    src.limit(400).write.mode("append").parquet(srcDir)
+    val v = cat.createOrReplace("mv_orders_simple", graft.spec.Specs.all("mv_orders_simple"))
+
+    cat.refresh("mv_orders_simple") // first refresh = initial fold of everything
+    val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
+    val path = s"$work/${v.name}/${mv.name}"
+    def total = graft.mat.VersionedTable.read(s, path)
+      .agg(sum("order_count__p0")).collect()(0).getLong(0)
+    assert(total == 400L)
+    val v1 = graft.mat.VersionedTable.currentVersion(path)
+
+    src.limit(600).write.mode("append").parquet(srcDir) // delta arrives
+    cat.refresh("mv_orders_simple") // folds ONLY the delta
+    assert(total == 1000L)
+    assert(graft.mat.VersionedTable.currentVersion(path) != v1) // new snapshot, not overwrite
+
+    // routed query sees the folded state (isBuilt marked by refresh)
+    val routed = v.query(Seq("order_status"), Seq("order_count"))
+    assert(routed.agg(sum("order_count")).collect()(0).getLong(0) == 1000L)
+  }
+
+  test("versioned swap: a reader pinned before a rebuild keeps a complete snapshot") {
+    val work = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val cat = new graft.api.MetricViewCatalog(s,
+      graft.model.Models.resolve(s, sfDir, _), Some(work))
+    val v = cat.createOrReplace("mv_orders_simple", graft.spec.Specs.all("mv_orders_simple"))
+    cat.refresh("mv_orders_simple")
+
+    val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
+    val path = s"$work/${v.name}/${mv.name}"
+    val pinned = graft.mat.VersionedTable.read(s, path) // resolves the pre-rebuild pointer
+    val before = pinned.collect().map(_.toSeq).toSet
+
+    cat.materializer.get.build(v, force = true) // concurrent-rebuild stand-in
+
+    // the pinned reader still scans its complete old snapshot...
+    assert(pinned.collect().map(_.toSeq).toSet == before)
+    // ...and a fresh reader resolves the flipped pointer to the new one
+    assert(graft.mat.VersionedTable.read(s, path).collect().map(_.toSeq).toSet == before)
   }
 }
