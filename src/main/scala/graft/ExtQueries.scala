@@ -323,18 +323,16 @@ object ExtQueries {
     * `maxBucketSize`. df<2 fingerprints can't produce a pair and are
     * pruned by the same census. */
   def winnowDedup(s: SparkSession, dir: String, maxDocFreq: Int = 64): DataFrame = {
-    val prints = Tables.documents(s, dir)
+    val prints = Persists.cache(Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(graft.functions.WinnowingFingerprints(col("text"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(graft.functions.WinnowingFingerprints(col("text"))).as("fp")))
     // fingerprint census: map-side-combinable aggregate, then an
     // equi-join filter — never a window over the exploded table
     val okFp = prints.select("fp", "doc_id").distinct()
       .groupBy("fp").count()
       .filter(col("count") >= 2 && col("count") <= maxDocFreq)
       .select("fp")
-    val slim = prints.join(okFp, "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = Persists.cache(prints.join(okFp, "fp"))
     val a = slim.select(col("fp"), col("doc_id").as("a_id"))
     val b = slim.select(col("fp"), col("doc_id").as("b_id"))
     a.join(b, "fp").filter(col("a_id") < col("b_id"))

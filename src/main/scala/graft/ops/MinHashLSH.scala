@@ -88,13 +88,13 @@ object MinHashLSH {
     // subplans are not deduped by ReuseExchange — without the persist
     // the k-hash signature is computed twice). At cluster scale this
     // would be a checkpoint to storage; the shape is the same.
-    val withSig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
-      .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
-      .withColumn("__hs", baseHashes(col("__sh")))
-      .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
-      .select("__id", "__sh", "__sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = Persists.cache(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+        .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+        .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
+        .withColumn("__hs", baseHashes(col("__sh")))
+        .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
+        .select("__id", "__sh", "__sig"))
 
     // SLIM banded table: (band, bucket, id) — three fixed-width values
     // per row. The pair join must never carry the shingle arrays: at
@@ -117,8 +117,7 @@ object MinHashLSH {
       .filter(col("count") >= 2 && col("count") <= maxBucketSize)
       .select("__band", "__bucket")
 
-    val slim = banded.join(okBuckets, Seq("__band", "__bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = Persists.cache(banded.join(okBuckets, Seq("__band", "__bucket")))
 
     val pairs = slim.select(col("__band"), col("__bucket"), col("__id").as("a_id"))
       .join(slim.select(col("__band"), col("__bucket"), col("__id").as("b_id")),

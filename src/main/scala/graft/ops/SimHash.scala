@@ -46,8 +46,7 @@ object SimHash {
     require(maxHamming <= 3, "4-block banding guarantees recall only for hamming <= 3")
     // persisted: the block self-join reads it on both sides (see
     // MinHashLSH.candidatePairs)
-    val fp = fingerprints(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = Persists.cache(fingerprints(df, textCol, idCol))
     val blocked = fp.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => call_function("shiftright", col("simhash"), bi * 16).bitwiseAND(lit(0xffffL))))

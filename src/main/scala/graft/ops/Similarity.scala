@@ -110,25 +110,42 @@ object Similarity {
   }
 
   /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed then
-    * exactly verified. Output (a_id, b_id, cosine). */
+    * exactly verified. Output (a_id, b_id, cosine).
+    *
+    * Pair-join shape (same as MinHashLSH.candidatePairs): the bucket
+    * self-join carries ONLY (table, bucket, id) — at 10⁹ docs ×
+    * 1024-dim vectors, shipping the vectors through the pair join +
+    * dropDuplicates would shuffle the whole embedding corpus through
+    * the one wide stage twice. Ids shuffle; vectors stay put and are
+    * joined back by id only for the (candidates ≪ corpus) exact-cosine
+    * verify. Buckets with pathological collision counts are dropped by
+    * `maxBucketSize` (same skew census as minhash — df<2 buckets can't
+    * pair and are pruned by the same aggregate). */
   def embeddingNearDup(
       corpus: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 10, seed: Long = 42L, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // persisted: the bucket self-join reads the projected corpus on
-    // both sides (see MinHashLSH.candidatePairs)
-    val bucketed = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 10000): DataFrame = {
+    // persisted: the slim (table,bucket,id) table feeds the census and
+    // both sides of the self-join; vectors are NOT in it
+    val bucketed = Persists.cache(corpus.select(col(idCol).as("__nid"),
       posexplode(bucketsExpr(col(vecCol), tables, bits, dim, seed))
-        .as(Seq("__table", "__bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def withBuckets(id: String, v: String): DataFrame =
-      bucketed.select(col("__nid").as(id), col("__nv").as(v),
-        col("__table"), col("__bucket"))
-    val a = withBuckets("a_id", "__av")
-    val b = withBuckets("b_id", "__bv")
-    a.join(b, Seq("__table", "__bucket"))
+        .as(Seq("__table", "__bucket"))))
+    val okBuckets = bucketed.groupBy("__table", "__bucket")
+      .count()
+      .filter(col("count") >= 2 && col("count") <= maxBucketSize)
+      .select("__table", "__bucket")
+    val slim = bucketed.join(okBuckets, Seq("__table", "__bucket"))
+    val pairs = slim.select(col("__table"), col("__bucket"), col("__nid").as("a_id"))
+      .join(slim.select(col("__table"), col("__bucket"), col("__nid").as("b_id")),
+        Seq("__table", "__bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+    pairs
+      .join(vecs.select(col("__nid").as("a_id"), col("__nv").as("__av")), "a_id")
+      .join(vecs.select(col("__nid").as("b_id"), col("__nv").as("__bv")), "b_id")
       .withColumn("cosine", round(cosine(col("__av"), col("__bv")), 6))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.{ExtQueries, SparkSpec}
+
+/** Gate for the Persists release contract (VERDICT r2 "What's wrong"
+  * #2): operators persist intermediates for their self-join stages, and
+  * the QueryExecutionListener hook must unpersist them once the
+  * caller's terminal action finishes — a 38-query bench JVM must not
+  * accumulate dead cache blocks.
+  */
+class PersistLifecycleSpec extends SparkSpec {
+
+  /** The release listener fires on the (async) listener bus; poll. */
+  private def awaitNoPersistentRDDs(label: String): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"$label left persistent RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  private val persistingQueries =
+    Seq("q_dedup_minhash", "q_dedup_winnow", "q_embed_neardup",
+      "q_ngram_jaccard", "q_dedup_simhash")
+
+  persistingQueries.foreach { name =>
+    test(s"$name releases every persisted dataset after its action") {
+      val n = ExtQueries.all(name)(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+      awaitNoPersistentRDDs(name)
+    }
+  }
+
+  test("simhash nearDuplicates releases its fingerprint cache") {
+    SimHash.nearDuplicates(graft.model.Tables.documents(spark, sfDir)).count()
+    awaitNoPersistentRDDs("nearDuplicates")
+  }
+}
