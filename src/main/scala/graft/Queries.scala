@@ -247,6 +247,49 @@ object Queries {
         |FROM fct_orders WHERE order_year >= 1993
         |GROUP BY market_segment ORDER BY market_segment""".stripMargin
 
+  /** S5 via SQL: the full DDL lifecycle through spark.sql — CREATE OR
+    * REPLACE VIEW ... WITH METRICS LANGUAGE YAML (reference macros/
+    * generate_metric_views.sql:80-91), then a MEASURE() query over the
+    * DDL-created view. Re-running re-issues CREATE OR REPLACE, which
+    * must be idempotent (cache-preserving) like the reference macro. */
+  def sqlDdl(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.catalog(s, dir) // binds the catalog CREATE registers into
+    s.sql(
+      """CREATE OR REPLACE VIEW mv_ddl_priority
+        |COMMENT 'Revenue by priority, created through SQL DDL'
+        |WITH METRICS
+        |LANGUAGE YAML
+        |AS $$
+        |version: 0.1
+        |source: fct_orders
+        |dimensions:
+        |  - name: order_priority
+        |    expr: order_priority
+        |  - name: order_year
+        |    expr: order_year
+        |measures:
+        |  - name: order_count
+        |    expr: count(*)
+        |  - name: total_revenue
+        |    expr: sum(total_price)
+        |$$""".stripMargin)
+    s.sql(
+      """SELECT order_priority,
+        |       MEASURE(order_count) AS order_count,
+        |       CAST(MEASURE(total_revenue) AS DOUBLE) AS total_revenue
+        |FROM mv_ddl_priority
+        |WHERE order_year = 1996
+        |GROUP BY order_priority
+        |ORDER BY order_priority""".stripMargin)
+  }
+
+  val sqlDdlSql: String =
+    modelCtes +
+      """SELECT order_priority, count(*) AS order_count,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
+        |FROM fct_orders WHERE order_year = 1996
+        |GROUP BY order_priority ORDER BY order_priority""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
@@ -269,7 +312,8 @@ object Queries {
     "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
-    "q_sql_measure"           -> (sqlMeasure _))
+    "q_sql_measure"           -> (sqlMeasure _),
+    "q_sql_ddl"               -> (sqlDdl _))
 
   private def baseOracles: Map[String, String] = Map(
     "q_stg_orders"            -> stgOrdersSql,
@@ -281,5 +325,6 @@ object Queries {
     "q_mv_filtered"           -> mvOrdersSimpleFilteredSql,
     "q_mv_customer"           -> mvCustomerMetricsSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
-    "q_sql_measure"           -> sqlMeasureSql)
+    "q_sql_measure"           -> sqlMeasureSql,
+    "q_sql_ddl"               -> sqlDdlSql)
 }

@@ -139,6 +139,44 @@ object WindowQueries {
         |         AS ytd_revenue
         |FROM base ORDER BY order_date""".stripMargin
 
+  /** W1 with month/year trailing units (orderNumber's non-day paths)
+    * over fct_customer_summary: per segment, trailing-6-month and
+    * trailing-2-year spend by customers' last order date, plus a folded
+    * plain count. Frame semantics: RANGE over the month number
+    * (year*12+month-1) resp. the year number — value-ranged, so all
+    * same-period peers are in frame regardless of row order. */
+  def trailingMonthYear(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_customer_window")
+      .query(Seq("market_segment", "last_order_date"),
+        Seq("customers", "trailing_6m_spend", "trailing_2y_spend"),
+        where = Some("last_order_date IS NOT NULL"))
+      .select(col("market_segment"), col("last_order_date"), col("customers"),
+        col("trailing_6m_spend").cast("double").as("trailing_6m_spend"),
+        col("trailing_2y_spend").cast("double").as("trailing_2y_spend"))
+      .orderBy("market_segment", "last_order_date")
+
+  val trailingMonthYearSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT market_segment, last_order_date,
+        |         year(last_order_date) * 12 + month(last_order_date) - 1 AS mnum,
+        |         year(last_order_date) AS ynum,
+        |         count(*) AS n, sum(total_spent) AS s
+        |  FROM fct_customer_summary
+        |  WHERE last_order_date IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT market_segment, last_order_date, n AS customers,
+        |       CAST(sum(s) OVER (
+        |         PARTITION BY market_segment ORDER BY mnum
+        |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_6m_spend,
+        |       CAST(sum(s) OVER (
+        |         PARTITION BY market_segment ORDER BY ynum
+        |         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_2y_spend
+        |FROM base ORDER BY market_segment, last_order_date""".stripMargin
+
   // ------------------------------------------------------- routing (A9/A10)
 
   /** A10: routed to the revenue_by_segment rollup (reference
@@ -221,6 +259,7 @@ object WindowQueries {
     "q_win_cumulative"         -> (cumulative _),
     "q_win_semiadditive"       -> (semiadditiveMonthly _),
     "q_win_ytd"                -> (ytd _),
+    "q_win_month_year"         -> (trailingMonthYear _),
     "q_routed_segment"         -> (routedSegment _),
     "q_routed_monthly"         -> (routedMonthly _),
     "q_routed_where"           -> (routedWhere _),
@@ -233,6 +272,7 @@ object WindowQueries {
     "q_win_cumulative"         -> cumulativeSql,
     "q_win_semiadditive"       -> semiadditiveMonthlySql,
     "q_win_ytd"                -> ytdSql,
+    "q_win_month_year"         -> trailingMonthYearSql,
     "q_routed_segment"         -> routedSegmentSql,
     "q_routed_monthly"         -> routedMonthlySql,
     "q_routed_where"           -> routedWhereSql,

@@ -26,6 +26,10 @@ final class MetricView(
     val comment: Option[String] = None) {
 
   private def spark: SparkSession = catalog.spark
+
+  /** Catalog this view is registered in (SQL DDL routes drop/describe
+    * through the owning catalog). */
+  private[graft] def owner: MetricViewCatalog = catalog
   private val paths = Expander.joinPaths(spec.joins).map(_._1)
 
   /** Measure expr rewritten into (flat) source terms. */
@@ -173,6 +177,8 @@ final class MetricViewCatalog(
       * when the source is append-only — enables incremental refresh. */
     streamSource: String => Option[DataFrame] = _ => None) {
 
+  graft.sqlext.SqlMetricViews.bindCatalog(this) // SQL CREATE target
+
   private val views = scala.collection.mutable.LinkedHashMap[String, MetricView]()
   private[graft] val materializer: Option[graft.mat.Materializer] =
     materializationDir.map(new graft.mat.Materializer(_, resolve))
@@ -245,7 +251,7 @@ final class MetricViewCatalog(
       s.materialization.toSeq.flatMap { m =>
         Seq(
           "metric_view.materialization.mode" -> m.mode.getOrElse(""),
-          "metric_view.materialization.schedule" -> m.schedule.getOrElse(""),
+          "metric_view.materialization.schedule" -> m.schedule.map(_.json).getOrElse(""),
           "metric_view.materialization.views" ->
             m.materializedViews.map(mv => s"${mv.name}(${mv.mvType})").mkString(", "),
           "metric_view.materialization.built" ->

@@ -54,6 +54,18 @@ object WindowPlanner {
     case u       => sys.error(s"unsupported trailing-window unit '$u'")
   }
 
+  /** Tripwire for the empty-partition window path: an unpartitioned
+    * window must only ever see input pre-collapsed to the order grain
+    * ({order} ∪ reset keys) — anything wider means fact-scale rows
+    * through a single partition. */
+  private[plan] def requireCollapsedForGlobalWindow(
+      baseGrain: Seq[String], order: String, currentKeys: Seq[String]): Unit =
+    require(baseGrain.toSet.subsetOf(currentKeys.toSet + order),
+      s"global-grain window over uncollapsed input: base grain " +
+        s"(${baseGrain.mkString(", ")}) exceeds the order grain " +
+        s"(${(currentKeys :+ order).mkString(", ")}) — this would single-" +
+        "partition fact-scale data")
+
   /** The frame-sharing key: measures with the same (order, reset keys)
     * can share one base-grain partial aggregate and one window
     * partitioning — only the frame bounds differ per measure. */
@@ -128,7 +140,16 @@ object WindowPlanner {
     //    Spark's window planner shares the exchange (and the sort, when
     //    the order expression matches) across frames
     val partitionKeys = (dims.filterNot(_ == o) ++ currentKeys).distinct
-    val part = if (partitionKeys.isEmpty) Window.partitionBy() else
+    val part = if (partitionKeys.isEmpty) {
+      // Global-grain window: every input row lands in ONE partition
+      // (the `WindowExec: No Partition Defined` warning). Safe only
+      // because step 1 collapsed the input to the {o} ∪ reset-keys
+      // grain — |distinct order values| rows, never |fact| rows. The
+      // tripwire keeps a future edit to baseGrain from silently
+      // single-partitioning real data.
+      requireCollapsedForGlobalWindow(baseGrain, o, currentKeys)
+      Window.partitionBy()
+    } else
       Window.partitionBy(partitionKeys.map(col): _*)
     def frameFor(m: Measure): org.apache.spark.sql.expressions.WindowSpec =
       m.window.head.range match {

@@ -100,9 +100,37 @@ final case class JoinSpec(
     joins: Seq[JoinSpec] = Nil)
 
 final case class Materialization(
-    schedule: Option[String],
+    schedule: Option[Schedule],
     mode: Option[String],
     materializedViews: Seq[MatViewSpec])
+
+/** Typed refresh schedule, parsed from `every N <unit>` at YAML-parse
+  * time (reference models/schema.yml:36, :107) so garbage is rejected
+  * at CREATE, not at refresh. DESCRIBE surfaces the reference's JSON
+  * rendering (README.md:396). */
+final case class Schedule(interval: Int, unit: String) {
+  /** `{"type":"periodic","interval":6,"unit":"HOURS"}` */
+  def json: String = s"""{"type":"periodic","interval":$interval,"unit":"$unit"}"""
+  /** Schedule period in milliseconds (what a refresh daemon would arm). */
+  def periodMillis: Long = unit match {
+    case "MINUTES" => interval * 60L * 1000
+    case "HOURS"   => interval * 3600L * 1000
+    case "DAYS"    => interval * 86400L * 1000
+    case "WEEKS"   => interval * 7L * 86400 * 1000
+  }
+}
+
+object Schedule {
+  private val Re = "(?i)^\\s*every\\s+(\\d+)\\s+(minute|hour|day|week)s?\\s*$".r
+  def parse(s: String): Schedule = s match {
+    case Re(n, u) =>
+      val iv = n.toInt
+      require(iv > 0, s"schedule interval must be positive: '$s'")
+      Schedule(iv, u.toUpperCase + "S")
+    case _ => sys.error(
+      s"unparseable schedule '$s' (expected 'every N minutes/hours/days/weeks')")
+  }
+}
 
 /** One pre-computed table: `unaggregated` = row-level baseline cache,
   * `aggregated` = rollup keyed by a dimension subset

@@ -188,9 +188,38 @@ object Specs {
       |    expr: avg(cast(customer.c_acctbal as decimal(18,2)))
       |""".stripMargin
 
+  /** Window measures over fct_customer_summary with month/year trailing
+    * units (the schema.yml window grammar's other `range` units —
+    * README.md:250-259 documents `trailing N <unit>` generically). */
+  val mvCustomerWindow: String =
+    """version: 0.1
+      |source: fct_customer_summary
+      |dimensions:
+      |  - name: market_segment
+      |    expr: market_segment
+      |  - name: last_order_date
+      |    expr: last_order_date
+      |measures:
+      |  - name: customers
+      |    expr: count(*)
+      |  - name: trailing_6m_spend
+      |    expr: sum(total_spent)
+      |    window:
+      |      - order: last_order_date
+      |        range: trailing 6 months
+      |        semiadditive: last
+      |  - name: trailing_2y_spend
+      |    expr: sum(total_spent)
+      |    window:
+      |      - order: last_order_date
+      |        range: trailing 2 years
+      |        semiadditive: last
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,
     "mv_customer_metrics" -> mvCustomerMetrics,
-    "mv_sales_geo"        -> mvSalesGeo)
+    "mv_sales_geo"        -> mvSalesGeo,
+    "mv_customer_window"  -> mvCustomerWindow)
 }

@@ -66,7 +66,7 @@ object YamlParser {
 
   private def parseMat(m: Map[String, Object]): Materialization =
     Materialization(
-      schedule = str(m, "schedule"), mode = str(m, "mode"),
+      schedule = str(m, "schedule").map(Schedule.parse), mode = str(m, "mode"),
       materializedViews = seq(m, "materialized_views").map { v =>
         val vm = asMap(v)
         MatViewSpec(

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MeasureMarker(args.head)))
     ext.injectResolutionRule(s => new MeasureExpansionRule(s))
+    // SQL-string DDL lifecycle (CREATE ... WITH METRICS LANGUAGE YAML /
+    // DROP VIEW / DESCRIBE / SHOW TBLPROPERTIES) — see MetricViewDdl
+    ext.injectParser((_, delegate) => new MetricViewSqlParser(delegate))
   }
 }
 
@@ -60,4 +63,12 @@ object SqlMetricViews {
   def unregister(name: String): Unit = views.remove(name)
   def get(name: String): Option[MetricView] = views.get(name)
   def clear(): Unit = views.clear()
+
+  /** Catalog that SQL `CREATE ... WITH METRICS` registers into — the
+    * most recently constructed one (each MetricViewCatalog binds itself;
+    * DROP/DESCRIBE go to the owning catalog of the named view, so only
+    * CREATE needs this process-wide default). */
+  @volatile private var bound: Option[MetricViewCatalog] = None
+  def bindCatalog(cat: MetricViewCatalog): Unit = bound = Some(cat)
+  def boundCatalog: Option[MetricViewCatalog] = bound
 }

@@ -94,6 +94,9 @@ class ExpanderSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("source") == "fct_orders")
     assert(props("metric_view.materialization.mode") == "relaxed")
+    // typed schedule rendering (reference README.md:396)
+    assert(props("metric_view.materialization.schedule") ==
+      """{"type":"periodic","interval":6,"unit":"HOURS"}""")
     assert(props("metric_view.materialization.built") == "true")
     assert(props("metric_view.materialization.views").contains("revenue_by_segment(aggregated)"))
   }

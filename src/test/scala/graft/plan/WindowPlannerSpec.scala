@@ -111,6 +111,18 @@ class WindowPlannerSpec extends SparkSpec {
     }
   }
 
+  test("global-window tripwire: uncollapsed base grain is rejected") {
+    // the unpartitioned window path may only see order-grain input
+    WindowPlanner.requireCollapsedForGlobalWindow(
+      Seq("order_date"), "order_date", Nil) // collapsed: fine
+    WindowPlanner.requireCollapsedForGlobalWindow(
+      Seq("order_date", "order_year"), "order_date", Seq("order_year")) // YTD stack: fine
+    assertThrows[IllegalArgumentException] {
+      WindowPlanner.requireCollapsedForGlobalWindow(
+        Seq("market_segment", "order_date"), "order_date", Nil) // fact-wide grain: trip
+    }
+  }
+
   test("decomposed avg over window equals exact avg of the frame") {
     val rows = Seq(("a", 0, 10L), ("a", 1, 20L), ("a", 3, 40L), ("a", 12, 7L))
     val got = catalogFor(rows).get("mv_series")

@@ -16,7 +16,7 @@ class YamlParserSpec extends AnyFunSuite {
     val ytd = s.measure("ytd_revenue")
     assert(ytd.window.map(_.range) == Seq(RangeSpec.Cumulative, RangeSpec.Current))
     val mat = s.materialization.get
-    assert(mat.schedule.contains("every 6 hours"))
+    assert(mat.schedule.contains(Schedule(6, "HOURS")))
     assert(mat.mode.contains("relaxed"))
     assert(mat.materializedViews.map(_.name) == Seq("baseline", "revenue_by_segment", "monthly_revenue"))
     assert(mat.materializedViews.find(_.name == "revenue_by_segment").get.dimensions ==
@@ -51,6 +51,22 @@ class YamlParserSpec extends AnyFunSuite {
     assert(RangeSpec.parse("cumulative") == RangeSpec.Cumulative)
     assert(RangeSpec.parse("current") == RangeSpec.Current)
     assertThrows[RuntimeException](RangeSpec.parse("sliding 3"))
+  }
+
+  test("schedule grammar: typed parse, JSON render, garbage rejected") {
+    assert(Schedule.parse("every 6 hours") == Schedule(6, "HOURS"))
+    assert(Schedule.parse("every 1 hour") == Schedule(1, "HOURS"))
+    assert(Schedule.parse("every 8 weeks") == Schedule(8, "WEEKS"))
+    assert(Schedule.parse("every 30 minutes") == Schedule(30, "MINUTES"))
+    assert(Schedule.parse("EVERY 2 Days") == Schedule(2, "DAYS"))
+    assert(Schedule(6, "HOURS").json == """{"type":"periodic","interval":6,"unit":"HOURS"}""")
+    assert(Schedule(8, "WEEKS").periodMillis == 8L * 7 * 86400 * 1000)
+    assertThrows[RuntimeException](Schedule.parse("every tuesday"))
+    assertThrows[RuntimeException](Schedule.parse("6 hours"))
+    assertThrows[RuntimeException](Schedule.parse("every 0 hours"))
+    // rejection happens at YAML-parse (= CREATE) time
+    assertThrows[RuntimeException](YamlParser.parse(
+      Specs.mvOrdersSimple.replace("every 8 weeks", "whenever")))
   }
 
   test("spec hash is stable and materialization-sensitive") {
