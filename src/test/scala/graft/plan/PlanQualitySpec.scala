@@ -63,6 +63,20 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("month/year window frames share one window exchange") {
+    // two frames with different order numbers (month, year) over the
+    // same partition keys must cost one exchange + two sorts, never two
+    // independent scan→agg→window pipelines
+    val df = graft.WindowQueries.trailingMonthYear(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val windowNodes = plan.split("\n").count(_.trim.startsWith("Window ")) +
+      plan.split("\n").count(_.contains("+- Window "))
+    assert(windowNodes >= 2, plan)
+    val windowExchanges = "Exchange hashpartitioning\\(market_segment#\\d+, \\d+\\)".r
+      .findAllIn(plan).size
+    assert(windowExchanges == 1, plan)
+  }
+
   test("metric expansion emits a single aggregation (no extra shuffles)") {
     val df = cat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("total_revenue", "total_orders", "avg_order_value"))
