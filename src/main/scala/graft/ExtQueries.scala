@@ -433,6 +433,142 @@ object ExtQueries {
       |       8 AS feature_dim
       |FROM b ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------- sampling / selection
+
+  /** Deterministic train/val/test split over documents (md5-mod
+    * assignment — stable under corpus growth) with exact per-split
+    * stats. Per-row codegen, one tiny aggregate; oracled bit-for-bit
+    * because both engines share md5. */
+  def splitStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split", Sampling.splitAssign(col("doc_id")))
+      .withColumn("token_count", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("token_count").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+
+  val splitStatsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS token_count,
+      |         ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1) * 4096
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) * 256
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1) * 16
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100 AS pct
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(token_count) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Quality selection: top-5 documents per predicted language by
+    * quality score (the "keep the best k per group" pipeline stage).
+    * One shuffle on the group key; deterministic tiebreak by doc_id. */
+  def qualityTopK(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.textStats(Tables.documents(s, dir))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .select("doc_id", "lang_pred", "quality_score")
+    Sampling.topKPerGroup(scored, col("lang_pred"), col("quality_score"),
+        col("doc_id"), k = 5)
+      .select("lang_pred", "rk", "doc_id", "quality_score")
+      .orderBy("lang_pred", "rk")
+  }
+
+  val qualityTopKSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |), stats AS (
+      |  SELECT doc_id, text, len(tk) AS token_count,
+      |         round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+      |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+      |         round(CAST(len(list_filter(tk, w -> list_contains(['the','a','an','of','and','or','is','are','in','on','to','it','this','that','with','for','as','at','by','be'], w))) AS DOUBLE) / len(tk), 6) AS stopword_ratio
+      |  FROM toks
+      |), scored AS (
+      |  SELECT doc_id,
+      |         round(least(1.0, greatest(0.0,
+      |           0.15 * ln(1.0 + token_count)
+      |           - 2.0 * punct_ratio - 2.0 * digit_ratio
+      |           - abs(stopword_ratio - 0.35))), 6) AS quality_score,
+      |         string_split_regex(trim(lower(text)), '\s+') AS ltk,
+      |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+      |         greatest(length(text), 1) AS tlen
+      |  FROM stats
+      |), langs AS (
+      |  SELECT doc_id, quality_score,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['the','a','of','and','is','to','in','that','it','for'], w))) AS DOUBLE) / (len(ltk)+1) AS s_en,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], w))) AS DOUBLE) / (len(ltk)+1) AS s_de,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], w))) AS DOUBLE) / (len(ltk)+1) AS s_fr,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['el','la','los','las','y','es','un','una','que','por'], w))) AS DOUBLE) / (len(ltk)+1) AS s_es,
+      |    CAST(cjk AS DOUBLE) / tlen * 10.0 AS s_zh
+      |  FROM scored
+      |), pred AS (
+      |  SELECT doc_id, quality_score,
+      |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0.005 THEN 'und'
+      |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      |         ELSE 'zh' END AS lang_pred
+      |  FROM langs
+      |), ranked AS (
+      |  SELECT lang_pred, doc_id, quality_score,
+      |         CAST(row_number() OVER (PARTITION BY lang_pred
+      |           ORDER BY quality_score DESC, doc_id ASC) AS INT) AS rk
+      |  FROM pred
+      |)
+      |SELECT lang_pred, rk, doc_id, quality_score
+      |FROM ranked WHERE rk <= 5 ORDER BY lang_pred, rk""".stripMargin
+
+  /** Exact length quantiles per predicted language (corpus profiling).
+    * Exact `percentile` matches DuckDB's `quantile_cont` bit-for-bit at
+    * binary-exact fractions (.25/.5/.75) over integer inputs. At
+    * 100 TB this becomes `approx_percentile` (sketch-mergeable, one
+    * pass) — exact percentile is used here because it is
+    * cross-engine-checkable. */
+  def lengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("char_count", length(col("text")))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(char_count, 0.25)").as("p25"),
+        expr("percentile(char_count, 0.5)").as("p50"),
+        expr("percentile(char_count, 0.75)").as("p75"))
+      .orderBy("lang_pred")
+
+  val lengthQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS char_count,
+      |         string_split_regex(trim(lower(text)), '\s+') AS ltk,
+      |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+      |         greatest(length(text), 1) AS tlen
+      |  FROM documents
+      |), langs AS (
+      |  SELECT doc_id, char_count,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['the','a','of','and','is','to','in','that','it','for'], w))) AS DOUBLE) / (len(ltk)+1) AS s_en,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], w))) AS DOUBLE) / (len(ltk)+1) AS s_de,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], w))) AS DOUBLE) / (len(ltk)+1) AS s_fr,
+      |    CAST(len(list_filter(ltk, w -> list_contains(['el','la','los','las','y','es','un','una','que','por'], w))) AS DOUBLE) / (len(ltk)+1) AS s_es,
+      |    CAST(cjk AS DOUBLE) / tlen * 10.0 AS s_zh
+      |  FROM t
+      |), pred AS (
+      |  SELECT char_count,
+      |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0.005 THEN 'und'
+      |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      |         ELSE 'zh' END AS lang_pred
+      |  FROM langs
+      |)
+      |SELECT lang_pred, count(*) AS n,
+      |       quantile_cont(char_count, 0.25) AS p25,
+      |       quantile_cont(char_count, 0.5) AS p50,
+      |       quantile_cont(char_count, 0.75) AS p75
+      |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,7 +589,10 @@ object ExtQueries {
     "q_ann_ivf"           -> (annIvf _),
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
-    "q_stream_window"     -> (streamWindow _))
+    "q_stream_window"     -> (streamWindow _),
+    "q_split_stats"       -> (splitStats _),
+    "q_quality_topk"      -> (qualityTopK _),
+    "q_length_quantiles"  -> (lengthQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -465,7 +604,10 @@ object ExtQueries {
     "q_top_parts"         -> topPartsSql,
     "q_ann_brute"         -> annBruteForceSql,
     "q_cube_revenue"      -> cubeRevenueSql,
-    "q_multimodal_decode" -> multimodalDecodeSql)
+    "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_split_stats"       -> splitStatsSql,
+    "q_quality_topk"      -> qualityTopKSql,
+    "q_length_quantiles"  -> lengthQuantilesSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a large-scale training pipeline needs
+  * around the dedup/quality stages: deterministic split assignment and
+  * per-group top-k selection.
+  *
+  * Both are pure per-row / single-shuffle shapes:
+  *  - split assignment is a per-row hash → codegen, no shuffle, and
+  *    STABLE: a document's split never changes when the corpus grows
+  *    (the classic md5-mod contract used for holdout sets);
+  *  - top-k per group is one shuffle on the group key; the per-group
+  *    sort is bounded by the group's row count (for heavy groups at
+  *    web scale, pre-filter with an approximate quality threshold or
+  *    use a two-phase partial top-k — the plan shape stays one
+  *    exchange either way).
+  *
+  * md5 (not xxhash64) is deliberate: it is the one hash both engines
+  * of the correctness gate share, so split assignment is DuckDB-
+  * oracle-checkable bit-for-bit. At 100 TB md5-per-row is still
+  * scan-bound (codegen'd, no shuffle); swap in xxhash64 for pure
+  * speed if cross-engine checkability is not needed.
+  */
+object Sampling {
+
+  private val HexAlphabet = lit("0123456789abcdef")
+
+  /** Uniform bucket in [0, 16^chars) from the md5 of the id's decimal
+    * string — deterministic, engine-independent, stable under corpus
+    * growth. */
+  def md5Bucket(id: Column, chars: Int = 4): Column =
+    (0 until chars).map { i =>
+      (call_function("instr", HexAlphabet,
+        substring(md5(id.cast("string")), i + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (chars - 1 - i)))
+    }.reduce(_ + _)
+
+  /** Named split by percent thresholds over bucket % 100:
+    * [0,train) → "train", [train,train+val) → "val", rest → "test". */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val pct = md5Bucket(id) % 100
+    when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Top-k rows per group by (orderCol desc, tiebreak asc): the
+    * quality-selection shape ("keep the k best docs per language /
+    * domain"). One shuffle on the group key; rank column `rk`. */
+  def topKPerGroup(
+      df: DataFrame, groupCol: Column, orderCol: Column, tiebreak: Column,
+      k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(orderCol.desc, tiebreak.asc)))
+      .filter(col("rk") <= k)
+}
