@@ -253,7 +253,11 @@ object Queries {
     * DDL-created view. Re-running re-issues CREATE OR REPLACE, which
     * must be idempotent (cache-preserving) like the reference macro. */
   def sqlDdl(s: SparkSession, dir: String): DataFrame = {
-    SparkEntry.catalog(s, dir) // binds the catalog CREATE registers into
+    // bind() on every call, not just first construction: another catalog
+    // on this session (e.g. matCatalog, built later) may hold the
+    // session's CREATE binding — the cached-catalog fast path must still
+    // deterministically route this query's CREATE here (ADVICE r3)
+    SparkEntry.catalog(s, dir).bind()
     s.sql(
       """CREATE OR REPLACE VIEW mv_ddl_priority
         |COMMENT 'Revenue by priority, created through SQL DDL'

@@ -177,14 +177,21 @@ final class MetricViewCatalog(
       * when the source is append-only — enables incremental refresh. */
     streamSource: String => Option[DataFrame] = _ => None) {
 
-  graft.sqlext.SqlMetricViews.bindCatalog(this) // SQL CREATE target
-
   private val views = scala.collection.mutable.LinkedHashMap[String, MetricView]()
   private[graft] val materializer: Option[graft.mat.Materializer] =
     materializationDir.map(new graft.mat.Materializer(_, resolve))
   private[graft] val incremental: Option[graft.streaming.IncrementalMaterializer] =
     materializationDir.map(d =>
       new graft.streaming.IncrementalMaterializer(spark, d, s"$d/_checkpoints", resolve))
+
+  /** Make this catalog the target of SQL `CREATE ... WITH METRICS` on
+    * its session. Called once construction is complete (binding in the
+    * middle of the constructor would publish a partially-initialized
+    * `this` — ADVICE r3); call again to take the binding over from a
+    * later-constructed catalog on the same session. */
+  def bind(): this.type = { graft.sqlext.SqlMetricViews.bindCatalog(this); this }
+
+  bind() // default SQL CREATE target for this session (last field is initialized above)
 
   /** CREATE OR REPLACE (not drop+create): an unchanged spec keeps its
     * materialization caches — reference macros/generate_metric_views

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -10,46 +11,79 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * The operators return lazy DataFrames, so they cannot unpersist
   * before the caller's terminal action; instead every persist is
-  * registered here and released by a [[QueryExecutionListener]] that
-  * fires after each action completes — a long-lived session (or a
-  * 38-query bench JVM) must not accumulate dead cache blocks that
-  * squeeze execution memory. Releasing is always safe: persist is a
-  * performance hint, and an unpersisted dataset that is read again
-  * simply recomputes. PersistLifecycleSpec gates this: no persistent
-  * RDDs may survive an ext query's action.
+  * registered here and released by a [[QueryExecutionListener]] after
+  * an action completes — a long-lived session (or a 43-query bench JVM)
+  * must not accumulate dead cache blocks that squeeze execution memory.
+  *
+  * Release is scoped to the action that owns the persist (ADVICE r3):
+  * a completed action releases only registrations whose plan it
+  * actually consumed (`sameResult` subtree match against the action's
+  * analyzed plan), at most one registration per distinct plan. Because
+  * Spark's CacheManager keys cached data by plan — a second `persist`
+  * of an equal plan shares the first's cache entry — the entry is
+  * unpersisted only when no *other* registration still references the
+  * same plan. So an unrelated action releases nothing, and back-to-back
+  * runs of the same query (min-of-3 bench) can overlap with the
+  * previous run's async listener without losing their live cache.
+  * Releasing is always safe regardless: persist is a performance hint,
+  * and an unpersisted dataset that is read again simply recomputes.
+  * PersistLifecycleSpec gates this: no persistent RDDs may survive an
+  * ext query's action.
   */
 object Persists {
-  private val registered =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private final case class Entry(ds: Dataset[_], plan: LogicalPlan)
+  private val registered = scala.collection.mutable.ArrayBuffer[Entry]()
   private val installed = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   /** Persist MEMORY_AND_DISK, register for release after the next
-    * completed action on this session. */
+    * completed action that consumes this dataset's plan. */
   def cache[T](ds: Dataset[T]): Dataset[T] = {
     install(ds.sparkSession)
     val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registered.add(p)
+    synchronized { registered += Entry(p, p.queryExecution.analyzed) }
     p
   }
 
   /** Idempotently hook the session so every finished action (success or
-    * failure) releases the persists registered up to that point. The
-    * listener bus delivers asynchronously — callers who assert on
-    * storage state must wait (see PersistLifecycleSpec.awaitRelease). */
+    * failure) releases the persists it consumed. The listener bus
+    * delivers asynchronously — callers who assert on storage state must
+    * wait (see PersistLifecycleSpec.awaitRelease). */
   private def install(spark: SparkSession): Unit =
     if (installed.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          releaseAll()
+          releaseFor(qe)
         override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-          releaseAll()
+          releaseFor(qe)
       })
     }
 
-  /** Unpersist everything registered since the last release. */
+  private def consumed(qe: QueryExecution, plan: LogicalPlan): Boolean =
+    try qe.analyzed.exists(_.sameResult(plan))
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Release the registrations owned by this completed action: oldest
+    * registration per distinct consumed plan; unpersist only plans with
+    * no surviving registration (shared CacheManager entry semantics). */
+  def releaseFor(qe: QueryExecution): Unit = {
+    val toUnpersist = synchronized {
+      val claimed = scala.collection.mutable.ArrayBuffer[Entry]()
+      val keep = scala.collection.mutable.ArrayBuffer[Entry]()
+      registered.foreach { e =>
+        if (!claimed.exists(_.plan.sameResult(e.plan)) && consumed(qe, e.plan)) claimed += e
+        else keep += e
+      }
+      registered.clear(); registered ++= keep
+      claimed.filterNot(c => keep.exists(_.plan.sameResult(c.plan)))
+    }
+    toUnpersist.foreach(_.ds.unpersist(false))
+  }
+
+  /** Unconditionally unpersist every surviving registration (session
+    * teardown / test cleanup). */
   def releaseAll(): Unit = {
-    var ds = registered.poll()
-    while (ds != null) { ds.unpersist(false); ds = registered.poll() }
+    val all = synchronized { val a = registered.toVector; registered.clear(); a }
+    all.foreach(_.ds.unpersist(false))
   }
 }

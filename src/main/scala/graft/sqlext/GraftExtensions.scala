@@ -64,11 +64,18 @@ object SqlMetricViews {
   def get(name: String): Option[MetricView] = views.get(name)
   def clear(): Unit = views.clear()
 
-  /** Catalog that SQL `CREATE ... WITH METRICS` registers into — the
-    * most recently constructed one (each MetricViewCatalog binds itself;
-    * DROP/DESCRIBE go to the owning catalog of the named view, so only
-    * CREATE needs this process-wide default). */
-  @volatile private var bound: Option[MetricViewCatalog] = None
-  def bindCatalog(cat: MetricViewCatalog): Unit = bound = Some(cat)
-  def boundCatalog: Option[MetricViewCatalog] = bound
+  /** Catalog that SQL `CREATE ... WITH METRICS` registers into, keyed
+    * per SparkSession (ADVICE r3: a process-global last-wins binding is
+    * ordering-dependent and wrong with multiple sessions/dirs in one
+    * JVM). Each MetricViewCatalog binds itself for its session at the
+    * end of construction — a later catalog on the same session takes
+    * the binding over, and a caller that needs a specific target (e.g.
+    * the q_sql_ddl wrapper on a cache hit) re-binds explicitly via
+    * [[graft.api.MetricViewCatalog.bind]]. DROP/DESCRIBE go to the
+    * owning catalog of the named view, so only CREATE consults this. */
+  private val bound =
+    scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession, MetricViewCatalog]()
+  def bindCatalog(cat: MetricViewCatalog): Unit = bound(cat.spark) = cat
+  def boundCatalog(session: org.apache.spark.sql.SparkSession): Option[MetricViewCatalog] =
+    bound.get(session)
 }

@@ -91,8 +91,8 @@ object MetricViewDdl {
 case class CreateMetricViewCommand(name: String, comment: Option[String], yaml: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val cat = SqlMetricViews.boundCatalog.getOrElse(sys.error(
-      "no MetricViewCatalog bound to this process — construct one before using metric-view DDL"))
+    val cat = SqlMetricViews.boundCatalog(session).getOrElse(sys.error(
+      "no MetricViewCatalog bound to this session — construct one before using metric-view DDL"))
     cat.createOrReplace(name, yaml, comment)
     Seq.empty
   }

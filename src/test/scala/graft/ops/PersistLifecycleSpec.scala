@@ -35,4 +35,21 @@ class PersistLifecycleSpec extends SparkSpec {
     SimHash.nearDuplicates(graft.model.Tables.documents(spark, sfDir)).count()
     awaitNoPersistentRDDs("nearDuplicates")
   }
+
+  test("an unrelated action does not release another query's persist (ADVICE r3 race)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val ds = Persists.cache(
+      graft.model.Tables.documents(spark, sfDir).select(col("doc_id"), length(col("text")).as("len")))
+    assert(ds.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    // an unrelated action completes; with the old drain-everything
+    // release this unpersisted ds before its owner ever ran
+    spark.range(10).count()
+    Thread.sleep(1000) // listener bus is async; give a wrong release time to land
+    assert(ds.storageLevel == StorageLevel.MEMORY_AND_DISK,
+      "unrelated action released a persist it did not consume")
+    // the owning action then consumes and releases it
+    ds.count()
+    awaitNoPersistentRDDs("unrelated-action race")
+  }
 }

@@ -7,7 +7,9 @@ import graft.{SparkEntry, SparkSpec}
   * → drop, driven through spark.sql only. */
 class SqlDdlSpec extends SparkSpec {
 
-  private def init(): Unit = SparkEntry.catalog(spark, sfDir) // binds catalog
+  // explicit bind: another suite's catalog on the shared session may
+  // hold the CREATE binding (per-session, last bind wins)
+  private def init(): Unit = SparkEntry.catalog(spark, sfDir).bind()
 
   private val createSql =
     """CREATE OR REPLACE VIEW mv_ddl_test
@@ -112,6 +114,21 @@ class SqlDdlSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("no_such_column")
       || e.getMessage.contains("UNRESOLVED"))
     assert(SqlMetricViews.get("mv_ddl_bad").isEmpty)
+  }
+
+  test("CREATE routes to the explicitly bound catalog, not the last-constructed one") {
+    init()
+    val target = SparkEntry.catalog(spark, sfDir)
+    // a later catalog takes the session binding over by default...
+    val later = new graft.api.MetricViewCatalog(spark, graft.model.Models.resolve(spark, sfDir, _))
+    assert(SqlMetricViews.boundCatalog(spark).contains(later))
+    // ...but an explicit bind() re-targets deterministically (the
+    // q_sql_ddl cache-hit path) and CREATE lands in the bound catalog
+    target.bind()
+    spark.sql(createSql)
+    assert(target.maybeGet("mv_ddl_test").isDefined)
+    assert(later.maybeGet("mv_ddl_test").isEmpty)
+    spark.sql("DROP VIEW IF EXISTS mv_ddl_test")
   }
 
   test("non-metric-view statements still hit the stock parser") {
