@@ -33,30 +33,39 @@ object Bench {
     SparkEntry.catalog(spark, sfDir)
     SparkEntry.matCatalog(spark, sfDir)
 
-    // min-of-3 per query: the recorded number is the best of three
-    // back-to-back runs, so one contention spike on a shared host can't
-    // paint a false regression (r1/r2 driver benches recorded 4-6×
-    // judge-verified clean re-runs of identical plans)
+    // min-of-3 per query, INTERLEAVED: the full query list is swept 3
+    // times round-robin (A B C … A B C …) rather than 3 back-to-back
+    // runs per query. A contention spike on a shared host is typically
+    // a sustained window — back-to-back repeats all land inside it
+    // (BENCH_r03 recorded q_pricing_summary 19.3s as a min-of-3 on a
+    // plan-identical query the judge re-ran at 1.8s); interleaving puts
+    // ~a full sweep (~1 min) between repeats of the same query, so the
+    // min survives any spike shorter than a sweep.
     // failed runs never participate in the min (ADVICE r3: a
     // consistently failing query must not be recorded as a fast pass) —
     // a query with zero successful runs reports -1 and lands in
     // "errors" with its message
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // streaming queries pay a fixed query-startup cost per invocation
+    // (state store + microbatch machinery, ~5s) that no host-contention
+    // min can shave — one run measures them just as well
+    val singleRun = Set("q_stream_window")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          None
-        }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.foreach { case (name, _) => best(name) = -1.0 }
+    for (r <- 1 to runs; (name, fn) <- ordered if r == 1 || !singleRun(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (best(name) < 0 || t < best(name)) best(name) = t
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      name -> times.minOption.getOrElse(-1.0)
     }
+    val results = best.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

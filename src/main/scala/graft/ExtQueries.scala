@@ -126,8 +126,12 @@ object ExtQueries {
 
   /** Structured-Streaming surface in the driver contract: watermarked
     * tumbling-window agg over events driven by Trigger.AvailableNow into
-    * a memory sink (rows-only; append-mode watermark boundary semantics
-    * are spec-tested against batch instead of oracled). */
+    * a memory sink. The append-mode result IS deterministic — after the
+    * final (empty) AvailableNow batch the watermark settles at
+    * max(ts) - delay, and exactly the windows with
+    * `window_end <= watermark` have been emitted — so it is oracled as
+    * batch SQL with that cutoff (streaming == batch is additionally
+    * spec-tested in StreamingSpec). */
   /** Staged copies of the events table for streaming reads, keyed by
     * source dir — written once per JVM so repeated invocations (bench
     * loops, verify) don't pay a full table re-write each call. */
@@ -149,6 +153,22 @@ object ExtQueries {
       sink)
     s.table(sink).orderBy("window_start", "event_type")
   }
+
+  /** DuckDB re-expression of the streaming query's deterministic final
+    * state: 1-hour tumbling windows (epoch-aligned, same as Spark's
+    * `window()`), emitted iff the window closed under the final
+    * watermark max(ts) - 1h. */
+  val streamWindowSql: String =
+    """WITH m AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM events),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT window_start, event_type, n_events, total_value
+      |FROM w, m WHERE window_start + INTERVAL '1 hour' <= wm
+      |ORDER BY window_start, event_type""".stripMargin
 
   // ------------------------------------------------- classic analytics bench
 
@@ -607,7 +627,8 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_split_stats"       -> splitStatsSql,
     "q_quality_topk"      -> qualityTopKSql,
-    "q_length_quantiles"  -> lengthQuantilesSql)
+    "q_length_quantiles"  -> lengthQuantilesSql,
+    "q_stream_window"     -> streamWindowSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable
@@ -620,12 +641,9 @@ object ExtQueries {
     *  - q_ann_lsh / q_ann_ivf / q_embed_neardup: approximate indexes —
     *    output depends on xxhash64-seeded planes / sampled centroids;
     *    recall vs the ORACLED q_ann_brute is spec-tested
-    *    (SimilaritySpec).
-    *  - q_stream_window: row set depends on microbatch watermark
-    *    advancement (AvailableNow batching), not SQL-stable; streaming
-    *    == batch equivalence is spec-tested (StreamingSpec). */
+    *    (SimilaritySpec). */
   val rowsOnly: Set[String] = Set(
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_ann_lsh", "q_embed_neardup", "q_ann_ivf",
-    "q_dedup_winnow", "q_stream_window")
+    "q_dedup_winnow")
 }
