@@ -391,6 +391,52 @@ object ExtQueries {
       .limit(20)
   }
 
+  /** Duplicate-cluster resolution: transitively merge docs linked by
+    * shared structural keys (first-3-words, last-3-words) into
+    * connected components; each doc gets its cluster's canonical id
+    * (min doc_id — the survivor a dedup stage keeps) + cluster size.
+    * Oracled: DuckDB computes the same fixpoint with a recursive CTE
+    * (min reachable label over the symmetric edge set). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      array_join(slice(words, 1, 3), " ").as("k1"),
+      array_join(slice(reverse(words), 1, 3), " ").as("k2"))
+    val edges = ConnectedComponents.keyEdges(keyed, "doc_id", Seq("k1", "k2"))
+    val comp = ConnectedComponents.run(
+      keyed.select(col("doc_id").as("id")), edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(broadcast(sizes), "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE k AS (
+      |  SELECT doc_id,
+      |         array_to_string((string_split(text, ' '))[1:3], ' ') AS k1,
+      |         array_to_string(list_reverse(string_split(text, ' '))[1:3], ' ') AS k2
+      |  FROM documents
+      |), e1 AS (
+      |  SELECT min(doc_id) OVER (PARTITION BY k1) AS src, doc_id AS dst FROM k
+      |), e2 AS (
+      |  SELECT min(doc_id) OVER (PARTITION BY k2) AS src, doc_id AS dst FROM k
+      |), edges AS (
+      |  SELECT src, dst FROM e1 WHERE src <> dst
+      |  UNION SELECT src, dst FROM e2 WHERE src <> dst
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+      |), reach AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM k
+      |  UNION
+      |  SELECT s.dst AS id, r.label FROM reach r JOIN sym s ON s.src = r.id
+      |), comp AS (
+      |  SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY 1
+      |)
+      |SELECT doc_id, component,
+      |       count(*) OVER (PARTITION BY component) AS cluster_size
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   /** IVF ANN (data-adaptive cells; rows-only — recall spec-tested). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -609,6 +655,7 @@ object ExtQueries {
     "q_ann_ivf"           -> (annIvf _),
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
+    "q_dedup_clusters"    -> (dedupClusters _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -628,7 +675,8 @@ object ExtQueries {
     "q_split_stats"       -> splitStatsSql,
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
-    "q_stream_window"     -> streamWindowSql)
+    "q_stream_window"     -> streamWindowSql,
+    "q_dedup_clusters"    -> dedupClustersSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable

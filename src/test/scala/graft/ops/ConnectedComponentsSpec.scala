@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Correctness of distributed min-label connected components:
+  * transitivity through chains, multi-key star merging, singleton
+  * preservation, and the non-convergence guard. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edgePairs: Seq[(Long, Long)], n: Long): Map[Long, Long] = {
+    val nodes = (0L until n).toDF("id")
+    val edges = edgePairs.toDF("src", "dst")
+    ConnectedComponents.run(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain: transitive closure collapses to the min id") {
+    // 0-1-2-3-4-5 path (diameter 5 — multiple propagation rounds)
+    val comp = components(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 8L)
+    assert((0L to 5L).forall(comp(_) == 0L))
+    assert(comp(6L) == 6L && comp(7L) == 7L) // singletons keep own label
+  }
+
+  test("two stars merged by a bridge") {
+    // star A: 1<-{2,3}, star B: 4<-{5,6}; bridge 3-6 merges all into 1
+    val comp = components(Seq((1L, 2L), (1L, 3L), (4L, 5L), (4L, 6L), (3L, 6L)), 7L)
+    assert((1L to 6L).forall(comp(_) == 1L))
+    assert(comp(0L) == 0L)
+  }
+
+  test("edge direction and duplicates are irrelevant") {
+    val a = components(Seq((2L, 1L), (1L, 2L), (2L, 1L)), 3L)
+    assert(a(1L) == 1L && a(2L) == 1L && a(0L) == 0L)
+  }
+
+  test("keyEdges builds per-key stars and CC merges across keys") {
+    // k1 groups {0,1} and {2,3}; k2 groups {1,2} → all one component
+    val df = Seq(
+      (0L, "a", "x"), (1L, "a", "y"), (2L, "b", "y"), (3L, "b", "z"))
+      .toDF("doc_id", "k1", "k2")
+    val edges = ConnectedComponents.keyEdges(df, "doc_id", Seq("k1", "k2"))
+    // star shape: |group|-1 edges per group, hub = min id
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es == Set((0L, 1L), (2L, 3L), (1L, 2L)))
+    val comp = ConnectedComponents.run(df.select(col("doc_id").as("id")), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(comp(_) == 0L))
+  }
+
+  test("non-convergence throws instead of returning a wrong fixpoint") {
+    val nodes = (0L until 6L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(nodes, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("q_dedup_clusters: every cluster is keyed by its min member and sizes add up") {
+    val out = graft.ExtQueries.dedupClusters(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp) // canonical id = min doc_id
+      assert(members.forall(_._3 == members.size)) // cluster_size consistent
+    }
+    assert(rows.length == rows.map(_._1).distinct.length) // one row per doc
+  }
+}
