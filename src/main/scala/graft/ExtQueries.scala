@@ -170,6 +170,31 @@ object ExtQueries {
       |FROM w, m WHERE window_start + INTERVAL '1 hour' <= wm
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** As-of join: every purchase event picks up the user's most recent
+    * click at-or-before it (ts + value). Oracled against DuckDB's
+    * native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    AsOfJoin(purchases, clicks, Seq("user_id"), "ts",
+        struct(col("ts").as("click_ts"), col("value").as("click_value")))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       c.ts AS click_ts, c.value AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------- classic analytics bench
 
   /** TPC-H Q1-shaped pricing summary over lineitem: the canonical
@@ -656,6 +681,7 @@ object ExtQueries {
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
+    "q_asof_join"         -> (asofJoin _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -676,7 +702,8 @@ object ExtQueries {
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,
-    "q_dedup_clusters"    -> dedupClustersSql)
+    "q_dedup_clusters"    -> dedupClustersSql,
+    "q_asof_join"         -> asofJoinSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable
