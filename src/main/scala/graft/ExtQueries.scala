@@ -170,6 +170,40 @@ object ExtQueries {
       |FROM w, m WHERE window_start + INTERVAL '1 hour' <= wm
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Benchmark decontamination over documents: docs with doc_id % 50
+    * == 0 play the eval set; every other doc reports how many of its
+    * distinct word-4-grams appear in the eval set (4-grams because the
+    * fixture vocabulary is tiny; real corpora use 8-13). Fully
+    * SQL-expressible, so oracled. */
+  def decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.scan(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0),
+        n = 4)
+      .orderBy("doc_id")
+  }
+
+  val decontamSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+      |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1))) AS i) t
+      |), bench AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+      |), hits AS (
+      |  SELECT g.doc_id, count(*) AS n_hit_ngrams
+      |  FROM g JOIN bench USING (gram)
+      |  WHERE g.doc_id % 50 <> 0
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id, coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+      |       coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** As-of join: every purchase event picks up the user's most recent
     * click at-or-before it (ts + value). Oracled against DuckDB's
     * native ASOF LEFT JOIN. */
@@ -682,6 +716,7 @@ object ExtQueries {
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_asof_join"         -> (asofJoin _),
+    "q_decontam"          -> (decontam _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -703,7 +738,8 @@ object ExtQueries {
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,
     "q_dedup_clusters"    -> dedupClustersSql,
-    "q_asof_join"         -> asofJoinSql)
+    "q_asof_join"         -> asofJoinSql,
+    "q_decontam"          -> decontamSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable
