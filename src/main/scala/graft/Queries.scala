@@ -173,6 +173,25 @@ object Queries {
         |FROM stg_orders WHERE order_status = 'F'
         |GROUP BY order_priority ORDER BY order_priority""".stripMargin
 
+  /** DISTINCT-aggregate measure: count(distinct customer_id) beside an
+    * additive measure. The distinct measure is non-decomposable
+    * (AggDecompose → None), so this query MUST compute from raw rows
+    * even when rollups exist — RoutingSpec gates the refusal; here the
+    * plain catalog exercises the on-the-fly path's DISTINCT handling. */
+  def mvOrdersDistinct(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_simple")
+      .query(Seq("order_priority"), Seq("unique_customers", "total_revenue"))
+      .select(col("order_priority"), col("unique_customers"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("order_priority")
+
+  val mvOrdersDistinctSql: String =
+    modelCtes +
+      """SELECT order_priority,
+        |       count(DISTINCT customer_id) AS unique_customers,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
+        |FROM stg_orders GROUP BY order_priority ORDER BY order_priority""".stripMargin
+
   /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
     * measure with datediff/nullif. */
   def mvCustomerMetrics(s: SparkSession, dir: String): DataFrame =
@@ -314,6 +333,7 @@ object Queries {
     "q_mv_segment"            -> (mvOrderMetricsBySegment _),
     "q_mv_year_status"        -> (mvOrderMetricsYearStatus _),
     "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
+    "q_mv_distinct"           -> (mvOrdersDistinct _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_sql_measure"           -> (sqlMeasure _),
@@ -327,6 +347,7 @@ object Queries {
     "q_mv_segment"            -> mvOrderMetricsBySegmentSql,
     "q_mv_year_status"        -> mvOrderMetricsYearStatusSql,
     "q_mv_filtered"           -> mvOrdersSimpleFilteredSql,
+    "q_mv_distinct"           -> mvOrdersDistinctSql,
     "q_mv_customer"           -> mvCustomerMetricsSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_sql_measure"           -> sqlMeasureSql,

@@ -89,10 +89,13 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist(false)
-    require(changed == 0L,
-      s"connected components did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the dup-cluster assumption; use a " +
-        "large-star/small-star variant for chain-shaped graphs")
+    if (changed != 0L) {
+      persisted.unpersist(false) // failure path must not leak the iterate
+      throw new IllegalArgumentException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the dup-cluster assumption; use a " +
+          "large-star/small-star variant for chain-shaped graphs")
+    }
     // the final iterate stays cached until the caller's terminal action
     Persists.cache(persisted)
     labels

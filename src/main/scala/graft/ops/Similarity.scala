@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Left-to-right double dot-product fold of two float-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p: Column, q: Column) =>
+      p.cast("double") * q.cast("double")),
+      lit(0.0), (acc: Column, v: Column) => acc + v)
+
   /** Cosine similarity of two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p: Column, q: Column) =>
-        p.cast("double") * q.cast("double")),
-        lit(0.0), (acc: Column, v: Column) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** L2 norm — precompute ONCE per vector when cosines are evaluated
+    * per pair: `dot/(norm_a*norm_b)` is bit-identical to [[cosine]]
+    * (same doubles, same multiply order) at a third of the fold work. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cosine). */
@@ -142,11 +148,18 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+    // norms are computed once per VECTOR here, not once per pair — a
+    // candidate set c·|corpus| pairs would otherwise re-fold each
+    // vector's self-dot ~c times
+    val vecs = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+      l2norm(col(vecCol)).as("__nn"))
     pairs
-      .join(vecs.select(col("__nid").as("a_id"), col("__nv").as("__av")), "a_id")
-      .join(vecs.select(col("__nid").as("b_id"), col("__nv").as("__bv")), "b_id")
-      .withColumn("cosine", round(cosine(col("__av"), col("__bv")), 6))
+      .join(vecs.select(col("__nid").as("a_id"), col("__nv").as("__av"),
+        col("__nn").as("__an")), "a_id")
+      .join(vecs.select(col("__nid").as("b_id"), col("__nv").as("__bv"),
+        col("__nn").as("__bn")), "b_id")
+      .withColumn("cosine",
+        round(dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")), 6))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }

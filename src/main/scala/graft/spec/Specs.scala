@@ -6,7 +6,11 @@ package graft.spec
   */
 object Specs {
 
-  /** models/schema.yml:13-49 (on stg_orders). */
+  /** models/schema.yml:13-49 (on stg_orders), plus one engine
+    * extension: `unique_customers` (a DISTINCT aggregate — Databricks
+    * metric views accept these; it exercises the non-additive routing
+    * refusal, since count(distinct) can never be served from
+    * pre-aggregated partials). */
   val mvOrdersSimple: String =
     """version: 0.1
       |source: stg_orders
@@ -24,6 +28,8 @@ object Specs {
       |    expr: sum(total_price)
       |  - name: avg_order_value
       |    expr: avg(total_price)
+      |  - name: unique_customers
+      |    expr: count(distinct customer_id)
       |materialization:
       |  schedule: every 8 weeks
       |  mode: relaxed

@@ -51,6 +51,21 @@ class RoutingSpec extends SparkSpec {
     assert(routed.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
+  test("DISTINCT measure refuses rollup routing (non-additive) but stays correct") {
+    // count(distinct customer_id) cannot be re-aggregated from stored
+    // partials — serving it from orders_by_status would double-count
+    // customers spanning statuses. It must fall back to raw/baseline
+    // rows even though the rollup covers the requested dims.
+    val q = mat.get("mv_orders_simple")
+      .query(Seq("order_status"), Seq("unique_customers", "order_count"))
+    val p = scans(q)
+    assert(!p.contains("orders_by_status"),
+      s"distinct measure must not read the aggregated rollup:\n$p")
+    val direct = plain.get("mv_orders_simple")
+      .query(Seq("order_status"), Seq("unique_customers", "order_count"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("uncovered measure falls back (avg not in any rollup) but stays correct") {
     val q = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("avg_order_value"))

@@ -67,7 +67,11 @@ class SqlMeasureSpec extends SparkSpec {
   }
 
   test("routed SQL query scans the rollup, not the raw source") {
-    SparkEntry.matCatalog(spark, sfDir) // registers + builds rollups
+    // register the MATERIALIZING catalog's views for SQL resolution
+    // explicitly: constructing matCatalog only registers on a cache
+    // miss, so suite-order (who constructed catalogs last) would
+    // otherwise decide whether this query can route
+    SqlMetricViews.registerAll(SparkEntry.matCatalog(spark, sfDir))
     val df = spark.sql(
       """SELECT market_segment, MEASURE(total_revenue) AS r
         |FROM mv_order_metrics GROUP BY market_segment""".stripMargin)
