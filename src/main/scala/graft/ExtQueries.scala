@@ -92,6 +92,32 @@ object ExtQueries {
       |       ELSE 'zh' END AS lang_pred
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals (word-level duplicate/top-share/
+    * adjacent-repeat) + threshold flag over documents. Oracled. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |         round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_ratio,
+      |         len(list_filter(range(2, len(ws) + 1), i -> ws[i] = ws[i-1])) AS adjacent_dup_count
+      |  FROM w
+      |), u AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM w
+      |), c AS (
+      |  SELECT doc_id, max(cnt) AS top FROM (
+      |    SELECT doc_id, word, count(*) AS cnt FROM u GROUP BY doc_id, word
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.n_words, b.dup_word_ratio,
+      |       round(CAST(c.top AS DOUBLE) / b.n_words, 6) AS top_word_ratio,
+      |       b.adjacent_dup_count,
+      |       (b.dup_word_ratio > 0.8 OR round(CAST(c.top AS DOUBLE) / b.n_words, 6) > 0.2) AS flagged
+      |FROM base b JOIN c USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------- sessionization
 
   /** Gap-based sessionization of the events table (30 min gap). */
@@ -717,6 +743,7 @@ object ExtQueries {
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
+    "q_repetition"        -> (repetition _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -739,7 +766,8 @@ object ExtQueries {
     "q_stream_window"     -> streamWindowSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     "q_asof_join"         -> asofJoinSql,
-    "q_decontam"          -> decontamSql)
+    "q_decontam"          -> decontamSql,
+    "q_repetition"        -> repetitionSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable

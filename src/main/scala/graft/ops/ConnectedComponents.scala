@@ -69,7 +69,13 @@ object ConnectedComponents {
     var persisted = nodes.select(col("id").cast("long").as("id"),
         col("id").cast("long").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
+    // round n references labels twice (neighbor join + merge join);
+    // without truncation the logical plan is a 2^rounds tree (copying
+    // transforms expand the shared subplan) and the DRIVER dies in
+    // analysis. Each round's labels are re-rooted as a flat LogicalRDD
+    // over the persisted iterate — the RDD reads the cache lazily.
+    var labels = org.apache.spark.sql.GraftBridge
+      .flatten(persisted.toDF("id", "component"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -78,14 +84,16 @@ object ConnectedComponents {
         .groupBy("src").agg(min("component").as("nb_min"))
       val next = labels
         .join(nbMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
+        .select(col("id"),
           least(col("component"), coalesce(col("nb_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (col("nb_min") < col("component")).as("__changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("component") < col("prev")).count()
+      changed = next.filter(col("__changed")).count()
       persisted.unpersist(false)
       persisted = next
-      labels = next.select("id", "component")
+      labels = org.apache.spark.sql.GraftBridge
+        .flatten(next.select("id", "component"))
       iter += 1
     }
     sym.unpersist(false)
@@ -97,7 +105,8 @@ object ConnectedComponents {
           "large-star/small-star variant for chain-shaped graphs")
     }
     // the final iterate stays cached until the caller's terminal action
-    Persists.cache(persisted)
+    // consumes the flat wrapper (its plan no longer embeds the iterate)
+    Persists.cacheBehind(persisted, labels)
     labels
   }
 }

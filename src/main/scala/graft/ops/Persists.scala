@@ -45,6 +45,18 @@ object Persists {
     p
   }
 
+  /** Persist `ds`, but key its release on `visible`'s plan — for
+    * operators that hand callers a lineage-truncated wrapper (a
+    * `LogicalRDD` from [[org.apache.spark.sql.GraftBridge.flatten]])
+    * whose plan no longer contains `ds`'s subtree. The caller's action
+    * consumes `visible`; completing it releases `ds`. */
+  def cacheBehind[T](ds: Dataset[T], visible: Dataset[_]): Dataset[T] = {
+    install(ds.sparkSession)
+    val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { registered += Entry(p, visible.queryExecution.analyzed) }
+    p
+  }
+
   /** Idempotently hook the session so every finished action (success or
     * failure) releases the persists it consumed. The listener bus
     * delivers asynchronously — callers who assert on storage state must

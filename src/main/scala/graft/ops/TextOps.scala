@@ -53,6 +53,40 @@ object TextOps {
         - lit(2.0) * punct - lit(2.0) * digit
         - abs(stop - lit(0.35))))
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021
+    * §A1.1 use duplicate-line/ngram fractions to drop degenerate docs;
+    * these are the word-level analogues for the fixture corpus):
+    * `dup_word_ratio` (1 − |distinct words|/|words|), `top_word_ratio`
+    * (most frequent word's share), `adjacent_dup_count` (immediate
+    * word repeats). The ratio columns are per-row codegen HOFs; the
+    * top-word share is one (id, word) shuffle with map-side combine —
+    * never a per-row O(len²) nested scan, which would blow up on long
+    * documents. `flagged` applies the documented thresholds. */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__ws"))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - size(array_distinct(col("__ws"))).cast("double")
+          / col("n_words"), 6))
+      .withColumn("adjacent_dup_count",
+        size(filter(zip_with(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (a: Column, b: Column) => a === b), x => x)).cast("long"))
+    val topCounts = df.select(col(idCol), explode(toks).as("__w"))
+      .groupBy(idCol, "__w").count()
+      .groupBy(idCol).agg(max("count").as("__top"))
+    base.join(topCounts, Seq(idCol))
+      .withColumn("top_word_ratio",
+        round(col("__top").cast("double") / col("n_words"), 6))
+      .withColumn("flagged",
+        col("dup_word_ratio") > 0.8 || col("top_word_ratio") > 0.2)
+      .select(col(idCol), col("n_words"), col("dup_word_ratio"),
+        col("top_word_ratio"), col("adjacent_dup_count"), col("flagged"))
+  }
+
   /** Content fingerprint: md5 over whitespace-collapsed, lower-cased
     * text. Exact-dup keys at any scale (hash-groupBy distributes). */
   def fingerprint(text: Column): Column =

@@ -20,4 +20,18 @@ object GraftBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** Truncate lineage: re-root `df` as a flat `LogicalRDD` over its
+    * (lazy) internal-row RDD. Iterative algorithms whose round-n plan
+    * references round n−1 twice (e.g. label propagation's
+    * join-then-merge) otherwise build 2^rounds-node logical trees —
+    * tree-copying transforms turn the shared-subplan DAG into an
+    * exponential tree and the driver dies in analysis, not execution.
+    * The RDD still reads the source's cache when computed; nothing is
+    * materialized here. */
+  def flatten(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    cds.sparkSession.internalCreateDataFrame(
+      cds.queryExecution.toRdd, cds.schema)
+  }
 }

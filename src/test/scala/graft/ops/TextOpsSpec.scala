@@ -43,6 +43,20 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("repetitionStats: ratios, adjacent runs, and flag thresholds") {
+    val df = Seq(
+      (1L, "a a a a a"),           // degenerate: all one word
+      (2L, "a b c d e"),           // all distinct, no repeats
+      (3L, "a b a b c c"))         // one adjacent repeat (c c)
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got(0) == ((1L, 5L, 0.8, 1.0, 4L, true)))   // top ratio 1.0 flags
+    assert(got(1) == ((2L, 5L, 0.0, 0.2, 0L, false)))  // 0.2 is not > 0.2
+    assert(got(2) == ((3L, 6L, 0.5, 0.333333, 1L, true)))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val df = Seq((1L, "aa bb"), (2L, "aa  bb"), (3L, "cc")).toDF("doc_id", "text")
     val got = TextOps.exactDedup(df).orderBy("keep_id")
