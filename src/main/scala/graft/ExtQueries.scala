@@ -92,6 +92,52 @@ object ExtQueries {
       |       ELSE 'zh' END AS lang_pred
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document (keyword extraction — the
+    * "characterize each doc by its distinguishing terms" profiling
+    * stage). Scale shape: the document-frequency table is
+    * vocabulary-sized (≪ corpus) and broadcast, as is the 1-row corpus
+    * count; the corpus side is one (doc, word) shuffle with map-side
+    * combine, then one window per doc for the top-k. ln matches DuckDB
+    * at 6-dp rounding (same precedent as quality_score). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    Sampling.topKPerGroup(scored, col("doc_id"), col("score"), col("word"), k = 3)
+      .select("doc_id", "rk", "word", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |), u AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM w
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM u GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, word, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, word ASC) AS INT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rk, word, score FROM ranked
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** Gopher-style repetition signals (word-level duplicate/top-share/
     * adjacent-repeat) + threshold flag over documents. Oracled. */
   def repetition(s: SparkSession, dir: String): DataFrame =
@@ -744,6 +790,7 @@ object ExtQueries {
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
     "q_repetition"        -> (repetition _),
+    "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -767,7 +814,8 @@ object ExtQueries {
     "q_dedup_clusters"    -> dedupClustersSql,
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,
-    "q_repetition"        -> repetitionSql)
+    "q_repetition"        -> repetitionSql,
+    "q_tfidf_terms"       -> tfidfTopTermsSql)
 
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable

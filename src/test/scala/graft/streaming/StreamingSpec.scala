@@ -71,6 +71,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("streaming dedup within watermark == batch dropDuplicates") {
+    val events = Tables.events(s, sfDir)
+    // hour-bucketed key: duplicate keys are by construction within one
+    // watermark horizon of each other, so streaming state never evicts
+    // a key that could still see a duplicate → result equals batch
+    val keyed = events.withColumn("hour_bucket",
+      date_trunc("hour", col("ts")))
+    val keys = Seq("user_id", "event_type", "hour_bucket")
+    val batch = keyed.dropDuplicates(keys)
+      .select("user_id", "event_type", "hour_bucket")
+      .collect().map(_.toSeq).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(events.schema).parquet(tmp)
+      .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+    runAvailableNow(
+      dedupStream(stream, keys).select("user_id", "event_type", "hour_bucket"),
+      "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    val streamed = s.table("dedup_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("incremental rollup maintenance == full recompute after appends") {
     val cat = graft.SparkEntry.catalog(s, sfDir)
     val v = cat.get("mv_orders_simple")
