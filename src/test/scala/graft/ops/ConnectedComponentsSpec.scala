@@ -49,6 +49,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((0L to 3L).forall(comp(_) == 0L))
   }
 
+  test("returned plan is lineage-truncated (flat), not 2^rounds deep") {
+    // a 10-hop chain needs ~10 propagation rounds; without per-round
+    // flattening the logical plan would be ~2^10 nodes and this count
+    // explodes (the sf0.1 driver-OOM regression)
+    val nodes = (0L until 12L).toDF("id")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+    var n = 0
+    out.queryExecution.analyzed.foreach(_ => n += 1)
+    assert(n <= 5, s"expected a flat LogicalRDD-rooted plan, got $n nodes")
+    assert(out.collect().forall(_.getLong(1) == 0L))
+  }
+
   test("non-convergence throws instead of returning a wrong fixpoint") {
     val nodes = (0L until 6L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
