@@ -828,9 +828,12 @@ object ExtQueries {
     *  - q_ann_lsh / q_ann_ivf / q_embed_neardup: approximate indexes —
     *    output depends on xxhash64-seeded planes / sampled centroids;
     *    recall vs the ORACLED q_ann_brute is spec-tested
-    *    (SimilaritySpec). */
+    *    (SimilaritySpec).
+    *  - q_mv_approx: DataSketches HLL estimate — no DuckDB equivalent;
+    *    routed == direct equality is RoutingSpec-gated, and the exact
+    *    companion (q_mv_distinct) IS oracled. */
   val rowsOnly: Set[String] = Set(
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_ann_lsh", "q_embed_neardup", "q_ann_ivf",
-    "q_dedup_winnow")
+    "q_dedup_winnow", "q_mv_approx")
 }

@@ -192,6 +192,15 @@ object Queries {
         |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
         |FROM stg_orders GROUP BY order_priority ORDER BY order_priority""".stripMargin
 
+  /** HLL approx-distinct measure beside the exact one (rows-only: the
+    * DataSketches estimate has no DuckDB equivalent; routed == direct
+    * equality and the rollup-scan plan are gated in RoutingSpec). */
+  def mvOrdersApprox(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_simple")
+      .query(Seq("order_priority"),
+        Seq("approx_unique_customers", "unique_customers"))
+      .orderBy("order_priority")
+
   /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
     * measure with datediff/nullif. */
   def mvCustomerMetrics(s: SparkSession, dir: String): DataFrame =
@@ -334,6 +343,7 @@ object Queries {
     "q_mv_year_status"        -> (mvOrderMetricsYearStatus _),
     "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
     "q_mv_distinct"           -> (mvOrdersDistinct _),
+    "q_mv_approx"             -> (mvOrdersApprox _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_sql_measure"           -> (sqlMeasure _),

@@ -88,6 +88,14 @@ object AggDecompose {
             fresh(
               sum(when(args.head, 1L).otherwise(0L)),
               c => sum(col(c)), post = coalesce(_, lit(0L)))
+          case "hll_sketch_agg" if f.arguments.length == 1 =>
+            // the 100 TB answer to distinct counts: HLL sketches are
+            // STORABLE, MERGEABLE partials (register-max union is exact
+            // over unions of inputs), so approx-distinct measures route
+            // through rollups — unlike count(DISTINCT), which refuses.
+            // The scalar hll_sketch_estimate stays in the combiner
+            // template and applies after re-aggregation.
+            fresh(hll_sketch_agg(args.head), c => hll_union_agg(col(c)))
           case _ if aggNames(fname) => { ok = false; f }
           case _ => f // scalar function — leave in the combiner template
         }
@@ -121,5 +129,6 @@ object AggDecompose {
     "sum", "count", "min", "max", "avg", "mean", "count_if",
     "first", "last", "collect_list", "collect_set", "stddev", "variance",
     "stddev_samp", "var_samp", "percentile", "median", "approx_count_distinct",
-    "first_value", "last_value", "any_value", "max_by", "min_by")
+    "first_value", "last_value", "any_value", "max_by", "min_by",
+    "hll_sketch_agg", "hll_union_agg")
 }

@@ -6,11 +6,13 @@ package graft.spec
   */
 object Specs {
 
-  /** models/schema.yml:13-49 (on stg_orders), plus one engine
-    * extension: `unique_customers` (a DISTINCT aggregate — Databricks
-    * metric views accept these; it exercises the non-additive routing
-    * refusal, since count(distinct) can never be served from
-    * pre-aggregated partials). */
+  /** models/schema.yml:13-49 (on stg_orders), plus two engine
+    * extensions: `unique_customers` (a DISTINCT aggregate — exercises
+    * the non-additive routing refusal, since count(distinct) can never
+    * be served from pre-aggregated partials) and
+    * `approx_unique_customers` (HLL sketch — the scale answer to the
+    * same question: sketches ARE storable mergeable partials, so this
+    * one routes through the orders_by_status rollup). */
   val mvOrdersSimple: String =
     """version: 0.1
       |source: stg_orders
@@ -30,6 +32,8 @@ object Specs {
       |    expr: avg(total_price)
       |  - name: unique_customers
       |    expr: count(distinct customer_id)
+      |  - name: approx_unique_customers
+      |    expr: hll_sketch_estimate(hll_sketch_agg(customer_id))
       |materialization:
       |  schedule: every 8 weeks
       |  mode: relaxed
@@ -43,6 +47,7 @@ object Specs {
       |      measures:
       |        - order_count
       |        - total_revenue
+      |        - approx_unique_customers
       |""".stripMargin
 
   /** models/schema.yml:65-130 (on fct_orders) — window measures +

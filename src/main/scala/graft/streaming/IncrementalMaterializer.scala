@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.Trigger
   * partial-aggregate union + re-aggregate: old partials ⊎ batch
   * partials → groupBy dims → merged partials. sum/count are always
   * incrementable; min/max only under append-only sources (enforced
-  * here by contract — streaming file sources are append-only).
+  * here by contract — streaming file sources are append-only). HLL
+  * sketch partials (approx-distinct measures) fold by register-max
+  * union — also append-only-exact, estimates identical to a full
+  * rebuild (StreamingSpec).
   *
   * Runs as Structured Streaming `foreachBatch` + Trigger.AvailableNow:
   * each invocation drains newly-arrived files and folds them into the

@@ -66,6 +66,22 @@ class RoutingSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
+  test("HLL approx-distinct measure ROUTES through the rollup (sketches are mergeable partials)") {
+    // the scale counterpart of the DISTINCT refusal above: HLL register
+    // union over per-group sketches is exact w.r.t. the union of
+    // inputs, so the stored sketch partials re-aggregate to any dim
+    // subset — including re-grouping orders_by_status's (order_status)
+    // rows to the global grain
+    val q = mat.get("mv_orders_simple")
+      .query(Seq("order_status"), Seq("approx_unique_customers"))
+    val p = scans(q)
+    assert(p.contains("orders_by_status"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_simple")
+      .query(Seq("order_status"), Seq("approx_unique_customers"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("uncovered measure falls back (avg not in any rollup) but stays correct") {
     val q = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("avg_order_value"))
