@@ -16,21 +16,20 @@ import org.apache.spark.storage.StorageLevel
   * its neighbors; at fixpoint each component is labeled by its min node
   * id (the canonical survivor a dedup stage keeps).
   *
-  * Scale shape: one round = one shuffle of the symmetric edge table
-  * joined to the current labels (hash join on node id) + one
-  * map-side-combinable `min` aggregate. Rounds = graph diameter — dup
-  * clusters built from [[keyEdges]] stars have diameter O(#key columns)
-  * (every group member is ≤1 hop from the group's min-id hub), not
-  * O(cluster size), so the loop converges in a handful of rounds even
-  * for very large clusters. Per-round iterates are persisted and the
-  * previous round's released immediately after the convergence count;
-  * only the final labels survive, registered with [[Persists]] so the
-  * caller's terminal action releases them. For adversarially deep
-  * graphs (long chains, not dup-cluster shaped) the O(log n)-round
-  * alternating large-star/small-star algorithm (Kiveris et al., MR/
-  * Beyond) is the drop-in upgrade; min-label is chosen here because the
-  * dup-cluster edge sets this engine produces are hub-shaped by
-  * construction.
+  * Scale shape: one round = a neighbor-min step (one shuffle of the
+  * symmetric edge table joined to current labels + one
+  * map-side-combinable `min` aggregate) followed by a pointer-jump
+  * step (`l(v) ← min(l(v), l(l(v)))`, one self-join on the label) —
+  * the shortcutting makes rounds O(log diameter) rather than
+  * O(diameter), the same doubling idea as the large-star/small-star
+  * family (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"). Dup clusters built from [[keyEdges]] stars are
+  * additionally hub-shaped (diameter O(#key columns)), so in practice
+  * the loop converges in a handful of rounds at any cluster size.
+  * Per-round iterates are persisted and the previous round's released
+  * immediately after the convergence count; only the final labels
+  * survive, registered with [[Persists]] so the caller's terminal
+  * action releases them.
   *
   * (Reference scope note: the dbt reference has no graph operator —
   * this belongs to the LLM-pipeline extension surface the engine adds
@@ -82,14 +81,26 @@ object ConnectedComponents {
       val nbMin = sym
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .groupBy("src").agg(min("component").as("nb_min"))
-      val next = labels
+      // step 1: neighbor-min (one hop of propagation)
+      val m1 = labels
         .join(nbMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nb_min"), col("component")))
-            .as("component"),
-          (col("nb_min") < col("component")).as("__changed"))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // step 2: pointer jump — l(v) ← min(l(v), l(l(v))). Shortcutting
+      // compresses label chains so deep (chain-shaped) graphs converge
+      // in O(log diameter) rounds, not O(diameter); labels only ever
+      // decrease, so the combined fixpoint is still exactly the
+      // neighbor-min fixpoint (= min id per component)
+      val lookup = m1.select(col("id").as("__cid"), col("component").as("__cc"))
+      val jumped = least(col("component"), coalesce(col("__cc"), col("component")))
+      val next = m1.join(lookup, col("component") === col("__cid"), "left")
+        .select(col("id"), jumped.as("component"),
+          (jumped < col("prev")).as("__changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("__changed")).count()
+      m1.unpersist(false)
       persisted.unpersist(false)
       persisted = next
       labels = org.apache.spark.sql.GraftBridge
@@ -101,8 +112,8 @@ object ConnectedComponents {
       persisted.unpersist(false) // failure path must not leak the iterate
       throw new IllegalArgumentException(
         s"connected components did not converge in $maxIter rounds — " +
-          "graph diameter exceeds the dup-cluster assumption; use a " +
-          "large-star/small-star variant for chain-shaped graphs")
+          "with pointer jumping this needs ~log2(diameter) rounds; " +
+          "raise maxIter for extraordinarily deep graphs")
     }
     // the final iterate stays cached until the caller's terminal action
     // consumes the flat wrapper (its plan no longer embeds the iterate)
