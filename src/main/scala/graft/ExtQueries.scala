@@ -659,6 +659,26 @@ object ExtQueries {
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic stratified sample: 3 docs per source, drawn by
+    * md5-hash rank — reproducible subsampling with zero RNG
+    * coordination. Oracled (md5 is shared with DuckDB). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        col("source"), col("doc_id"), k = 3)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+
+  val stratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rk
+      |  FROM documents
+      |)
+      |SELECT source, rk, doc_id FROM ranked
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   /** Quality selection: top-5 documents per predicted language by
     * quality score (the "keep the best k per group" pipeline stage).
     * One shuffle on the group key; deterministic tiebreak by doc_id. */
@@ -793,6 +813,7 @@ object ExtQueries {
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
     "q_split_stats"       -> (splitStats _),
+    "q_stratified"        -> (stratifiedSample _),
     "q_quality_topk"      -> (qualityTopK _),
     "q_length_quantiles"  -> (lengthQuantiles _))
 
@@ -808,6 +829,7 @@ object ExtQueries {
     "q_cube_revenue"      -> cubeRevenueSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_split_stats"       -> splitStatsSql,
+    "q_stratified"        -> stratifiedSampleSql,
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,

@@ -56,4 +56,17 @@ object Sampling {
     df.withColumn("rk", row_number().over(
         Window.partitionBy(groupCol).orderBy(orderCol.desc, tiebreak.asc)))
       .filter(col("rk") <= k)
+
+  /** Deterministic stratified sample: k rows per stratum, chosen by
+    * md5-hash rank of the id (ascending) — an unbiased, reproducible,
+    * engine-independent draw with no RNG state to coordinate across
+    * executors or retried tasks. One shuffle on the stratum key;
+    * per-stratum sort bounded by stratum size (same plan family as
+    * [[topKPerGroup]]). */
+  def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
+      k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(strataCol)
+          .orderBy(md5(idCol.cast("string")).asc, idCol.asc)))
+      .filter(col("rk") <= k)
 }

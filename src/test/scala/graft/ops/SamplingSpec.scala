@@ -41,6 +41,19 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(("a", 1, 3L), ("a", 2, 1L), ("b", 1, 6L), ("b", 2, 5L)))
   }
 
+  test("stratifiedSample: deterministic, k per stratum, unbiased by id order") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 100L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("g", "id")
+    val a = Sampling.stratifiedSample(df, col("g"), col("id"), 5)
+      .select("g", "rk", "id").collect().map(_.toSeq).toSet
+    val b = Sampling.stratifiedSample(df.orderBy(rand(7)), col("g"), col("id"), 5)
+      .select("g", "rk", "id").collect().map(_.toSeq).toSet
+    assert(a == b) // input order cannot change the draw
+    assert(a.count(_.head == "even") == 5 && a.count(_.head == "odd") == 5)
+  }
+
   test("topKPerGroup plan shuffles once on the group key") {
     val scored = TextOps.textStats(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("quality_score"),
