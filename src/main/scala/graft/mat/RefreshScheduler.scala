@@ -1,0 +1,41 @@
+package graft.mat
+
+import graft.api.MetricViewCatalog
+
+/** Schedule-driven refresh: decides which metric views are DUE under
+  * their typed `Schedule` and drives `catalog.refresh` for them — the
+  * engine-native analogue of the reference's refresh driver
+  * (scripts/refresh_metric_views.py:109-119 polls each view's pipeline
+  * and triggers an update; here the "pipeline" is the in-engine
+  * materializer).
+  *
+  * Dueness is a pure function of (lastRefresh, now) so it is testable
+  * without clock threads, and the caller owns the cadence: wire
+  * `tick(System.currentTimeMillis)` to any timer/cron/stream trigger.
+  * A view with no materialization schedule is never due. First tick
+  * refreshes everything scheduled (no recorded refresh yet) — matching
+  * the reference's behavior of building on first deploy.
+  */
+final class RefreshScheduler(cat: MetricViewCatalog) {
+
+  private val last = scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Record an out-of-band refresh (e.g. an explicit
+    * `catalog.refresh`) so the next tick doesn't redo it. */
+  def markRefreshed(name: String, at: Long): Unit = last(name) = at
+
+  /** Views whose schedule period has elapsed at `now`. */
+  def due(now: Long): Seq[String] =
+    cat.list.filter { n =>
+      cat.get(n).spec.materialization.flatMap(_.schedule).exists { s =>
+        last.get(n).forall(at => now - at >= s.periodMillis)
+      }
+    }.sorted
+
+  /** Refresh every due view; returns the names refreshed. */
+  def tick(now: Long): Seq[String] = {
+    val d = due(now)
+    d.foreach { n => cat.refresh(n); markRefreshed(n, now) }
+    d
+  }
+}
