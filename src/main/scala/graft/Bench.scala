@@ -45,35 +45,50 @@ object Bench {
     // consistently failing query must not be recorded as a fast pass) —
     // a query with zero successful runs reports -1 and lands in
     // "errors" with its message
+    // EVERY run's time is recorded (per-query "runs" arrays in the
+    // JSON, in sweep order) so a spread/min discrepancy — the signature
+    // of host contention vs a real regression — is visible in the
+    // artifact itself without a manual re-run (r3: q_pricing_summary
+    // 19.3s vs judge 1.8s; r4: q_revenue_by_nation 4.22s vs 1.94s).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // streaming queries pay a fixed query-startup cost per invocation
     // (state store + microbatch machinery, ~5s) that no host-contention
     // min can shave — one run measures them just as well
-    val singleRun = Set("q_stream_window")
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val singleRun = Set("q_stream_window", "q_stream_dedup")
+    val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    ordered.foreach { case (name, _) => best(name) = -1.0 }
+    val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    ordered.foreach { case (name, _) => times(name) = Vector.empty }
     for (r <- 1 to runs; (name, fn) <- ordered if r == 1 || !singleRun(name)) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
-        if (best(name) < 0 || t < best(name)) best(name) = t
+        times(name) = times(name) :+ t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        lastErr(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
-    val results = best.toSeq
+    val results = times.toSeq.map { case (k, ts) =>
+      (k, if (ts.isEmpty) -1.0 else ts.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = times.toSeq.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").take(200)
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+    // a query that failed in one sweep but succeeded in another is a
+    // transient flake, not a hard failure — "errors" lists only queries
+    // with ZERO successful runs; flakes are visible as a short "runs"
+    // array (ADVICE r4)
+    val errs = lastErr.filter { case (k, _) => times(k).isEmpty }
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

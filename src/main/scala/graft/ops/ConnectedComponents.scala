@@ -26,8 +26,8 @@ import org.apache.spark.storage.StorageLevel
   * Beyond"). Dup clusters built from [[keyEdges]] stars are
   * additionally hub-shaped (diameter O(#key columns)), so in practice
   * the loop converges in a handful of rounds at any cluster size.
-  * Per-round iterates are persisted and the previous round's released
-  * immediately after the convergence count; only the final labels
+  * Per-round iterates are persisted and released as soon as the
+  * window's convergence check completes; only the final labels
   * survive, registered with [[Persists]] so the caller's terminal
   * action releases them.
   *
@@ -56,8 +56,19 @@ object ConnectedComponents {
     * `edges` columns `src`/`dst` (undirected — symmetrized here).
     * Returns (id, component) with component = min id of the node's
     * connected component. Throws if `maxIter` rounds don't converge
-    * (wrong silently is worse than loud). */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * (wrong silently is worse than loud).
+    *
+    * Convergence is checked once per `checkEvery` rounds, not per
+    * round: the intervening rounds are built lazily and a single
+    * action materializes the whole window, halving the driver/job
+    * round-trips that dominate the iterative tail. Checking the FINAL
+    * round's `__changed` is sufficient — labels only ever decrease, so
+    * a round with no change is a fixpoint regardless of what earlier
+    * rounds in the window did; the only cost is up to `checkEvery−1`
+    * no-op rounds after the true fixpoint. */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+          checkEvery: Int = 2): DataFrame = {
+    require(checkEvery >= 1)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -71,41 +82,56 @@ object ConnectedComponents {
     // round n references labels twice (neighbor join + merge join);
     // without truncation the logical plan is a 2^rounds tree (copying
     // transforms expand the shared subplan) and the DRIVER dies in
-    // analysis. Each round's labels are re-rooted as a flat LogicalRDD
-    // over the persisted iterate — the RDD reads the cache lazily.
+    // analysis. Each checkpoint's labels are re-rooted as a flat
+    // LogicalRDD over the persisted iterate — the RDD reads the cache
+    // lazily; within a window the plan holds ≤ 2^checkEvery copies of
+    // that flat root, which is bounded and tiny.
     var labels = org.apache.spark.sql.GraftBridge
       .flatten(persisted.toDF("id", "component"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbMin = sym
-        .join(labels.select(col("id").as("dst"), col("component")), "dst")
-        .groupBy("src").agg(min("component").as("nb_min"))
-      // step 1: neighbor-min (one hop of propagation)
-      val m1 = labels
-        .join(nbMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nb_min"), col("component")))
-            .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // step 2: pointer jump — l(v) ← min(l(v), l(l(v))). Shortcutting
-      // compresses label chains so deep (chain-shaped) graphs converge
-      // in O(log diameter) rounds, not O(diameter); labels only ever
-      // decrease, so the combined fixpoint is still exactly the
-      // neighbor-min fixpoint (= min id per component)
-      val lookup = m1.select(col("id").as("__cid"), col("component").as("__cc"))
-      val jumped = least(col("component"), coalesce(col("__cc"), col("component")))
-      val next = m1.join(lookup, col("component") === col("__cid"), "left")
-        .select(col("id"), jumped.as("component"),
-          (jumped < col("prev")).as("__changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val steps = math.min(checkEvery, maxIter - iter)
+      // every per-round iterate is persisted (self-joined subplans are
+      // not deduped by ReuseExchange — without the cache each stage
+      // would recompute) but only the window's LAST survives the action
+      val windowCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var cur = labels
+      for (_ <- 1 to steps) {
+        val nbMin = sym
+          .join(cur.select(col("id").as("dst"), col("component")), "dst")
+          .groupBy("src").agg(min("component").as("nb_min"))
+        // step 1: neighbor-min (one hop of propagation)
+        val m1 = cur
+          .join(nbMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nb_min"), col("component")))
+              .as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        windowCaches += m1
+        // step 2: pointer jump — l(v) ← min(l(v), l(l(v))). Shortcutting
+        // compresses label chains so deep (chain-shaped) graphs converge
+        // in O(log diameter) rounds, not O(diameter); labels only ever
+        // decrease, so the combined fixpoint is still exactly the
+        // neighbor-min fixpoint (= min id per component)
+        val lookup = m1.select(col("id").as("__cid"), col("component").as("__cc"))
+        val jumped = least(col("component"), coalesce(col("__cc"), col("component")))
+        cur = m1.join(lookup, col("component") === col("__cid"), "left")
+          .select(col("id"), jumped.as("component"),
+            (jumped < col("prev")).as("__changed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        windowCaches += cur
+      }
+      val next = cur
+      // ONE action materializes (and caches) all `steps` rounds and
+      // reads off the final round's convergence bit
       changed = next.filter(col("__changed")).count()
-      m1.unpersist(false)
+      windowCaches.dropRight(1).foreach(_.unpersist(false))
       persisted.unpersist(false)
       persisted = next
       labels = org.apache.spark.sql.GraftBridge
         .flatten(next.select("id", "component"))
-      iter += 1
+      iter += steps
     }
     sym.unpersist(false)
     if (changed != 0L) {
