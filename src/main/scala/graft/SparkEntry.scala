@@ -38,8 +38,11 @@ object SparkEntry {
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val cat = new MetricViewCatalog(spark, Models.resolve(spark, dir, _), Some(workDir))
       Specs.all.foreach { case (name, yaml) => cat.createOrReplace(name, yaml) }
-      cat.refresh("mv_orders_simple")
-      cat.refresh("mv_order_metrics")
+      // ensure-built (spec-hash idempotent), NOT refresh: refresh always
+      // recomputes, and this startup path only needs the caches present
+      val m = cat.materializer.get
+      m.build(cat.get("mv_orders_simple"))
+      m.build(cat.get("mv_order_metrics"))
       cat
     })
 

@@ -292,7 +292,12 @@ final class MetricViewCatalog(
         inc.maintain(v, stream)
         mat.buildUnaggregated(v)
         mat.markBuilt(v)
-      case _ => mat.build(v)
+      // force: a refresh exists to pick up NEW SOURCE ROWS under an
+      // unchanged spec — `build`'s spec-hash idempotence would no-op it
+      // and serve stale data forever (r5 fix; the incremental branch
+      // above always folds for the same reason). Ensure-built-cheaply
+      // is the materializer's `build(v)` without force.
+      case _ => mat.build(v, force = true)
     }
   }
 }

@@ -32,10 +32,25 @@ final class RefreshScheduler(cat: MetricViewCatalog) {
       }
     }.sorted
 
-  /** Refresh every due view; returns the names refreshed. */
+  @volatile private var failures: Map[String, Throwable] = Map.empty
+
+  /** Failures from the most recent [[tick]] (empty when it fully
+    * succeeded) — the caller's hook for alerting/retry policy. */
+  def lastFailures: Map[String, Throwable] = failures
+
+  /** Refresh every due view; returns the names refreshed successfully.
+    * One view's failing refresh must not starve the views sorted after
+    * it (ADVICE r4): each refresh is isolated, failures are collected
+    * into [[lastFailures]], and a failed view keeps its stale
+    * `lastRefresh` so the next tick retries it. */
   def tick(now: Long): Seq[String] = {
     val d = due(now)
-    d.foreach { n => cat.refresh(n); markRefreshed(n, now) }
-    d
+    val failed = scala.collection.mutable.LinkedHashMap[String, Throwable]()
+    val ok = d.filter { n =>
+      try { cat.refresh(n); markRefreshed(n, now); true }
+      catch { case scala.util.control.NonFatal(e) => failed(n) = e; false }
+    }
+    failures = failed.toMap
+    ok
   }
 }

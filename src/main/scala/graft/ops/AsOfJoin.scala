@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * side 1), giving inclusive `>=` semantics; equal-(key, ts) right
   * duplicates are additionally ordered by payload so the carried value
   * is the max payload, not a partition-order accident.
+  *
+  * NULL timestamps follow SQL ASOF semantics: a NULL never satisfies
+  * the inequality, so right rows with NULL ts are dropped before the
+  * union (ADVICE r4 — unfiltered they would sort nulls-first and be
+  * carried into every left row with no real match) and left rows with
+  * NULL ts get a NULL payload (they also sort first, ahead of every
+  * surviving right row, so the carry-forward finds nothing).
   */
 object AsOfJoin {
 
@@ -34,7 +41,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, payload: Column): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(keyCols.map(col) :+ col(tsCol) :+ payload.as("__p"): _*)
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(keyCols.map(col) :+ col(tsCol) :+ payload.as("__p"): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)

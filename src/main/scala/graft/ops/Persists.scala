@@ -31,8 +31,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * ext query's action.
   */
 object Persists {
-  private final case class Entry(ds: Dataset[_], plan: LogicalPlan)
+  private final case class Entry(ds: Dataset[_], plan: LogicalPlan, epoch: Long)
   private val registered = scala.collection.mutable.ArrayBuffer[Entry]()
+  // monotonically counts completed actions; a registration whose plan
+  // is NEVER consumed by any action (DataFrame built, never executed)
+  // would otherwise stay persisted for the session lifetime (ADVICE
+  // r4) — entries older than `maxEpochAge` actions are swept on the
+  // next release pass. 64 actions is far beyond any legitimate
+  // build-to-action distance in this engine (operators persist at most
+  // a couple of actions before their terminal one).
+  private var actionEpoch = 0L
+  @volatile private[graft] var maxEpochAge: Long = 64L
   private val installed = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
@@ -41,7 +50,7 @@ object Persists {
   def cache[T](ds: Dataset[T]): Dataset[T] = {
     install(ds.sparkSession)
     val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { registered += Entry(p, p.queryExecution.analyzed) }
+    synchronized { registered += Entry(p, p.queryExecution.analyzed, actionEpoch) }
     p
   }
 
@@ -53,7 +62,7 @@ object Persists {
   def cacheBehind[T](ds: Dataset[T], visible: Dataset[_]): Dataset[T] = {
     install(ds.sparkSession)
     val p = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { registered += Entry(p, visible.queryExecution.analyzed) }
+    synchronized { registered += Entry(p, visible.queryExecution.analyzed, actionEpoch) }
     p
   }
 
@@ -76,14 +85,18 @@ object Persists {
     catch { case scala.util.control.NonFatal(_) => false }
 
   /** Release the registrations owned by this completed action: oldest
-    * registration per distinct consumed plan; unpersist only plans with
-    * no surviving registration (shared CacheManager entry semantics). */
+    * registration per distinct consumed plan, plus any registration
+    * stale by `maxEpochAge` actions (its plan was never executed — no
+    * future action will claim it); unpersist only plans with no
+    * surviving registration (shared CacheManager entry semantics). */
   def releaseFor(qe: QueryExecution): Unit = {
     val toUnpersist = synchronized {
+      actionEpoch += 1
       val claimed = scala.collection.mutable.ArrayBuffer[Entry]()
       val keep = scala.collection.mutable.ArrayBuffer[Entry]()
       registered.foreach { e =>
-        if (!claimed.exists(_.plan.sameResult(e.plan)) && consumed(qe, e.plan)) claimed += e
+        if (actionEpoch - e.epoch > maxEpochAge) claimed += e
+        else if (!claimed.exists(_.plan.sameResult(e.plan)) && consumed(qe, e.plan)) claimed += e
         else keep += e
       }
       registered.clear(); registered ++= keep

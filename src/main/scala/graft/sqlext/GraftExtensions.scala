@@ -75,7 +75,19 @@ object SqlMetricViews {
     * owning catalog of the named view, so only CREATE consults this. */
   private val bound =
     scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession, MetricViewCatalog]()
-  def bindCatalog(cat: MetricViewCatalog): Unit = bound(cat.spark) = cat
+
+  /** Drop bindings whose session's context has stopped (ADVICE r4: the
+    * strong session→catalog reference otherwise lives for the JVM —
+    * unbounded with many short-lived sessions). Swept on every bind —
+    * cheap (map is small), and growth is driven by binds, so sweeping
+    * there bounds it. Known residual: cloned sessions (`newSession`)
+    * share a still-live context, so their bindings survive until the
+    * context stops — bounded by the number of clones that ever bound a
+    * catalog, not by query volume. */
+  private def sweepStopped(): Unit =
+    bound.keys.filter(_.sparkContext.isStopped).foreach(bound.remove)
+
+  def bindCatalog(cat: MetricViewCatalog): Unit = { sweepStopped(); bound(cat.spark) = cat }
   def boundCatalog(session: org.apache.spark.sql.SparkSession): Option[MetricViewCatalog] =
     bound.get(session)
 }

@@ -31,6 +31,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.collect().head.getString(3) == "z")
   }
 
+  test("NULL ts: right NULL-ts rows never match; left NULL-ts rows get no payload (ADVICE r4)") {
+    val left = Seq((1L, 5L, Some(ts(100))), (2L, 5L, None: Option[Timestamp]))
+      .toDF("id", "k", "ts")
+    val right = Seq((5L, None: Option[Timestamp], "ghost"), (5L, Some(ts(50)), "real"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin(left, right, Seq("k"), "ts", struct(col("v").as("m")))
+      .orderBy("id").collect()
+    // unfixed, "ghost" sorted nulls-first and was carried into the
+    // NULL-ts left row (and would win any no-earlier-match row)
+    assert(Option(out(0).getString(3)).contains("real"))
+    assert(out(1).isNullAt(3), "NULL-ts right row satisfied the as-of condition")
+  }
+
   test("matches brute-force per-row scan on the events fixture") {
     val q = ExtQueriesFixture.asof(spark, sfDir)
     val ev = graft.model.Tables.events(spark, sfDir)

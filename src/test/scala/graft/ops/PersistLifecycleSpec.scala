@@ -36,6 +36,26 @@ class PersistLifecycleSpec extends SparkSpec {
     awaitNoPersistentRDDs("nearDuplicates")
   }
 
+  test("a registration whose plan never executes is swept after maxEpochAge actions (ADVICE r4)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val old = Persists.maxEpochAge
+    Persists.maxEpochAge = 3
+    try {
+      val ds = Persists.cache(graft.model.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), (length(col("text")) + 1).as("len_plus")))
+      assert(ds.storageLevel == StorageLevel.MEMORY_AND_DISK)
+      // never executed — unrelated actions must age the registration out
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (ds.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline) {
+        spark.range(5).count() // each completed action advances the epoch
+        Thread.sleep(50)
+      }
+      assert(ds.storageLevel == StorageLevel.NONE,
+        "stale never-executed persist was not swept")
+    } finally Persists.maxEpochAge = old
+  }
+
   test("an unrelated action does not release another query's persist (ADVICE r3 race)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.storage.StorageLevel
