@@ -53,8 +53,15 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // streaming queries pay a fixed query-startup cost per invocation
     // (state store + microbatch machinery, ~5s) that no host-contention
-    // min can shave — one run measures them just as well
-    val singleRun = Set("q_stream_window", "q_stream_dedup")
+    // min can shave — one run measures them just as well. The
+    // staged-pairs queries are also single-run: their repeat runs would
+    // replay the once-per-dir staged candidate-pair parquet (the shared
+    // pipeline design), so a min-of-3 would record the ~0.2s replay and
+    // hide the true pipeline cost; run 1 is the honest number
+    // (q_dedup_minhash = candidatePairs compute + stage, q_ngram_jaccard
+    // = the derived verify stage over the already-staged pairs).
+    val singleRun = Set("q_stream_window", "q_stream_dedup",
+      "q_dedup_minhash", "q_ngram_jaccard")
     val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()

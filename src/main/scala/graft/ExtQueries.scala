@@ -547,10 +547,21 @@ object ExtQueries {
 
   /** Embedding-cosine near-dup pairs (LSH candidates, exact verify):
     * top-20 most-similar pairs. */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDup(Tables.embeddings(s, dir), threshold = -1.0)
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // hyperplane count must GROW with the corpus: at fixed bits the
+    // per-bucket density is n/2^bits, so the bucket self-join's pair
+    // count is O(n²/2^bits) — the r5 100× sweep measured exactly that
+    // quadratic blowup at bits=10. Sizing bits ≈ log2(n/2) holds
+    // density (and recall/candidate trade) roughly constant; the floor
+    // keeps every driver scale (n ≤ 2000 → bits = 10) byte-identical
+    // to the fixed-knob output. One metadata-only count() per call.
+    val bits = math.min(20, math.max(10,
+      (math.log(emb.count().toDouble / 2.0) / math.log(2.0)).ceil.toInt))
+    Similarity.embeddingNearDup(emb, threshold = -1.0, bits = bits)
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
       .limit(20)
+  }
 
   /** Winnowing (rolling-hash) fingerprint dedup: docs sharing
     * fingerprints are near-dup candidates, ranked by overlap count
@@ -571,8 +582,11 @@ object ExtQueries {
       .select(col("doc_id"),
         explode(graft.functions.WinnowingFingerprints(col("text"))).as("fp")))
     // fingerprint census: map-side-combinable aggregate, then an
-    // equi-join filter — never a window over the exploded table
-    val okFp = prints.select("fp", "doc_id").distinct()
+    // equi-join filter — never a window over the exploded table. No
+    // (fp, doc_id) distinct: WinnowingFingerprints already emits a
+    // distinct set per doc, so that distinct was a full shuffle of the
+    // exploded table for nothing (removed r5 with the decontam twin)
+    val okFp = prints
       .groupBy("fp").count()
       .filter(col("count") >= 2 && col("count") <= maxDocFreq)
       .select("fp")

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scale-stress sweep (VERDICT r4 ask #3): generate an
+  * sf1-equivalent fixture (10× sf0.1) for the LLM-pipeline tables and
+  * run the heavy operators once at BOTH scales in the same JVM, so the
+  * artifact answers "does the plan's cost scale ~linearly across a
+  * decade?" with data instead of plan-shape argument alone.
+  *
+  * Fixture generation (deterministic, no RNG): each replica k of
+  * 0..R-1 is the base corpus with
+  *  - ids offset by k·10⁹ (k·10⁶ for embeddings) — disjoint id spaces,
+  *    and 10⁹ ≡ 0 (mod 50) keeps q_decontam's eval-set selection rate
+  *    identical per replica;
+  *  - document text passed through a replica-specific letter
+  *    substitution (`translate` over 'a'..'j' rotated by k) — replica
+  *    0 is the base corpus verbatim; other replicas keep their
+  *    internal near-dup structure (every pair survives a global
+  *    1:1 char substitution) but decorrelate from other replicas, so
+  *    duplicate CLUSTERS multiply by 10 while cluster SIZES stay flat,
+  *    which is how a real corpus grows (more dups, not 10× deeper
+  *    ones);
+  *  - events keep their timestamps (10× event density per hour — the
+  *    streaming-window stress) with fresh user ids per replica (10×
+  *    keys, same per-key cardinality);
+  *  - embeddings perturb one replica-dependent coordinate additively
+  *    (cosine is invariant to whole-vector scaling, so the
+  *    perturbation must be per-coordinate to decorrelate replicas).
+  *
+  * Prints ONE JSON line with per-query seconds at both scales, the
+  * scaled/base ratio, and the connected-components round count at each
+  * scale (the fixpoint-depth flatness claim in SCALE.md). Single run
+  * per query — read ratios, not absolute seconds, on a contended host.
+  */
+object ScaleBench {
+
+  private val Heavy = Seq(
+    "q_dedup_clusters", "q_dedup_minhash", "q_decontam",
+    "q_tfidf_terms", "q_stream_window", "q_embed_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/root/repo/target/scale_sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generateIfAbsent(spark, baseDir, scaleDir, replicas)
+
+    // interleaved min-of-N per dir (same contention defense as Bench's
+    // sweeps — a single cold run conflates host noise with scaling).
+    // q_dedup_minhash stages its candidate pairs once per (JVM, dir):
+    // repeat runs replay the staged parquet, so the min would record
+    // the replay, not the pipeline — its FIRST run is the number (same
+    // policy as Bench's singleRun set).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val firstRunOnly = Set("q_dedup_minhash")
+    def sweep(dir: String): (Map[String, Double], Int) = {
+      var ccRounds = 0
+      val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      Heavy.foreach(times(_) = Vector.empty)
+      for (_ <- 1 to runs; name <- Heavy) {
+        val t0 = System.nanoTime()
+        ExtQueries.all(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        if (name == "q_dedup_clusters") ccRounds = graft.ops.ConnectedComponents.lastRounds
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+      (times.map { case (k, v) =>
+        k -> (if (firstRunOnly(k)) v.head else v.min)
+      }.toMap, ccRounds)
+    }
+    val (base, baseRounds) = sweep(baseDir)
+    val (scaled, scaledRounds) = sweep(scaleDir)
+
+    def j(m: Map[String, Double]) = Heavy
+      .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
+    val ratios = Heavy
+      .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds}}""")
+    spark.stop()
+  }
+
+  /** Replicate-and-perturb the three LLM-pipeline tables into
+    * `scaleDir` (idempotent via a marker recording the replica count). */
+  private def generateIfAbsent(spark: SparkSession, baseDir: String,
+      scaleDir: String, replicas: Int): Unit = {
+    val marker = java.nio.file.Paths.get(s"$scaleDir/_generated")
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == s"$replicas") return
+
+    // two independent alphabet rotations → 26×26 distinct substitutions,
+    // so up to 676 replicas stay pairwise-decorrelated (a single
+    // 10-letter rotation would make replicas k and k+10 byte-identical
+    // twins and quadratically inflate cross-replica dup structure)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def replicate(f: Int => DataFrame): DataFrame =
+      (0 until replicas).map(f).reduce(_ unionByName _)
+
+    val docs = graft.model.Tables.documents(spark, baseDir)
+    replicate { k =>
+      docs.select(
+        (col("doc_id") + k * 1000000000L).as("doc_id"),
+        (if (k == 0) col("text")
+         else translate(col("text"), lower + upper,
+           rot(lower, k % 26) + rot(upper, k / 26))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+
+    // read raw (ts stays the nanos long) so the replica round-trips
+    // through parquet exactly like the base fixture
+    val events = graft.model.Tables.load(spark, baseDir, "events")
+    replicate { k =>
+      events.select(
+        (col("event_id") + k * 1000000000L).as("event_id"), col("ts"),
+        (col("user_id") + k * 1000000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
+
+    // replica decorrelation by SIGN-FLIP CLASSES: coordinate i is
+    // multiplied by −1 iff bit (i mod 7) of k is set. Within a replica
+    // every vector gets the same pattern, so pairwise dot products —
+    // and hence the intra-replica near-dup structure — are exactly
+    // preserved; across replicas the patterns differ in ≥1 of 7
+    // coordinate classes (~dim/7 coords each), which breaks the
+    // near-perfect cosine a tiny additive nudge would leave (an early
+    // variant perturbed ONE coordinate and silently manufactured ~R
+    // exact twins per vector — every bucket quadratically overloaded
+    // with fake dups).
+    val emb = graft.model.Tables.embeddings(spark, baseDir)
+    replicate { k =>
+      val signs = (0 until 7).map(b => if (((k >> b) & 1) == 1) -1.0f else 1.0f)
+      emb.select(
+        (col("vec_id") + k * 1000000L).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else transform(col("embedding"), (x, i) =>
+           x * element_at(lit(signs.toArray), (pmod(i, lit(7)) + 1).cast("int"))))
+          .as("embedding"),
+        col("label"))
+    }.write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, s"$replicas".getBytes)
+  }
+}

@@ -37,6 +37,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Rounds the most recent [[run]] took to converge — observability
+    * for the scale sweep's "is the round count flat at 10×?" question
+    * (ScaleBench); not part of the operator contract. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Star edges from shared keys: within each group of rows sharing a
     * non-null key value, link every member to the group's min id —
     * |group|−1 edges per group, never the m² all-pairs blowup. Two
@@ -133,6 +138,7 @@ object ConnectedComponents {
         .flatten(next.select("id", "component"))
       iter += steps
     }
+    lastRounds = iter
     sym.unpersist(false)
     if (changed != 0L) {
       persisted.unpersist(false) // failure path must not leak the iterate

@@ -34,9 +34,14 @@ object Decontamination {
     * (idCol, n_hit_ngrams, contaminated) for every row of `train`. */
   def scan(train: DataFrame, benchmark: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // per-doc dedup is NARROW (array_distinct on the row's gram array
+    // before exploding) — a (doc, gram) `.distinct()` here would
+    // shuffle the entire corpus gram set, the exact thing this
+    // operator's scale shape forbids (the r5 10× sweep measured that
+    // variant at 41× cost for 10× data: fixed-width shuffle partitions
+    // spill superlinearly)
     val trainGrams = train
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
     val benchGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()

@@ -102,6 +102,39 @@ class SqlMeasureSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == want.map(_.getString(0)).toSeq)
   }
 
+  test("MEASURE() over two metric views: UNION ALL of per-view aggregates (r2 residual)") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_status, MEASURE(total_revenue) AS rev, 'metrics' AS src
+        |FROM mv_order_metrics GROUP BY 1
+        |UNION ALL
+        |SELECT order_status, MEASURE(total_revenue) AS rev, 'simple' AS src
+        |FROM mv_orders_simple GROUP BY 1""".stripMargin)
+    val cat = SparkEntry.catalog(spark, sfDir)
+    val want =
+      cat.get("mv_order_metrics").query(Seq("order_status"), Seq("total_revenue"))
+        .selectExpr("order_status", "total_revenue AS rev", "'metrics' AS src")
+        .unionAll(cat.get("mv_orders_simple").query(Seq("order_status"), Seq("total_revenue"))
+          .selectExpr("order_status", "total_revenue AS rev", "'simple' AS src"))
+    assert(sql.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+  }
+
+  test("MEASURE() over two metric views: join of aggregated subqueries (r2 residual)") {
+    init()
+    val rows = spark.sql(
+      """SELECT a.market_segment, a.rev, b.cust
+        |FROM (SELECT market_segment, MEASURE(total_revenue) AS rev
+        |      FROM mv_order_metrics GROUP BY 1) a
+        |JOIN (SELECT market_segment, MEASURE(total_customers) AS cust
+        |      FROM mv_customer_metrics GROUP BY 1) b
+        |  ON a.market_segment = b.market_segment""".stripMargin).collect()
+    assert(rows.length == 5)
+    val cust = SparkEntry.catalog(spark, sfDir).get("mv_customer_metrics")
+      .query(Seq("market_segment"), Seq("total_customers"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => cust(r.getString(0)) == r.getLong(2)))
+  }
+
   test("non-dim GROUP BY is rejected with a helpful error") {
     init()
     val e = intercept[Exception] {
