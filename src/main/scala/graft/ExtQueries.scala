@@ -216,12 +216,33 @@ object ExtQueries {
     * settles the watermark. That makes BOTH streaming queries' final
     * states order-independent and batch-split-independent — the
     * property the DuckDB oracle needs. (Scan parallelism is unharmed:
-    * the batch still splits by maxPartitionBytes.) */
+    * the batch still splits by maxPartitionBytes.)
+    *
+    * The staged copy is shared ACROSS JVMs at a deterministic path
+    * keyed by (source dir, source mtime): per-JVM temp dirs re-wrote
+    * up to hundreds of MB per verify/bench/test JVM and accumulated in
+    * /tmp forever. The mtime in the key invalidates the copy when a
+    * (writable) fixture is regenerated; concurrent JVMs race benignly
+    * — each stages into its own temp dir and the atomic rename's loser
+    * just uses the winner's copy. */
   private def stageEvents(s: SparkSession, dir: String): String =
     stagedEvents.computeIfAbsent(dir, { d =>
-      val path = java.nio.file.Files.createTempDirectory("graft_q_stream").toString
-      Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(path)
-      path
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val mtime = Files.getLastModifiedTime(Paths.get(s"$d/events.parquet")).toMillis
+      val key = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$d:$mtime"))
+      val target = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stage_events_$key")
+      if (!Files.exists(target.resolve("_SUCCESS"))) {
+        val tmp = Files.createTempDirectory("graft_stage_tmp")
+        Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException
+             | _: java.nio.file.AccessDeniedException => // concurrent staging won
+        }
+      }
+      target.toString
     })
 
   def streamWindow(s: SparkSession, dir: String): DataFrame = {

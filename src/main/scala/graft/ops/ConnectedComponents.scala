@@ -77,8 +77,13 @@ object ConnectedComponents {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+    // pre-partitioned on dst: every round joins sym to the fresh labels
+    // on dst, and the cached InMemoryRelation preserves its output
+    // partitioning — so only the (small) label side shuffles per round,
+    // never the edge table, which is the big one in a dedup workload
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var persisted = nodes.select(col("id").cast("long").as("id"),
