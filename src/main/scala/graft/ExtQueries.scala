@@ -775,6 +775,71 @@ object ExtQueries {
       |       8 AS feature_dim
       |FROM b ORDER BY media_id""".stripMargin
 
+  /** Sequence packing manifest: docs packed into 512-token training
+    * sequences per source shard (concat-and-chunk assignment — see
+    * [[graft.ops.Packing]]). One window pass per shard; oracled with
+    * the identical running-sum arithmetic in DuckDB. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.summary(Tables.documents(s, dir), seqTokens = 512)
+      .orderBy("source", "seq_id")
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      |  FROM t
+      |)
+      |SELECT source, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
+  /** PII scrub over documents with deterministically INJECTED
+    * synthetic PII (the fixture corpus contains none — zero counts
+    * would make the cross-engine regex-parity check vacuous): every
+    * 10th doc gains an email, every 7th a phone, every 13th an IP,
+    * derived from doc_id. Counts + redacted length per doc; both
+    * engines run the same literal RE2-compatible patterns in the same
+    * order, so a dialect difference breaks the hash. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val injected = d.select(col("doc_id"), concat_ws(" ",
+      when(col("doc_id") % 10 === 0,
+        concat(lit("contact user"), col("doc_id").cast("string"), lit("@example.com now"))),
+      when(col("doc_id") % 7 === 0, lit("call 555-123-4567")),
+      when(col("doc_id") % 13 === 0, lit("from 10.0.0.1")),
+      col("text")).as("text"))
+    injected.select(col("doc_id"),
+        graft.ops.Pii.emailCount(col("text")).as("n_emails"),
+        graft.ops.Pii.phoneCount(col("text")).as("n_phones"),
+        graft.ops.Pii.ipCount(col("text")).as("n_ips"),
+        length(graft.ops.Pii.redact(col("text"))).as("redacted_chars"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 10 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'call 555-123-4567' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'from 10.0.0.1' END,
+      |    text) AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |       len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+      |       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |       length(regexp_replace(regexp_replace(regexp_replace(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_chars
+      |FROM inj ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- sampling / selection
 
   /** Deterministic train/val/test split over documents (md5-mod
@@ -958,6 +1023,8 @@ object ExtQueries {
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
     "q_stream_dedup"      -> (streamDedup _),
+    "q_pack"              -> (packSequences _),
+    "q_pii"               -> (piiScrub _),
     "q_split_stats"       -> (splitStats _),
     "q_stratified"        -> (stratifiedSample _),
     "q_quality_topk"      -> (qualityTopK _),
@@ -980,6 +1047,8 @@ object ExtQueries {
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,
     "q_stream_dedup"      -> streamDedupSql,
+    "q_pack"              -> packSequencesSql,
+    "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,
