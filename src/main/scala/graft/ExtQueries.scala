@@ -229,8 +229,12 @@ object ExtQueries {
     stagedEvents.computeIfAbsent(dir, { d =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val mtime = Files.getLastModifiedTime(Paths.get(s"$d/events.parquet")).toMillis
-      val key = Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s"$d:$mtime"))
+      // full MD5 of the (dir, mtime) pair — a 32-bit key could collide
+      // across fixtures/regenerations and silently serve the wrong
+      // events table (r5 review finding)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$mtime".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val target = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stage_events_$key")
       if (!Files.exists(target.resolve("_SUCCESS"))) {
         val tmp = Files.createTempDirectory("graft_stage_tmp")
@@ -239,7 +243,11 @@ object ExtQueries {
         catch {
           case _: java.nio.file.FileAlreadyExistsException
              | _: java.nio.file.DirectoryNotEmptyException
-             | _: java.nio.file.AccessDeniedException => // concurrent staging won
+             | _: java.nio.file.AccessDeniedException =>
+            // concurrent staging won the rename; drop the loser's copy
+            // instead of leaking it in /tmp
+            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
         }
       }
       target.toString
@@ -576,8 +584,11 @@ object ExtQueries {
     // quadratic blowup at bits=10. Sizing bits ≈ log2(n/2) holds
     // density (and recall/candidate trade) roughly constant; the floor
     // keeps every driver scale (n ≤ 2000 → bits = 10) byte-identical
-    // to the fixed-knob output. One metadata-only count() per call.
-    val bits = math.min(20, math.max(10,
+    // to the fixed-knob output. No upper cap (a cap re-pins the knob
+    // and re-introduces the quadratic regime past n = 2^(cap+1) —
+    // extra planes cost only linear dot products; the 62-bit ceiling
+    // just keeps the bucket id inside a Long, unreachable in practice).
+    val bits = math.min(62, math.max(10,
       (math.log(emb.count().toDouble / 2.0) / math.log(2.0)).ceil.toInt))
     Similarity.embeddingNearDup(emb, threshold = -1.0, bits = bits)
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))

@@ -96,16 +96,29 @@ object ScaleBench {
     * `scaleDir` (idempotent via a marker recording the replica count). */
   private def generateIfAbsent(spark: SparkSession, baseDir: String,
       scaleDir: String, replicas: Int): Unit = {
+    // marker records the full generation recipe (replica count AND base
+    // dir) and is DELETED before regeneration starts: an interrupted
+    // regen must not leave a marker claiming a complete (or
+    // mixed-replica) fixture (r5 review finding)
     val marker = java.nio.file.Paths.get(s"$scaleDir/_generated")
+    val recipe = s"$replicas:$baseDir"
     if (java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker)).trim == s"$replicas") return
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == recipe) return
+    java.nio.file.Files.deleteIfExists(marker)
 
-    // two independent alphabet rotations → 26×26 distinct substitutions,
-    // so up to 676 replicas stay pairwise-decorrelated (a single
-    // 10-letter rotation would make replicas k and k+10 byte-identical
-    // twins and quadratically inflate cross-replica dup structure)
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
+    // two independent rotations of DISJOINT lowercase halves → 13×13
+    // distinct substitutions. Both act on characters the corpus
+    // actually contains — the fixture text is all-lowercase (verified:
+    // zero uppercase chars at sf0.1), so a second alphabet that is
+    // absent from the text would silently collapse this to a single
+    // 26-cycle and make replicas k and k+26 byte-identical twins,
+    // quadratically inflating cross-replica dup structure (r5 review
+    // finding). Each half-rotation is a permutation, so the combined
+    // map is injective per (k mod 13, k div 13) pair.
+    require(replicas <= 169,
+      s"text perturbation supports at most 13*13=169 distinct replicas, got $replicas")
+    val halfA = "abcdefghijklm"
+    val halfB = "nopqrstuvwxyz"
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     def replicate(f: Int => DataFrame): DataFrame =
       (0 until replicas).map(f).reduce(_ unionByName _)
@@ -115,8 +128,8 @@ object ScaleBench {
       docs.select(
         (col("doc_id") + k * 1000000000L).as("doc_id"),
         (if (k == 0) col("text")
-         else translate(col("text"), lower + upper,
-           rot(lower, k % 26) + rot(upper, k / 26))).as("text"),
+         else translate(col("text"), halfA + halfB,
+           rot(halfA, k % 13) + rot(halfB, k / 13))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
 
@@ -141,18 +154,22 @@ object ScaleBench {
     // exact twins per vector — every bucket quadratically overloaded
     // with fake dups).
     val emb = graft.model.Tables.embeddings(spark, baseDir)
+    // 10 pattern bits → sign patterns are distinct for every k < 1024,
+    // comfortably above the 169-replica text ceiling (7 bits would
+    // repeat with period 128: replica 128 would be byte-identical to
+    // the base — r5 review finding)
     replicate { k =>
-      val signs = (0 until 7).map(b => if (((k >> b) & 1) == 1) -1.0f else 1.0f)
+      val signs = (0 until 10).map(b => if (((k >> b) & 1) == 1) -1.0f else 1.0f)
       emb.select(
         (col("vec_id") + k * 1000000L).as("vec_id"),
         (if (k == 0) col("embedding")
          else transform(col("embedding"), (x, i) =>
-           x * element_at(lit(signs.toArray), (pmod(i, lit(7)) + 1).cast("int"))))
+           x * element_at(lit(signs.toArray), (pmod(i, lit(10)) + 1).cast("int"))))
           .as("embedding"),
         col("label"))
     }.write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
 
     java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.write(marker, s"$replicas".getBytes)
+    java.nio.file.Files.write(marker, recipe.getBytes)
   }
 }
