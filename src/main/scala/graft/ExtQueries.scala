@@ -501,10 +501,17 @@ object ExtQueries {
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val path = stagedPairs.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft_minhash_pairs").toString
+      val p = java.nio.file.Files.createTempDirectory("graft_minhash_pairs")
+      // per-JVM on purpose (cross-JVM reuse would let a bench record a
+      // previous process's replay as the pipeline cost) — so clean up
+      // on exit instead of accumulating a dir per JVM in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Throwable => () }))
       MinHashLSH.candidatePairs(Tables.documents(s, d))
-        .write.mode("overwrite").parquet(p)
-      p
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
     })
     s.read.parquet(path)
   }
