@@ -77,6 +77,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(windowExchanges == 1, plan)
   }
 
+  test("pii/pack scans prune to the referenced document columns") {
+    // q_pii needs only (doc_id, text); q_pack only (doc_id, source,
+    // text) — a scan reading lang/n_chars for these is wasted I/O at
+    // corpus scale
+    val pii = graft.ExtQueries.piiScrub(spark, sfDir)
+    val piiScan = scans(pii).find(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents"))).get
+    assert(piiScan.schema.fieldNames.toSet == Set("doc_id", "text"),
+      piiScan.schema.fieldNames.mkString(","))
+    val pack = graft.ExtQueries.packSequences(spark, sfDir)
+    val packScan = scans(pack).find(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents"))).get
+    assert(packScan.schema.fieldNames.toSet == Set("doc_id", "source", "text"),
+      packScan.schema.fieldNames.mkString(","))
+  }
+
   test("metric expansion emits a single aggregation (no extra shuffles)") {
     val df = cat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("total_revenue", "total_orders", "avg_order_value"))
