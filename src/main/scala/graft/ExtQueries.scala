@@ -225,7 +225,7 @@ object ExtQueries {
     * (writable) fixture is regenerated; concurrent JVMs race benignly
     * — each stages into its own temp dir and the atomic rename's loser
     * just uses the winner's copy. */
-  private def stageEvents(s: SparkSession, dir: String): String =
+  private[graft] def stageEvents(s: SparkSession, dir: String): String =
     stagedEvents.computeIfAbsent(dir, { d =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val mtime = Files.getLastModifiedTime(Paths.get(s"$d/events.parquet")).toMillis

@@ -201,4 +201,15 @@ class StreamingSpec extends SparkSpec {
     // ...and a fresh reader resolves the flipped pointer to the new one
     assert(normRows(graft.mat.VersionedTable.read(s, path).collect()) == before)
   }
+
+  test("staged event stream is a single parquet file (oracle-load-bearing)") {
+    // q_stream_dedup's DISTINCT oracle (and q_stream_window's cutoff
+    // oracle) rely on Trigger.AvailableNow seeing ONE data file → one
+    // microbatch → watermark 0 while all rows process. More than one
+    // file would let batch splits drop late rows nondeterministically.
+    val staged = graft.ExtQueries.stageEvents(s, sfDir)
+    val parts = new java.io.File(staged).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 1, s"staged dir $staged has $parts parquet files")
+  }
 }
