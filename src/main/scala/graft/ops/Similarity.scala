@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot-product fold of two float-array columns. */
+  /** Left-to-right double dot-product fold of two float-array columns.
+    * Native codegen expression — the HOF chain below is its executable
+    * semantic spec (asserted equal, codegen on and off, in
+    * SimilaritySpec); ArrayAggregate/ZipWith run interpreted and were
+    * the hottest kernel in the r5 100× sweep's jstack. */
   def dot(x: Column, y: Column): Column =
+    graft.functions.ArrayDotProduct(x, y)
+
+  /** Reference HOF implementation of [[dot]] — interpreted; spec only. */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p: Column, q: Column) =>
       p.cast("double") * q.cast("double")),
       lit(0.0), (acc: Column, v: Column) => acc + v)

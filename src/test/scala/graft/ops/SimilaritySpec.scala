@@ -48,6 +48,44 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("native ArrayDotProduct == interpreted HOF dot, both code paths + edge cases") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    Seq("true", "false").foreach { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        // fixture vectors: bit-identical doubles required (oracle relies on it)
+        val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+          .crossJoin(emb.limit(5).select(col("embedding").as("b")))
+          .withColumn("native", Similarity.dot(col("a"), col("b")))
+          .withColumn("hof", Similarity.dotHof(col("a"), col("b")))
+          .collect()
+        pairs.foreach(r => assert(
+          java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(4)),
+          s"vec ${r.getLong(0)} dot mismatch (codegen=$codegen)"))
+        // zip_with semantics: length mismatch and null element both → null
+        val edge = Seq(
+          (1L, Seq(1.0f, 2.0f), Seq(3.0f)),
+          (2L, Seq(1.0f), Seq(2.0f, 3.0f)),
+          (3L, Seq[Float](), Seq[Float]()))
+          .toDF("id", "a", "b")
+          .union(Seq((4L, Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+            .toDF("id", "a", "b"))
+          .withColumn("native", Similarity.dot(col("a"), col("b")))
+          .withColumn("hof", Similarity.dotHof(col("a"), col("b")))
+          .orderBy("id").collect()
+        edge.foreach { r =>
+          assert(r.isNullAt(3) == r.isNullAt(4),
+            s"edge id ${r.getLong(0)} null mismatch (codegen=$codegen)")
+          if (!r.isNullAt(3))
+            assert(r.getDouble(3) == r.getDouble(4), s"edge id ${r.getLong(0)}")
+        }
+        assert(edge.count(_.isNullAt(3)) == 3) // ids 1, 2, 4 null; id 3 = 0.0
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("native HyperplaneBuckets == interpreted HOF bucketExpr, both code paths") {
     val emb = Tables.embeddings(spark, sfDir).limit(100)
     Seq("true", "false").foreach { codegen =>
