@@ -95,7 +95,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // the artifact must survive stdout truncation (BENCH_r05 lost its
+    // tail once the per-run arrays made the line long) — also write it
+    // to a file so the full queries/runs/errors maps are recoverable
+    val out = java.nio.file.Paths.get("target/bench_result.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

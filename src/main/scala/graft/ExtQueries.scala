@@ -517,19 +517,91 @@ object ExtQueries {
   }
 
   /** MinHash+LSH near-dup candidates: top-20 verified pairs by exact
-    * Jaccard (deterministic seed; rows-only — xxhash64 has no DuckDB
-    * equivalent; recall/precision are spec-tested). */
+    * Jaccard (deterministic seed). Fully oracled since r6: the base and
+    * bucket hashes are the engine-owned PolyHash61 (not xxhash64), so
+    * the entire pipeline is re-derivable in DuckDB — see
+    * [[minhashPairsCtes]]. Recall/precision are additionally
+    * spec-tested (DedupSpec). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)
       .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(20)
+
+  /** Shared DuckDB re-expression of MinHashLSH.candidatePairs at its
+    * defaults (k=64, bands=16, r=4, w=3, seed=42, maxBucketSize=1000):
+    * word 3-shingles → PolyHash61 base hash folded into the 2^31-1
+    * field → per-doc k-min signature with the (a_i, b_i) family
+    * embedded as literals (the spec-fixed java.util.Random stream is
+    * driver-side, so the oracle just inlines its draws) → per-band
+    * bucket = PolyHash61 of the same "band,slice" string Spark hashes →
+    * census-filtered self-join → distinct candidate pairs. HUGEINT
+    * keeps the h·B partial products exact; Spark's wraparound
+    * `& (2^61-1)` equals HUGEINT `% 2^61` because the modulus divides
+    * 2^64 (the winnowing precedent, [[winnowDedupSql]]). */
+  private val minhashPairsCtes: String = {
+    val (as, bs) = graft.functions.MinHashSignature.params(64, 42L)
+    val pa = as.mkString("[", ",", "]")
+    val pb = bs.mkString("[", ",", "]")
+    // 61-bit polynomial fold over the chars of scalar expression `e`
+    // (ASCII fixture — FixtureSpec guard — so ord(char) == byte)
+    def fold61(e: String) =
+      s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        s"list_transform(range(1, length($e)+1), ci -> CAST(ord(substr($e, ci, 1)) AS HUGEINT))), " +
+        s"(acc, c) -> (acc * 1000000007 + c) % 2305843009213693952) AS BIGINT)"
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |           list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+       |             si -> array_to_string(tk[si:si+2], ' ')),
+       |           s -> length(s) > 0)) AS sh
+       |  FROM tk
+       |), shr AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), hs AS (
+       |  SELECT doc_id, ${fold61("s")} % 2147483647 AS h FROM shr
+       |), hls AS (
+       |  SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id
+       |), params AS (
+       |  SELECT $pa::BIGINT[] AS pa, $pb::BIGINT[] AS pb
+       |), sigs AS (
+       |  SELECT doc_id, list_transform(range(1, 65),
+       |           i -> list_min(list_transform(hl, hh -> (pa[i]*hh + pb[i]) % 2147483647))) AS sig
+       |  FROM hls CROSS JOIN params
+       |), bstrs AS (
+       |  SELECT doc_id, band, array_to_string(list_prepend(CAST(band AS VARCHAR),
+       |           list_transform(sig[band*4+1 : band*4+4], x -> CAST(x AS VARCHAR))), ',') AS bstr
+       |  FROM (SELECT doc_id, unnest(range(0, 16)) AS band, sig FROM sigs)
+       |), banded AS (
+       |  SELECT doc_id, band, ${fold61("bstr")} AS bucket FROM bstrs
+       |), census AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND 1000
+       |), slim AS (
+       |  SELECT b.doc_id, b.band, b.bucket FROM banded b JOIN census USING (band, bucket)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM slim a JOIN slim b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  val dedupMinhashSql: String = minhashPairsCtes +
+    """
+      |SELECT p.a_id, p.b_id,
+      |       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      |FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
+      |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
   /** SimHash fingerprints (per-row HOFs, no shuffle). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** Char-3-gram Jaccard over MinHash candidates (n-gram variant of the
-    * verify stage). */
+    * verify stage). Fully oracled since r6 — shares [[minhashPairsCtes]]
+    * with q_dedup_minhash, exactly as the engine side shares the staged
+    * candidate pipeline. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val grams = docs
@@ -545,6 +617,20 @@ object ExtQueries {
       .orderBy(desc("ngram_jaccard"), asc("a_id"), asc("b_id"))
       .limit(20)
   }
+
+  val ngramJaccardSql: String = minhashPairsCtes +
+    """,
+      |ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, greatest(length(norm) - 3, 0) + 2),
+      |           gi -> substr(norm, gi, 3))) AS g
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      |)
+      |SELECT p.a_id, p.b_id,
+      |       round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS ngram_jaccard
+      |FROM pairs p JOIN ng ga ON ga.doc_id = p.a_id JOIN ng gb ON gb.doc_id = p.b_id
+      |ORDER BY ngram_jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
   /** Brute-force cosine top-5 for the first 10 vectors (exact ANN
     * baseline). Oracle: identical left-to-right double fold in DuckDB. */
@@ -813,7 +899,7 @@ object ExtQueries {
       |  FROM t
       |)
       |SELECT source, CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
-      |       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
   /** PII scrub over documents with deterministically INJECTED
@@ -1068,6 +1154,8 @@ object ExtQueries {
     "q_pack"              -> packSequencesSql,
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
+    "q_dedup_minhash"     -> dedupMinhashSql,
+    "q_ngram_jaccard"     -> ngramJaccardSql,
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,
     "q_dedup_winnow"      -> winnowDedupSql,
@@ -1077,11 +1165,12 @@ object ExtQueries {
   /** rows-only: outputs built on hash functions DuckDB doesn't have
     * (xxhash64) or on approximate/streaming machinery with no stable
     * SQL ground truth. Each survivor's justification:
-    *  - q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard:
-    *    candidate sets are seeded by xxhash64 — no DuckDB equivalent;
-    *    recall/precision vs brute force are spec-tested (DedupSpec).
-    *    (q_dedup_winnow escaped this set in r5: its rolling hash is
-    *    the engine's own polynomial hash, re-expressed in SQL above.)
+    *  - q_dedup_simhash: fingerprints are xxhash64-seeded — no DuckDB
+    *    equivalent; Hamming-similarity behavior is spec-tested
+    *    (DedupSpec). (q_dedup_minhash and q_ngram_jaccard escaped this
+    *    set in r6 the way q_dedup_winnow did in r5: their base + bucket
+    *    hashes are now the engine-owned PolyHash61, re-expressed in SQL
+    *    above.)
     *  - q_ann_lsh / q_ann_ivf / q_embed_neardup: approximate indexes —
     *    output depends on xxhash64-seeded planes / sampled centroids;
     *    recall vs the ORACLED q_ann_brute is spec-tested
@@ -1090,6 +1179,6 @@ object ExtQueries {
     *    routed == direct equality is RoutingSpec-gated, and the exact
     *    companion (q_mv_distinct) IS oracled. */
   val rowsOnly: Set[String] = Set(
-    "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+    "q_dedup_simhash",
     "q_ann_lsh", "q_embed_neardup", "q_ann_ivf", "q_mv_approx")
 }

@@ -44,9 +44,13 @@ object MinHashLSH {
   def shingles(text: Column, w: Int = 3): Column =
     shinglesFromTokens(TextOps.tokens(lower(text)), w)
 
-  /** 32-bit base hash per shingle (non-negative). */
+  /** 31-bit base hash per shingle (non-negative): the engine-owned
+    * polynomial hash ([[graft.functions.PolyHash61]]) folded into the
+    * signature family's prime field. Engine-owned rather than xxhash64
+    * so the whole pipeline is re-derivable in the DuckDB oracle
+    * (ExtQueries.minhashPairsCtes) — the winnowing precedent. */
   def baseHashes(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(Prime)))
+    transform(sh, s => pmod(graft.functions.PolyHash61(s), lit(Prime)))
 
   /** k-minhash signature from a MATERIALIZED base-hash column —
     * reference HOF implementation, kept as the semantic spec for the
@@ -92,6 +96,12 @@ object MinHashLSH {
       df.select(col(idCol).as("__id"), col(textCol).as("__text"))
         .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
         .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
+        // a shingle-less doc (empty/whitespace text) has no content to
+        // match on; dropping it here keeps the all-sentinel signature
+        // rows ([Long.MaxValue]*k) from bucketing together — and keeps
+        // the doc set identical to the oracle's (unnest of an empty
+        // shingle list produces no rows)
+        .filter(size(col("__sh")) > 0)
         .withColumn("__hs", baseHashes(col("__sh")))
         .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
         .select("__id", "__sh", "__sig"))
@@ -103,7 +113,7 @@ object MinHashLSH {
     val banded = withSig.select(
       col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bi => xxhash64(concat_ws(",", bi.cast("string"),
+        bi => graft.functions.PolyHash61(concat_ws(",", bi.cast("string"),
           call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("__band", "__bucket")))
 

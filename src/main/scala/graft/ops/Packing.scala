@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Whitespace token count — the same cheap proxy TextOps uses; swap
-    * in a BPE count column upstream if exact budget matters. */
+  /** Whitespace token count — delegates to [[TextOps.tokens]] so the
+    * tokenizer cannot drift from the one the oracle mirrors; swap in a
+    * BPE count column upstream if exact budget matters. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(TextOps.tokens(text))
 
   /** Per-document assignment: (all input columns) + `n_tokens`,
     * `seq_id` (0-based within the `partCol` shard). */
