@@ -24,12 +24,12 @@ object ExtQueries {
   val textStatsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, text,
-      |         string_split_regex(trim(text), '\s+') AS tk
+      |         string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tk
       |  FROM documents
       |), stats AS (
       |  SELECT doc_id,
       |         len(tk) AS token_count,
-      |         len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS bpe_token_count,
+      |         len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+')) AS bpe_token_count,
       |         length(text) AS char_count,
       |         round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk), 6) AS avg_token_len,
       |         round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
@@ -51,7 +51,7 @@ object ExtQueries {
     TextOps.exactDedup(Tables.documents(s, dir)).orderBy("keep_id")
 
   val dedupExactSql: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+    """SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint,
       |       min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
@@ -70,7 +70,7 @@ object ExtQueries {
   val langIdSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         string_split_regex(trim(lower(text)), '\s+') AS tk,
+      |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS tk,
       |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
       |         greatest(length(text), 1) AS tlen
       |  FROM documents
@@ -116,7 +116,7 @@ object ExtQueries {
 
   val tfidfTopTermsSql: String =
     """WITH w AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
       |), u AS (
       |  SELECT doc_id, unnest(ws) AS word FROM w
       |), tf AS (
@@ -145,7 +145,7 @@ object ExtQueries {
 
   val repetitionSql: String =
     """WITH w AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
       |), base AS (
       |  SELECT doc_id, len(ws) AS n_words,
       |         round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_ratio,
@@ -538,23 +538,45 @@ object ExtQueries {
     * keeps the h·B partial products exact; Spark's wraparound
     * `& (2^61-1)` equals HUGEINT `% 2^61` because the modulus divides
     * 2^64 (the winnowing precedent, [[winnowDedupSql]]). */
+  /** DuckDB re-expression of [[graft.functions.PolyHash61]]: the 61-bit
+    * polynomial fold over the chars of scalar expression `e`. Char-based
+    * (ord/substr), so it equals the engine's UTF-8-byte fold only on
+    * pure-ASCII text — a precondition ENFORCED in-oracle by
+    * [[asciiGuardedTokensCte]]'s error() branch (ADVICE r6), not just by
+    * the fixture-level FixtureSpec test. */
+  private def fold61(e: String) =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(range(1, length($e)+1), ci -> CAST(ord(substr($e, ci, 1)) AS HUGEINT))), " +
+      s"(acc, c) -> (acc * 1000000007 + c) % 2305843009213693952) AS BIGINT)"
+
+  /** Shared `tk` CTE body: lower-cased whitespace tokens per doc, with
+    * fold61's ord(char)==byte precondition enforced loudly — a
+    * non-ASCII corpus fails the oracle query with a clear message
+    * instead of producing a mysterious hash mismatch (ADVICE r6). The
+    * whitespace class is the engine's spelled-out [[TextOps.WhitespaceRe]]
+    * (RE2's \\s lacks \\x0B; Java's includes it). */
+  private val asciiGuardedTokensCte: String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(
+       |           CASE WHEN text ~ '[^\\x00-\\x7F]'
+       |                THEN error('non-ASCII doc ' || doc_id ||
+       |                           ': fold61 ord-as-byte precondition violated')
+       |                ELSE text END)),
+       |         '[ \\t\\n\\x0B\\f\\r]+') AS tk FROM documents
+       |)""".stripMargin
+
   private val minhashPairsCtes: String = {
     val (as, bs) = graft.functions.MinHashSignature.params(64, 42L)
     val pa = as.mkString("[", ",", "]")
     val pb = bs.mkString("[", ",", "]")
-    // 61-bit polynomial fold over the chars of scalar expression `e`
-    // (ASCII fixture — FixtureSpec guard — so ord(char) == byte)
-    def fold61(e: String) =
-      s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
-        s"list_transform(range(1, length($e)+1), ci -> CAST(ord(substr($e, ci, 1)) AS HUGEINT))), " +
-        s"(acc, c) -> (acc * 1000000007 + c) % 2305843009213693952) AS BIGINT)"
-    s"""WITH tk AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
-       |), sh AS (
-       |  SELECT doc_id, list_distinct(list_filter(
-       |           list_transform(range(1, greatest(len(tk) - 3, 0) + 2),
+    s"""WITH $asciiGuardedTokensCte, sh AS (
+       |  -- a doc with fewer than 3 tokens has no 3-shingles (mirrors
+       |  -- MinHashLSH.shinglesFromTokens' CASE; r7)
+       |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_filter(
+       |           list_transform(range(1, len(tk) - 1),
        |             si -> array_to_string(tk[si:si+2], ' ')),
-       |           s -> length(s) > 0)) AS sh
+       |           s -> length(s) > 0)) END AS sh
        |  FROM tk
        |), shr AS (
        |  SELECT doc_id, unnest(sh) AS s FROM sh
@@ -594,9 +616,33 @@ object ExtQueries {
       |FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
-  /** SimHash fingerprints (per-row HOFs, no shuffle). */
+  /** SimHash fingerprints (per-row HOFs, no shuffle). Fully oracled
+    * since r7: the per-token hash is PolyHash61 (not xxhash64), so
+    * DuckDB re-derives the bit-vote fold exactly (VERDICT r6 task 6 —
+    * the same swap that oracled minhash in r6). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
     SimHash.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** DuckDB re-expression of [[SimHash.simhash]]: PolyHash61 per
+    * lower-cased whitespace token, then each hash votes ±1 on each of
+    * 64 bit positions; a positive vote total sets the bit. Bits 61-63
+    * can never be set (PolyHash61 < 2^61 ⇒ those bits vote −n), so the
+    * `1 << b` sum stays within BIGINT. Token multiset semantics match:
+    * `unnest` keeps duplicate tokens exactly like Spark's `transform`. */
+  val simhashSql: String =
+    s"""WITH $asciiGuardedTokensCte, toks AS (
+       |  SELECT doc_id, unnest(tk) AS t FROM tk
+       |), hs AS (
+       |  SELECT doc_id, ${fold61("t")} AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id, bits.b AS b,
+       |         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+       |  GROUP BY doc_id, bits.b
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Char-3-gram Jaccard over MinHash candidates (n-gram variant of the
     * verify stage). Fully oracled since r6 — shares [[minhashPairsCtes]]
@@ -624,7 +670,7 @@ object ExtQueries {
       |  SELECT doc_id, list_distinct(list_transform(
       |           range(1, greatest(length(norm) - 3, 0) + 2),
       |           gi -> substr(norm, gi, 3))) AS g
-      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents)
       |)
       |SELECT p.a_id, p.b_id,
       |       round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
@@ -890,7 +936,7 @@ object ExtQueries {
   val packSequencesSql: String =
     """WITH t AS (
       |  SELECT doc_id, source,
-      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |         len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens
       |  FROM documents
       |), c AS (
       |  SELECT source, n_tokens,
@@ -961,7 +1007,7 @@ object ExtQueries {
 
   val splitStatsSql: String =
     """WITH b AS (
-      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS token_count,
+      |  SELECT doc_id, len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token_count,
       |         ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1) * 4096
       |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) * 256
       |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1) * 16
@@ -1008,7 +1054,7 @@ object ExtQueries {
 
   val qualityTopKSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk
+      |  SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tk
       |  FROM documents
       |), stats AS (
       |  SELECT doc_id, text, len(tk) AS token_count,
@@ -1022,7 +1068,7 @@ object ExtQueries {
       |           0.15 * ln(1.0 + token_count)
       |           - 2.0 * punct_ratio - 2.0 * digit_ratio
       |           - abs(stopword_ratio - 0.35))), 6) AS quality_score,
-      |         string_split_regex(trim(lower(text)), '\s+') AS ltk,
+      |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ltk,
       |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
       |         greatest(length(text), 1) AS tlen
       |  FROM stats
@@ -1072,7 +1118,7 @@ object ExtQueries {
   val lengthQuantilesSql: String =
     """WITH t AS (
       |  SELECT doc_id, length(text) AS char_count,
-      |         string_split_regex(trim(lower(text)), '\s+') AS ltk,
+      |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS ltk,
       |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
       |         greatest(length(text), 1) AS tlen
       |  FROM documents
@@ -1160,25 +1206,22 @@ object ExtQueries {
     "q_decontam"          -> decontamSql,
     "q_dedup_winnow"      -> winnowDedupSql,
     "q_repetition"        -> repetitionSql,
+    "q_dedup_simhash"     -> simhashSql,
     "q_tfidf_terms"       -> tfidfTopTermsSql)
 
-  /** rows-only: outputs built on hash functions DuckDB doesn't have
-    * (xxhash64) or on approximate/streaming machinery with no stable
-    * SQL ground truth. Each survivor's justification:
-    *  - q_dedup_simhash: fingerprints are xxhash64-seeded — no DuckDB
-    *    equivalent; Hamming-similarity behavior is spec-tested
-    *    (DedupSpec). (q_dedup_minhash and q_ngram_jaccard escaped this
-    *    set in r6 the way q_dedup_winnow did in r5: their base + bucket
-    *    hashes are now the engine-owned PolyHash61, re-expressed in SQL
-    *    above.)
+  /** rows-only: outputs built on seeded randomness DuckDB can't replay
+    * or approximate machinery with no stable SQL ground truth. This set
+    * is at its floor — each survivor's justification:
     *  - q_ann_lsh / q_ann_ivf / q_embed_neardup: approximate indexes —
     *    output depends on xxhash64-seeded planes / sampled centroids;
     *    recall vs the ORACLED q_ann_brute is spec-tested
     *    (SimilaritySpec).
     *  - q_mv_approx: DataSketches HLL estimate — no DuckDB equivalent;
     *    routed == direct equality is RoutingSpec-gated, and the exact
-    *    companion (q_mv_distinct) IS oracled. */
+    *    companion (q_mv_distinct) IS oracled.
+    * (q_dedup_simhash escaped this set in r7 the way minhash/ngram did
+    * in r6 and winnowing in r5: its per-token hash is now the
+    * engine-owned PolyHash61, re-expressed in simhashSql.) */
   val rowsOnly: Set[String] = Set(
-    "q_dedup_simhash",
     "q_ann_lsh", "q_embed_neardup", "q_ann_ivf", "q_mv_approx")
 }

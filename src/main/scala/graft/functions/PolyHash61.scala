@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-owned 61-bit polynomial string hash:
@@ -19,14 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * instead of rows-only (xxhash64, the previous base hash, has no
   * DuckDB equivalent; VERDICT r5 ask #3).
   *
-  * Not a cryptographic hash and ~2× slower than xxhash64's
-  * multiply-rotate core, but the hot paths consume it over short
-  * strings (shingles, bucket keys) where the cost is noise next to
-  * the surrounding shuffle — and cross-engine verifiability is worth
-  * far more here than nanoseconds.
+  * Not a cryptographic hash, but cross-engine verifiability is worth
+  * far more here than nanoseconds — and the blocked fold below keeps
+  * the kernel within ~reach of xxhash64's multiply-rotate core on the
+  * short strings (shingles, bucket keys) the hot paths feed it.
   */
-case class PolyHash61(child: Expression) extends UnaryExpression {
+case class PolyHash61(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "poly_hash61"
@@ -49,9 +50,49 @@ object PolyHash61 {
   val B = 1000000007L
   val Modulus = 1L << 61
   private val Mask = Modulus - 1
+  // precomputed base powers mod 2^61 for the blocked fold
+  private val B2 = (B * B) & Mask
+  private val B3 = (B2 * B) & Mask
+  private val B4 = (B3 * B) & Mask
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code.
+    *
+    * Blocked fold: four bytes per step via
+    * `h' = h·B⁴ + b₀·B³ + b₁·B² + b₂·B + b₃ (mod 2^61)` — algebraically
+    * identical to the byte-at-a-time Horner fold (it is the same
+    * polynomial, evaluated four coefficients at a time), but the
+    * sequential dependency chain is one multiply per FOUR bytes instead
+    * of one per byte; the three b·Bⁱ products are independent and
+    * pipeline. Every 64-bit product/sum may wrap, and wrapping is exact
+    * here: 2^61 | 2^64, so `x mod 2^64 mod 2^61 == x mod 2^61` (the
+    * file-level modulus argument). The oracle SQL keeps the one-byte
+    * Horner form — same polynomial, so no SQL change. (VERDICT r6
+    * task 4: claws back most of the PolyHash61-vs-xxhash64 constant.)
+    */
   def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var h = 0L
+    var i = 0
+    val n4 = n - 3
+    while (i < n4) {
+      h = (h * B4
+        + (bytes(i) & 0xff) * B3
+        + (bytes(i + 1) & 0xff) * B2
+        + (bytes(i + 2) & 0xff) * B
+        + (bytes(i + 3) & 0xff)) & Mask
+      i += 4
+    }
+    while (i < n) {
+      h = (h * B + (bytes(i) & 0xff)) & Mask
+      i += 1
+    }
+    h
+  }
+
+  /** Reference byte-at-a-time Horner fold — the semantic spec (and the
+    * form the DuckDB oracle re-expresses); PolyHash61Spec asserts
+    * `compute == computeReference` on random byte strings. */
+  def computeReference(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) {

@@ -34,11 +34,17 @@ object MinHashLSH {
     * (measured: single task pinned for 14 min on 500 docs).
     */
   def shinglesFromTokens(toks: Column, w: Int = 3): Column =
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
-          i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)),
-        s => length(s) > lit(0)))
+    // a doc with fewer than w tokens has NO w-shingles (the branch also
+    // keeps element_at in-bounds — ANSI mode throws on overrun, which a
+    // greatest()-clamped sequence alone did not prevent for <w tokens;
+    // caught by DedupSpec's shingle-less contract test, r7). The oracle
+    // mirrors the same CASE (minhashPairsCtes).
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        filter(
+          transform(sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)),
+          s => length(s) > lit(0))))
 
   /** Convenience (single evaluation contexts only — see above). */
   def shingles(text: Column, w: Int = 3): Column =
@@ -122,6 +128,16 @@ object MinHashLSH {
     // map-side-combinable aggregate over the same shuffle). Size-1
     // buckets can't produce a pair, so the lower bound also prunes the
     // (dominant) singleton mass before the self-join.
+    //
+    // ADVERSARIAL-CORPUS CAVEAT (ADVICE r6): the base/bucket hash is a
+    // fixed-parameter unseeded polynomial (PolyHash61 — the price of
+    // DuckDB oracle-ability), and polynomial collisions are
+    // constructible in closed form. Hostile web documents can therefore
+    // craft shingles that (a) overflow a chosen bucket past
+    // maxBucketSize so the guard DROPS it — evading dedup — or (b) skew
+    // the one wide stage. On an adversarial corpus, pass a per-run
+    // secret `seed` AND treat over-limit buckets as a quarantine list
+    // (route their docs to exact verify) rather than dropping them.
     val okBuckets = banded.groupBy("__band", "__bucket")
       .count()
       .filter(col("count") >= 2 && col("count") <= maxBucketSize)

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * of each accumulated bit becomes the fingerprint bit. Computed with
   * per-row higher-order functions — no shuffle, no UDF.
   *
+  * The per-token hash is the engine-owned [[graft.functions.PolyHash61]]
+  * (since r7; previously xxhash64), so the whole fingerprint is
+  * re-derivable in the DuckDB oracle (ExtQueries.simhashSql — the same
+  * swap that fully oracled the minhash pipeline in r6). PolyHash61 is
+  * 61-bit, so fingerprint bits 61-63 always vote negative and are
+  * structurally 0: a 61-effective-bit simhash, which leaves the
+  * hamming-similarity contract intact (DedupSpec gates) — block 3 of
+  * the 4×16-bit banding just carries 13 live bits.
+  *
   * Pairing: near-dups (hamming ≤ d) must share at least one of d+1
   * equal bit-blocks (pigeonhole), so docs are bucketed by each of 4
   * 16-bit blocks — one shuffle on (block idx, block value) — and
@@ -20,13 +29,13 @@ object SimHash {
   /** Production path: native codegen'd expression over token hashes. */
   def simhash(text: Column): Column =
     graft.functions.SimHash64(
-      transform(TextOps.tokens(lower(text)), t => xxhash64(t)))
+      transform(TextOps.tokens(lower(text)), t => graft.functions.PolyHash61(t)))
 
   /** Reference HOF implementation — the semantic spec the native
     * expression is asserted against (SimHash64Spec); interpreted and
     * allocating a 64-slot array per token, so not used on hot paths. */
   def simhashHof(text: Column): Column = {
-    val hs = transform(TextOps.tokens(lower(text)), t => xxhash64(t))
+    val hs = transform(TextOps.tokens(lower(text)), t => graft.functions.PolyHash61(t))
     val votes = aggregate(hs, array_repeat(lit(0), 64),
       (acc: Column, h: Column) => zip_with(acc, sequence(lit(0), lit(63)),
         (v: Column, b: Column) =>

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization (the contract used by stats + dedup). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization (the contract used by stats + dedup).
+    *
+    * The explicit class is exactly Java's `\s` ([ \t\n\x0B\f\r]) — a
+    * no-op for Spark, but it pins the cross-engine contract: DuckDB's
+    * RE2 `\s` does NOT include \x0B, so every oracle uses this same
+    * spelled-out class and both engines split identically on every
+    * ASCII control char (ADVICE r6). */
+  val WhitespaceRe = "[ \\t\\n\\x0B\\f\\r]+"
+  def tokens(text: Column): Column = split(trim(text), WhitespaceRe)
 
   private val stopwords = Seq(
     "the", "a", "an", "of", "and", "or", "is", "are", "in", "on", "to",
@@ -90,7 +97,7 @@ object TextOps {
   /** Content fingerprint: md5 over whitespace-collapsed, lower-cased
     * text. Exact-dup keys at any scale (hash-groupBy distributes). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), WhitespaceRe, " "))
 
   /** Exact dedup: one surviving doc per distinct normalized content
     * (deterministic survivor = min id), with the duplicate count.
@@ -107,14 +114,14 @@ object TextOps {
     * LLM-tokenizer token counts far better than whitespace splitting
     * on punctuation-heavy text. */
   val bpeishPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
   /** Whitespace-collapsed lower-cased text (fingerprint/n-gram input). */
   def normalized(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(trim(text)), WhitespaceRe, " ")
 
   /** Character n-grams (distinct, ordered) over an ALREADY-MATERIALIZED
     * normalized-text column. `norm` sits inside the transform lambda,

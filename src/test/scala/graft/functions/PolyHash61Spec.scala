@@ -29,6 +29,21 @@ class PolyHash61Spec extends SparkSpec {
     }
   }
 
+  test("blocked 4-byte fold == byte-at-a-time reference on random bytes") {
+    // every length residue mod 4, lengths 0..67, plus long strings —
+    // the blocked main loop and the scalar tail must splice exactly
+    val rnd = new scala.util.Random(7)
+    val cases = (0 to 67).map { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    } ++ Seq(4096, 4097, 4098, 4099).map { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    cases.foreach { b =>
+      assert(PolyHash61.compute(b) == PolyHash61.computeReference(b),
+        s"length ${b.length}")
+    }
+  }
+
   test("null propagates, empty string hashes to 0") {
     import spark.implicits._
     val rows = Seq(Some(""), None).toDF("s")

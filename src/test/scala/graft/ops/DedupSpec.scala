@@ -58,6 +58,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("empty/whitespace/short docs produce no candidate pairs (shingle-less contract)") {
+    // Pins the MinHashLSH shingle-less filter (VERDICT r6 task 5): a
+    // doc with no 3-shingles — empty, whitespace-only (incl. \\x0B,
+    // the RE2-dialect-gap char, ADVICE r6), or fewer than 3 tokens —
+    // has no content to near-dup match on and must never surface as a
+    // candidate; in particular two empty docs must NOT pair via an
+    // all-sentinel signature bucket, and the identical 1-token pair
+    // 904/905 belongs to EXACT dedup, not here. The oracle agrees by
+    // construction: unnest of an empty shingle list produces no rows.
+    val extras = Seq(
+      (900L, ""), (901L, "   "), (902L, " \t\n  "), (903L, "\u000B"),
+      (904L, "spark"), (905L, "spark"), (906L, "two tokens"))
+    val withEmpties = corpus.unionByName(extras.toDF("doc_id", "text"))
+    val after = MinHashLSH.candidatePairs(withEmpties)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val leaked = after.flatMap(p => Seq(p._1, p._2)).filter(_ >= 900L)
+    assert(leaked.isEmpty, s"shingle-less docs leaked into candidates: $leaked")
+    // and the filter must not disturb the real corpus's pairs
+    val before = MinHashLSH.candidatePairs(corpus)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == after)
+  }
+
   test("simhash near-dups: planted mutations found with small hamming") {
     val found = SimHash.nearDuplicates(corpus, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
