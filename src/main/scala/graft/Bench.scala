@@ -95,8 +95,22 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the reference's headline claim (README.md:424-431, "10-100x for
+    // common aggregation patterns"), MEASURED (VERDICT r6 task 1):
+    // same query, plain catalog (full expansion) vs materialized
+    // catalog (5-row rollup scan), on an orders table replicated R=256x
+    // (~38M rows / 530MB parquet at sf0.1) so the fact-scan side has
+    // real work to skip. -1 on failure.
+    val routing =
+      try Some(RoutingBench.measure(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_ROUTING_REPLICAS", "256").toInt))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] routing bench failed: ${e.getMessage}"); None }
+    val routingJson = routing.map(r =>
+      f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f}""")
+      .getOrElse(""","routing_speedup":-1""")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs$routingJson,"sf":"$sfDir"}"""
     println(json)
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it

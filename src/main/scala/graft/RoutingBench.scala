@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the materialized-rollup routing speedup — the reference's
+  * one headline performance claim (README.md:424-431: "10-100x faster
+  * for common aggregation patterns") that RoutingSpec plan-gates but no
+  * artifact had ever *measured* (VERDICT r6 task 1).
+  *
+  * Shape of the measurement: the same semantic query — mv_order_metrics
+  * by market_segment — against the same data, once through the plain
+  * catalog (no materializer: full fact-table expansion scan+join+agg)
+  * and once through the materialized catalog (routed to the 5-row
+  * revenue_by_segment rollup). Rollup build time is untimed setup,
+  * exactly as the reference's Lakeflow pipeline refresh is offline.
+  *
+  * The fixture replicates the base dir's `orders` R times (disjoint
+  * order ids, same customers/segments — per-segment totals scale by
+  * exactly R) because the claim is about SCALE: routed cost is O(|grain|)
+  * — constant — while unrouted cost is O(|fact|), so the measured ratio
+  * grows ~linearly in R and the reference's 10-100x bracket corresponds
+  * to fact tables 10-100x the rollup-build-amortization point. All other
+  * tables are symlinked, not copied.
+  */
+object RoutingBench {
+
+  final case class Result(replicas: Int, unroutedSec: Double, routedSec: Double) {
+    def speedup: Double = unroutedSec / routedSec
+  }
+
+  def measure(spark: SparkSession, baseDir: String,
+      replicas: Int = 256, runs: Int = 3): Result = {
+    val dir = fixture(spark, baseDir, replicas)
+
+    // untimed setup: registration + rollup build on the replicated dir
+    val unroutedView = SparkEntry.catalog(spark, dir).get("mv_order_metrics")
+    val routedView = SparkEntry.matCatalog(spark, dir).get("mv_order_metrics")
+
+    // the ROUTED-ELIGIBLE measure set (= q_routed_segment's): the
+    // revenue_by_segment rollup carries total_revenue + total_orders
+    // partials, so this is exactly the reference's "common aggregation
+    // patterns" class the 10-100x claim covers. avg_order_value is NOT
+    // in the rollup's measure list — including it silently falls back
+    // to the baseline scan on the routed side and the "speedup"
+    // measures nothing (observed: ratio collapsed to ~1.4 and the
+    // routed time GREW with R).
+    def q(view: graft.api.MetricView): Unit =
+      view.query(Seq("market_segment"), Seq("total_orders", "total_revenue"))
+        .write.format("noop").mode("overwrite").save()
+
+    // interleaved min-of-N (Bench's contention defense), routed first in
+    // each sweep so neither side systematically rides the other's cache
+    var unrouted = Vector.empty[Double]
+    var routed = Vector.empty[Double]
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    for (_ <- 1 to runs) {
+      routed = routed :+ time(q(routedView))
+      unrouted = unrouted :+ time(q(unroutedView))
+    }
+    Result(replicas, unrouted.min, routed.min)
+  }
+
+  /** Replicated fixture dir (idempotent via a recipe marker): `orders`
+    * written R-fold with disjoint id spaces, every other table a
+    * symlink to the base dir's parquet. */
+  private def fixture(spark: SparkSession, baseDir: String, replicas: Int): String = {
+    val dir = "/root/repo/target/routing_fixture_" +
+      baseDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$replicas"
+    val path = java.nio.file.Paths.get(dir)
+    val marker = path.resolve("_generated")
+    val recipe = s"$replicas:$baseDir"
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker)).trim == recipe)
+      return dir
+    java.nio.file.Files.deleteIfExists(marker)
+    java.nio.file.Files.createDirectories(path)
+
+    val orders = graft.model.Tables.load(spark, baseDir, "orders")
+    (0 until replicas).map { k =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val base = java.nio.file.Paths.get(baseDir)
+    val others = java.nio.file.Files.list(base).iterator()
+    while (others.hasNext) {
+      val src = others.next()
+      val name = src.getFileName.toString
+      if (name.endsWith(".parquet") && name != "orders.parquet") {
+        val link = path.resolve(name)
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, src.toAbsolutePath)
+      }
+    }
+    java.nio.file.Files.write(marker, recipe.getBytes)
+    dir
+  }
+
+  /** Standalone entry for iterating on the measurement. */
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_ROUTING_REPLICAS", "256").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = measure(spark, baseDir, replicas)
+    println(f"""{"metric":"routing_speedup","value":${r.speedup}%.2f,"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f}""")
+    spark.stop()
+  }
+}
