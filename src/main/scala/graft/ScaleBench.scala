@@ -38,7 +38,16 @@ object ScaleBench {
 
   private val Heavy = Seq(
     "q_dedup_clusters", "q_dedup_minhash", "q_decontam",
-    "q_tfidf_terms", "q_stream_window", "q_embed_neardup")
+    "q_tfidf_terms", "q_stream_window", "q_embed_neardup",
+    // r7 (VERDICT r6 task 3): the four operators whose scale story was
+    // plan-shape-only. q_asof_join/q_sessionize are per-user-key window
+    // shapes (10x events with fresh user ids per replica: 10x keys,
+    // flat per-key depth); q_pack is a per-source running-sum window
+    // (replicas keep the SAME source values, so each source partition
+    // grows 10x — the expected mild superlinearity of its in-partition
+    // sort is the interesting number); q_pii is per-row regex, the
+    // linearity control.
+    "q_asof_join", "q_sessionize", "q_pack", "q_pii")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

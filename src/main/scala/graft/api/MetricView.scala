@@ -23,7 +23,11 @@ final class MetricView(
     val spec: MetricViewSpec,
     catalog: MetricViewCatalog,
     /** CREATE VIEW ... COMMENT '...' (reference macro :84) */
-    val comment: Option[String] = None) {
+    val comment: Option[String] = None,
+    /** The YAML text the spec was parsed from — kept verbatim so the
+      * catalog can persist and replay the view (save/load round-trip);
+      * the YAML is the durable contract, the parsed spec is derived. */
+    private[graft] val yamlSource: String = "") {
 
   private def spark: SparkSession = catalog.spark
 
@@ -199,7 +203,7 @@ final class MetricViewCatalog(
   def createOrReplace(name: String, yaml: String, comment: Option[String] = None): MetricView = {
     val spec = YamlParser.parse(yaml)
     validate(name, spec)
-    val view = new MetricView(name, spec, this, comment)
+    val view = new MetricView(name, spec, this, comment, yaml)
     val specChanged = views.get(name).exists(_.spec.materializationHash != spec.materializationHash)
     if (specChanged) materializer.foreach(_.invalidate(view))
     views(name) = view
@@ -265,6 +269,53 @@ final class MetricViewCatalog(
             materializer.exists(_.isBuilt(v)).toString)
       }
     props.toDF("key", "value")
+  }
+
+  /** Persist every registered view to `dir` (r5 stretch #8): one
+    * `<name>.yaml` per view — the verbatim CREATE-time YAML, which IS
+    * the durable contract (the reference's views live as YAML in dbt
+    * metadata, models/schema.yml) — plus `<name>.comment` when set, and
+    * a `_manifest` recording registration order. Overwrites `dir`'s
+    * previous manifest, so dropped views do not resurrect on load.
+    * Materialization caches are NOT copied: they are derived state,
+    * keyed by spec hash, and rebuild/revalidate on the loading side. */
+  def save(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val manifest = new StringBuilder
+    views.values.foreach { v =>
+      java.nio.file.Files.write(p.resolve(s"${v.name}.yaml"),
+        v.yamlSource.getBytes("UTF-8"))
+      val cpath = p.resolve(s"${v.name}.comment")
+      v.comment match {
+        case Some(c) => java.nio.file.Files.write(cpath, c.getBytes("UTF-8"))
+        case None    => java.nio.file.Files.deleteIfExists(cpath)
+      }
+      manifest.append(v.name).append('\n')
+    }
+    java.nio.file.Files.write(p.resolve("_manifest"),
+      manifest.toString.getBytes("UTF-8"))
+  }
+
+  /** Replay a [[save]]d catalog into this one (typically fresh, in a
+    * new session): each view re-runs the full CREATE path — YAML parse
+    * + CREATE-time validation against THIS catalog's sources — so a
+    * load against drifted source schemas fails loudly at load time,
+    * not at first query. Returns this catalog for chaining. */
+  def load(dir: String): this.type = {
+    val p = java.nio.file.Paths.get(dir)
+    val names = java.nio.file.Files.readAllLines(p.resolve("_manifest"))
+    names.forEach { n =>
+      val yaml = new String(
+        java.nio.file.Files.readAllBytes(p.resolve(s"$n.yaml")), "UTF-8")
+      val cpath = p.resolve(s"$n.comment")
+      val comment =
+        if (java.nio.file.Files.exists(cpath))
+          Some(new String(java.nio.file.Files.readAllBytes(cpath), "UTF-8"))
+        else None
+      createOrReplace(n, yaml, comment)
+    }
+    this
   }
 
   /** Recompute materializations (reference refresh_metric_views.py —

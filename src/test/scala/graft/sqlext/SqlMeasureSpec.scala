@@ -66,6 +66,55 @@ class SqlMeasureSpec extends SparkSpec {
     assert(rows.map(r => r.getDecimal(1).doubleValue).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("MEASURE(a)/MEASURE(b) arithmetic in SELECT matches the measure-level ratio") {
+    // r5 stretch #7, pinned with exact values: the ratio must be
+    // computed per-GROUP from the two expanded measures — not from any
+    // row-level shortcut — so it must equal the DataFrame path's
+    // sum/count division bit-for-bit.
+    init()
+    val sql = spark.sql(
+      """SELECT market_segment,
+        |       CAST(MEASURE(total_revenue) AS DOUBLE) / MEASURE(total_orders) AS rev_per_order
+        |FROM mv_order_metrics GROUP BY market_segment""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("market_segment"), Seq("total_revenue", "total_orders"))
+      .selectExpr("market_segment",
+        "CAST(total_revenue AS DOUBLE) / total_orders AS rev_per_order")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sql == api)
+  }
+
+  test("HAVING MEASURE(x) > k filters groups by the aggregated value") {
+    // a threshold that actually removes groups (unlike the > 0 smoke
+    // above), verified against the DataFrame path's post-agg filter —
+    // and a HAVING over a measure arithmetic expression.
+    init()
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("order_year"), Seq("total_orders"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val counts = api.values.toSeq.sorted
+    val k = counts(counts.size / 2) // median: guarantees a real cut
+    val sql = spark.sql(
+      s"""SELECT order_year, MEASURE(total_orders) AS n
+         |FROM mv_order_metrics GROUP BY order_year
+         |HAVING MEASURE(total_orders) > $k""".stripMargin)
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(sql == api.filter(_._2 > k))
+    assert(sql.nonEmpty && sql.size < api.size, "threshold must cut some groups")
+
+    val ratioCut = spark.sql(
+      """SELECT order_year
+        |FROM mv_order_metrics GROUP BY order_year
+        |HAVING CAST(MEASURE(total_revenue) AS DOUBLE) / MEASURE(total_orders) > 151000""".stripMargin)
+      .collect().map(_.get(0)).toSet
+    val ratioApi = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .query(Seq("order_year"), Seq("total_revenue", "total_orders"))
+      .selectExpr("order_year", "CAST(total_revenue AS DOUBLE) / total_orders AS r")
+      .collect().filter(_.getDouble(1) > 151000).map(_.get(0)).toSet
+    assert(ratioCut == ratioApi)
+  }
+
   test("routed SQL query scans the rollup, not the raw source") {
     // register the MATERIALIZING catalog's views for SQL resolution
     // explicitly: constructing matCatalog only registers on a cache
