@@ -705,12 +705,69 @@ object ExtQueries {
       |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (approximate; recall vs brute force is
-    * spec-tested — rows-only here). */
+  /** LSH-bucketed ANN. Fully oracled since r7: the Gaussian hyperplanes
+    * are driver-side constants from spec-fixed java.util.Random (the
+    * MinHashSignature.params precedent), so the oracle embeds the whole
+    * plane tensor as a literal and re-derives buckets → candidates →
+    * exact cosine ranking in DuckDB. Recall vs brute force additionally
+    * spec-tested (SimilaritySpec). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB literal for a [tables][bits][dim] plane tensor (Scala's
+    * shortest-round-trip Double.toString parses back to the identical
+    * double). */
+  private def planesLiteral(tables: Int, bits: Int, dim: Int, seed: Long): String =
+    Similarity.planesFor(tables, bits, dim, seed)
+      .map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** The engine's EXACT left-to-right double dot fold
+    * (ArrayDotProduct / the aggregate-HOF spec): bit-identical is
+    * required where a SIGN decides a bucket bit — `list_sum`'s
+    * summation order is unspecified, `list_reduce` is the same fold. */
+  private def dotFold(v: String, p: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($v, $p), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** Per-table bucket: Σ_b (sign(v·plane[t][b]) << b) — mirrors
+    * Similarity.bucketExpr with 1-based SQL indexing. */
+  private def bucketFold(bits: Int, vec: String, planesIdx: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${bits + 1}), b -> " +
+      s"CASE WHEN ${dotFold(vec, s"$planesIdx[b]")} > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << (b - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  val annLshSql: String = {
+    val cos = s"${dotFold("q.embedding", "c.embedding")} / " +
+      s"(sqrt(${dotFold("q.embedding", "q.embedding")}) * sqrt(${dotFold("c.embedding", "c.embedding")}))"
+    s"""WITH params AS (
+       |  SELECT ${planesLiteral(16, 5, 64, 42L)}::DOUBLE[][][] AS planes
+       |), tabs AS (
+       |  SELECT unnest(range(0, 16)) AS tbl
+       |), cb AS (
+       |  SELECT e.vec_id, tabs.tbl,
+       |         ${bucketFold(5, "e.embedding", "planes[tabs.tbl + 1]")} AS bucket
+       |  FROM embeddings e CROSS JOIN params CROSS JOIN tabs
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM cb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, $cos AS cos_raw
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs (LSH candidates, exact verify):
@@ -732,6 +789,47 @@ object ExtQueries {
     Similarity.embeddingNearDup(emb, threshold = -1.0, bits = bits)
       .orderBy(desc("cosine"), asc("a_id"), asc("b_id"))
       .limit(20)
+  }
+
+  /** DuckDB re-expression of [[embedNearDup]] (fully oracled since r7,
+    * the annLshSql plane-literal technique): the tensor is embedded for
+    * bits=10 — the auto-sizing formula's value at every driver scale —
+    * and the oracle RECOMPUTES the formula from count(*), failing
+    * loudly via error() if the corpus ever outgrows the embedded tensor
+    * (the ASCII-guard pattern: a wrong-scale oracle must not silently
+    * mismatch). */
+  val embedNearDupSql: String = {
+    val cos = s"${dotFold("a.embedding", "b.embedding")} / " +
+      s"(sqrt(${dotFold("a.embedding", "a.embedding")}) * sqrt(${dotFold("b.embedding", "b.embedding")}))"
+    s"""WITH bitchk AS (
+       |  SELECT CASE WHEN least(62, greatest(10, CAST(ceil(log2(count(*) / 2.0)) AS INT))) <> 10
+       |              THEN CAST(error('embedNearDup oracle embeds a bits=10 tensor; corpus now needs bits='
+       |                   || least(62, greatest(10, CAST(ceil(log2(count(*) / 2.0)) AS INT)))) AS INT)
+       |              ELSE 10 END AS bits
+       |  FROM embeddings
+       |), params AS (
+       |  SELECT ${planesLiteral(8, 10, 64, 42L)}::DOUBLE[][][] AS planes
+       |), tabs AS (
+       |  SELECT unnest(range(0, 8)) AS tbl
+       |), cb AS (
+       |  SELECT e.vec_id, tabs.tbl,
+       |         ${bucketFold(10, "e.embedding", "planes[tabs.tbl + 1]")} AS bucket
+       |  FROM embeddings e CROSS JOIN params CROSS JOIN tabs CROSS JOIN bitchk
+       |  WHERE bitchk.bits = 10
+       |), census AS (
+       |  SELECT tbl, bucket FROM cb GROUP BY tbl, bucket
+       |  HAVING count(*) BETWEEN 2 AND 10000
+       |), slim AS (
+       |  SELECT cb.vec_id, cb.tbl, cb.bucket FROM cb JOIN census USING (tbl, bucket)
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM slim a JOIN slim b USING (tbl, bucket)
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT p.a_id, p.b_id, round($cos, 6) AS cosine
+       |FROM pairs p JOIN embeddings a ON a.vec_id = p.a_id
+       |             JOIN embeddings b ON b.vec_id = p.b_id
+       |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin
   }
 
   /** Winnowing (rolling-hash) fingerprint dedup: docs sharing
@@ -1207,21 +1305,25 @@ object ExtQueries {
     "q_dedup_winnow"      -> winnowDedupSql,
     "q_repetition"        -> repetitionSql,
     "q_dedup_simhash"     -> simhashSql,
+    "q_ann_lsh"           -> annLshSql,
+    "q_embed_neardup"     -> embedNearDupSql,
     "q_tfidf_terms"       -> tfidfTopTermsSql)
 
-  /** rows-only: outputs built on seeded randomness DuckDB can't replay
-    * or approximate machinery with no stable SQL ground truth. This set
-    * is at its floor — each survivor's justification:
-    *  - q_ann_lsh / q_ann_ivf / q_embed_neardup: approximate indexes —
-    *    output depends on xxhash64-seeded planes / sampled centroids;
-    *    recall vs the ORACLED q_ann_brute is spec-tested
-    *    (SimilaritySpec).
+  /** rows-only: outputs built on machinery DuckDB can't replay. This
+    * set is at its floor — each survivor's justification:
+    *  - q_ann_ivf: centroids come from driver-side Lloyd's iterations
+    *    over an md5-rank sample — 8 rounds of argmin/mean have no
+    *    tractable SQL re-expression; recall vs the ORACLED q_ann_brute
+    *    + determinism are spec-tested (SimilaritySpec).
     *  - q_mv_approx: DataSketches HLL estimate — no DuckDB equivalent;
     *    routed == direct equality is RoutingSpec-gated, and the exact
     *    companion (q_mv_distinct) IS oracled.
-    * (q_dedup_simhash escaped this set in r7 the way minhash/ngram did
-    * in r6 and winnowing in r5: its per-token hash is now the
-    * engine-owned PolyHash61, re-expressed in simhashSql.) */
-  val rowsOnly: Set[String] = Set(
-    "q_ann_lsh", "q_embed_neardup", "q_ann_ivf", "q_mv_approx")
+    * (q_dedup_simhash, q_ann_lsh and q_embed_neardup escaped this set
+    * in r7 the way minhash/ngram did in r6 and winnowing in r5:
+    * simhash's token hash is the engine-owned PolyHash61 re-expressed
+    * in simhashSql, and the LSH hyperplanes are spec-fixed
+    * java.util.Random driver constants embedded as oracle literals —
+    * with the exact list_reduce dot fold, since a bucket BIT is a
+    * sign decision where summation order matters.) */
+  val rowsOnly: Set[String] = Set("q_ann_ivf", "q_mv_approx")
 }

@@ -66,8 +66,16 @@ object PolyHash61 {
     * pipeline. Every 64-bit product/sum may wrap, and wrapping is exact
     * here: 2^61 | 2^64, so `x mod 2^64 mod 2^61 == x mod 2^61` (the
     * file-level modulus argument). The oracle SQL keeps the one-byte
-    * Horner form — same polynomial, so no SQL change. (VERDICT r6
-    * task 4: claws back most of the PolyHash61-vs-xxhash64 constant.)
+    * Horner form — same polynomial, so no SQL change.
+    *
+    * MEASURED honestly (r7, VERDICT r6 task 4): the kernel gain is
+    * ~1.1× on 18-byte shingles and ~1.3× on 50-byte bucket strings
+    * (JIT already pipelines the scalar chain better than the 4×
+    * paper latency argument assumes), and q_dedup_minhash is
+    * INSENSITIVE to it (10.8s vs 10.4s judge-idle, within host noise)
+    * — the staged pipeline's cost lives in the interpreted HOF
+    * transforms, staging parquet and the bucket shuffle, not the hash
+    * kernel. Kept because it is free, exact, and strictly no worse.
     */
   def compute(bytes: Array[Byte]): Long = {
     val n = bytes.length
