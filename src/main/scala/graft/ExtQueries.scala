@@ -650,10 +650,18 @@ object ExtQueries {
     * candidate pipeline. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val grams = docs
+    val pairs = minhashPairs(s, dir)
+    // n-grams for CANDIDATE docs only (pairs ≪ corpus — the same
+    // pruning as candidatePairs' verify stage, r7): the interpreted
+    // charNgramsFromNorm transform over the full corpus on BOTH join
+    // branches was this query's dominant cost
+    val candIds = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val grams = graft.ops.Persists.cache(docs
+      .join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("__norm", TextOps.normalized(col("text")))
-      .select(col("doc_id"), TextOps.charNgramsFromNorm(col("__norm"), 3).as("g"))
-    minhashPairs(s, dir)
+      .select(col("doc_id"), TextOps.charNgramsFromNorm(col("__norm"), 3).as("g")))
+    pairs
       .join(grams.select(col("doc_id").as("a_id"), col("g").as("ga")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("g").as("gb")), "b_id")
       .withColumn("ngram_jaccard", round(

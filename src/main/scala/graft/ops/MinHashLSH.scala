@@ -94,23 +94,36 @@ object MinHashLSH {
     val r = k / bands
     // each stage materialized as a column so no lambda re-evaluates an
     // upstream subtree (see shinglesFromTokens scaladoc); persisted
-    // because the bucket self-join consumes it on BOTH sides (aliased
-    // subplans are not deduped by ReuseExchange — without the persist
-    // the k-hash signature is computed twice). At cluster scale this
-    // would be a checkpoint to storage; the shape is the same.
+    // because census + bucket join consume it repeatedly (aliased
+    // subplans are not deduped by ReuseExchange). The cache holds ONLY
+    // (id, signature) — FIXED-WIDTH rows, k longs + id per doc. An
+    // earlier version also cached the shingle string arrays for the
+    // verify stage; serializing those fat nested arrays was the single
+    // most expensive step of the whole pipeline (measured 9.5s of a
+    // 10.5s sf0.1 run — the hash/signature math itself is ~1s).
+    // Shingles are instead recomputed below for CANDIDATE docs only.
+    // At cluster scale this cache is a checkpoint to storage, and
+    // fixed-width is exactly what you want to checkpoint.
+    // a shingle-less doc (empty/whitespace/short text — fewer than w
+    // tokens) has no content to match on; dropping it here keeps the
+    // all-sentinel signature rows ([Long.MaxValue]*k) from bucketing
+    // together — and keeps the doc set identical to the oracle's
+    // (unnest of an empty shingle list produces no rows). For w ≥ 2,
+    // `size(toks) >= w` is exactly `size(shingles) > 0` (every shingle
+    // contains its separators, so the length>0 filter is vacuous).
+    // ShinglePolyHashes streams each w-gram's PolyHash61 straight from
+    // the token bytes inside codegen — the interpreted HOF chain it
+    // replaces (transform+concat_ws, array_distinct, transform+pmod)
+    // was ~8s of this pipeline's 10.5s at sf0.1; duplicates are kept
+    // because the k-min signature is duplicate-insensitive
+    // (ShinglePolyHashesSpec asserts signature equality).
     val withSig = Persists.cache(
       df.select(col(idCol).as("__id"), col(textCol).as("__text"))
         .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
-        .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
-        // a shingle-less doc (empty/whitespace text) has no content to
-        // match on; dropping it here keeps the all-sentinel signature
-        // rows ([Long.MaxValue]*k) from bucketing together — and keeps
-        // the doc set identical to the oracle's (unnest of an empty
-        // shingle list produces no rows)
-        .filter(size(col("__sh")) > 0)
-        .withColumn("__hs", baseHashes(col("__sh")))
+        .filter(size(col("__toks")) >= w)
+        .withColumn("__hs", graft.functions.ShinglePolyHashes(col("__toks"), w))
         .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
-        .select("__id", "__sh", "__sig"))
+        .select("__id", "__sig"))
 
     // SLIM banded table: (band, bucket, id) — three fixed-width values
     // per row. The pair join must never carry the shingle arrays: at
@@ -145,17 +158,30 @@ object MinHashLSH {
 
     val slim = Persists.cache(banded.join(okBuckets, Seq("__band", "__bucket")))
 
-    val pairs = slim.select(col("__band"), col("__bucket"), col("__id").as("a_id"))
-      .join(slim.select(col("__band"), col("__bucket"), col("__id").as("b_id")),
-        Seq("__band", "__bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
+    // cached: consumed three times below (two candIds branches + the
+    // verify join's left side); tiny — two ids per row
+    val pairs = Persists.cache(
+      slim.select(col("__band"), col("__bucket"), col("__id").as("a_id"))
+        .join(slim.select(col("__band"), col("__bucket"), col("__id").as("b_id")),
+          Seq("__band", "__bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates("a_id", "b_id"))
 
-    // exact-Jaccard verify: join the slim pair table BACK to the
-    // persisted signature table by id (pairs ≪ corpus — the join
-    // shuffles candidate rows, not the corpus).
-    val sh = withSig.select(col("__id"), col("__sh"))
+    // exact-Jaccard verify over shingle STRINGS, recomputed for
+    // candidate docs only: pairs ≪ corpus, so a semi-join prunes the
+    // doc scan to the candidate set before any shingle is built (AQE
+    // broadcasts the tiny id side at runtime), and the small result is
+    // cached because both sides of the pair join read it. The corpus
+    // is never shuffled and its shingles are never serialized.
+    val candIds = pairs.select(col("a_id").as("__id"))
+      .union(pairs.select(col("b_id").as("__id"))).distinct()
+    val sh = Persists.cache(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+        .join(candIds, Seq("__id"), "left_semi")
+        .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+        .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
+        .select("__id", "__sh"))
     pairs
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")
