@@ -977,6 +977,113 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB re-expression of [[annIvf]] — the full IVF pipeline
+    * INCLUDING k-means training (fully oracled since r7; the last
+    * algorithmic rows-only query). Every stage is re-derived with
+    * bit-identical arithmetic:
+    *
+    *  - the training sample is the md5-rank order (row_number over
+    *    md5(id), id — the engine's TakeOrderedAndProject draw);
+    *  - the 16 init centroids are the sample rows at the positions a
+    *    spec-fixed java.util.Random(42) draws — driver-side constants,
+    *    embedded as literals (the hyperplane precedent);
+    *  - Lloyd's 8 iterations are UNROLLED as 8 generated CTE blocks:
+    *    assignment = first-index argmin of the exact left-fold squared
+    *    distance; new centroid = per-dimension left-fold sum in sample
+    *    order / count (the engine folds in sample order too), empty
+    *    cells keep the old centroid;
+    *  - cell assignment / nprobe probing / cosine ranking mirror
+    *    IvfIndex.cellExpr, probeCellsExpr and topK, including the
+    *    first-index array_position tie semantics.
+    *
+    * The init draws depend on the sample size, so the oracle guards
+    * count(*) == 500 (sf0.01, the correctness gate's scale) with a
+    * loud error() — the embedNearDup bits-guard pattern. */
+  val annIvfSql: String = {
+    val n = 500
+    val k = 16
+    val dim = 64
+    val iters = 8
+    val nprobe = 6
+    val rnd = new java.util.Random(42L)
+    // engine: Array.fill(k)(sample(rnd.nextInt(sample.length))) — 0-based
+    // positions into the md5-rank-ordered sample; SQL ranks are 1-based
+    val initRanks = Array.fill(k)(rnd.nextInt(n) + 1).mkString("[", ",", "]")
+    // exact left-fold Σ (v[d]-c[d])² — the engine's `nearest`/distExpr
+    def sqDist(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip($v, $c), pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))), " +
+        s"(acc, x) -> acc + x)"
+    def distsOver(v: String, cents: String) =
+      s"list_transform(range(1, ${k + 1}), c -> ${sqDist(v, s"$cents[c]")})"
+    // per-dim mean of a rank-ordered vector list: left-fold sum / count
+    def meanOf(vs: String) =
+      s"list_transform(range(1, ${dim + 1}), dd -> " +
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($vs, vv -> vv[dd])), (acc, x) -> acc + x) / len($vs))"
+    val iterations = (1 to iters).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""a$i AS (
+         |  SELECT rank, v, list_position(d, list_min(d)) AS cell
+         |  FROM (SELECT s.rank, s.v, ${distsOver("s.v", "t.cents")} AS d
+         |        FROM samp s CROSS JOIN $prev t)
+         |), g$i AS (
+         |  SELECT map_from_entries(list({'k': cell, 'v': vs})) AS m
+         |  FROM (SELECT cell, list(v ORDER BY rank) AS vs FROM a$i GROUP BY cell)
+         |), it$i AS (
+         |  SELECT list_transform(range(1, ${k + 1}), c ->
+         |           CASE WHEN len(g.m[c]) = 0 THEN t.cents[c]
+         |                ELSE ${meanOf("g.m[c][1]")} END) AS cents
+         |  FROM $prev t CROSS JOIN g$i g
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cos = s"${dotFold("q.embedding", "c.embedding")} / " +
+      s"(sqrt(${dotFold("q.embedding", "q.embedding")}) * sqrt(${dotFold("c.embedding", "c.embedding")}))"
+    s"""WITH nchk AS (
+       |  SELECT CASE WHEN count(*) <> $n
+       |              THEN CAST(error('annIvf oracle embeds Random(42) draws over a $n-row sample; corpus has '
+       |                   || count(*) || ' rows') AS INT)
+       |              ELSE $n END AS n
+       |  FROM embeddings
+       |), samp AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+       |  FROM embeddings CROSS JOIN nchk WHERE nchk.n = $n
+       |), rmap AS (
+       |  SELECT map_from_entries(list({'k': rank, 'v': v})) AS m FROM samp
+       |), it0 AS (
+       |  SELECT list_transform($initRanks::BIGINT[], rr -> m[rr][1]) AS cents FROM rmap
+       |),
+       |$iterations,
+       |cb AS (
+       |  SELECT e.vec_id, list_position(d, list_min(d)) AS cell
+       |  FROM (SELECT e.vec_id, ${distsOver("CAST(e.embedding AS DOUBLE[])", "t.cents")} AS d
+       |        FROM embeddings e CROSS JOIN it$iters t) e
+       |), qp AS (
+       |  SELECT vec_id, unnest(probe) AS cell
+       |  FROM (SELECT e.vec_id,
+       |          list_transform(list_sort(d)[1:$nprobe], x -> list_position(d, x)) AS probe
+       |        FROM (SELECT e.vec_id, ${distsOver("CAST(e.embedding AS DOUBLE[])", "t.cents")} AS d
+       |              FROM embeddings e CROSS JOIN it$iters t
+       |              WHERE e.vec_id < 10) e) p
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qp q JOIN cb c USING (cell)
+       |  WHERE q.vec_id <> c.vec_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, $cos AS cos_raw
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** CUBE rollup (SURVEY §2.4 'free from Spark' tier, exposed +
     * oracle-checked): revenue over all subsets of (segment, status). */
   def cubeRevenue(s: SparkSession, dir: String): DataFrame =
@@ -1315,23 +1422,22 @@ object ExtQueries {
     "q_dedup_simhash"     -> simhashSql,
     "q_ann_lsh"           -> annLshSql,
     "q_embed_neardup"     -> embedNearDupSql,
+    "q_ann_ivf"           -> annIvfSql,
     "q_tfidf_terms"       -> tfidfTopTermsSql)
 
-  /** rows-only: outputs built on machinery DuckDB can't replay. This
-    * set is at its floor — each survivor's justification:
-    *  - q_ann_ivf: centroids come from driver-side Lloyd's iterations
-    *    over an md5-rank sample — 8 rounds of argmin/mean have no
-    *    tractable SQL re-expression; recall vs the ORACLED q_ann_brute
-    *    + determinism are spec-tested (SimilaritySpec).
-    *  - q_mv_approx: DataSketches HLL estimate — no DuckDB equivalent;
-    *    routed == direct equality is RoutingSpec-gated, and the exact
-    *    companion (q_mv_distinct) IS oracled.
-    * (q_dedup_simhash, q_ann_lsh and q_embed_neardup escaped this set
-    * in r7 the way minhash/ngram did in r6 and winnowing in r5:
-    * simhash's token hash is the engine-owned PolyHash61 re-expressed
-    * in simhashSql, and the LSH hyperplanes are spec-fixed
-    * java.util.Random driver constants embedded as oracle literals —
-    * with the exact list_reduce dot fold, since a bucket BIT is a
-    * sign decision where summation order matters.) */
-  val rowsOnly: Set[String] = Set("q_ann_ivf", "q_mv_approx")
+  /** rows-only: q_mv_approx is the floor — a DataSketches HLL
+    * estimate has no DuckDB equivalent; routed == direct equality is
+    * RoutingSpec-gated, and the exact companion (q_mv_distinct) IS
+    * oracled.
+    *
+    * Everything else escaped in r5-r7 by making the engine's
+    * randomness re-derivable: winnowing (r5) and minhash/ngram (r6)
+    * via the engine-owned PolyHash61; simhash, the LSH hyperplanes and
+    * the IVF k-means (r7) via PolyHash61 / literal-embedded
+    * java.util.Random driver constants / unrolled Lloyd iterations
+    * with exact left-fold arithmetic (annIvfSql). Where a SIGN or an
+    * argmin decides an output (LSH bucket bits, k-means cells), the
+    * oracle uses the exact list_reduce fold — list_sum's summation
+    * order is unspecified. */
+  val rowsOnly: Set[String] = Set("q_mv_approx")
 }
