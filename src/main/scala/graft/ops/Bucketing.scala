@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location: the storage-level answer to "this join
+  * shuffles the fact table every night".
+  *
+  * A table written with `bucketBy(n, key)` is hash-partitioned into n
+  * files per write-task group AND records that layout in the catalog;
+  * a join or aggregation keyed on the bucket column then reuses the
+  * on-disk distribution — Catalyst plans NO ShuffleExchange for that
+  * side (gated in BucketingSpec with broadcast disabled). At 100 TB
+  * this is the difference between re-shuffling the corpus per join and
+  * shuffling it ONCE at write time, amortized over every downstream
+  * fact⟕fact join, dedup-pair join-back and rollup rebuild keyed the
+  * same way; `sortBy` additionally pre-orders within buckets so
+  * sort-merge joins skip their sort when bucket files are aligned.
+  *
+  * Bucket count is a capacity knob, not a semantics knob: pick
+  * `|table| / n` ≈ a healthy file size (128MB-1GB); both sides of a
+  * co-located join must use the SAME count (Spark joins differing
+  * counts by shuffling the smaller-bucketed side).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed
+    * parquet table — the one shuffle this data will ever pay for joins
+    * on `bucketCols`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0)
+    val spark = df.sparkSession
+    // with the in-memory catalog, table METADATA dies with the session
+    // but the managed LOCATION survives — a fresh session's create then
+    // fails LOCATION_ALREADY_EXISTS. Overwrite semantics here mean
+    // "replace whatever a previous life left behind".
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath, table.toLowerCase)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** True iff the compiled physical plan contains a shuffle — the
+    * property bucketing exists to remove (spec gate + a cheap
+    * assertion harness for callers). Descends into AQE wrappers; for a
+    * not-yet-executed adaptive plan this reflects the INITIAL plan, so
+    * assert with `spark.sql.adaptive.enabled=false` (the repo's plan-
+    * gate convention, PlanQualitySpec) or after an action. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scan(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case q: QueryStageExec => scan(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case other => other.children.exists(scan)
+    }
+    scan(df.queryExecution.executedPlan)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
