@@ -60,7 +60,7 @@ object Bench {
     // hide the true pipeline cost; run 1 is the honest number
     // (q_dedup_minhash = candidatePairs compute + stage, q_ngram_jaccard
     // = the derived verify stage over the already-staged pairs).
-    val singleRun = Set("q_stream_window", "q_stream_dedup",
+    val singleRun = Set("q_stream_window", "q_stream_dedup", "q_stream_join",
       "q_dedup_minhash", "q_ngram_jaccard")
     val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -314,6 +314,41 @@ object ExtQueries {
       |FROM events
       |ORDER BY hour_start, user_id, event_type""".stripMargin
 
+  /** Stream-stream interval join (r7): every purchase joins the same
+    * user's clicks from the preceding 30 minutes — the attribution
+    * query, run as a real watermarked stream-stream join over the
+    * staged single-file events stream. Inner-join emissions are final,
+    * so with single-batch AvailableNow the result equals the batch
+    * join — which is exactly what the oracle states. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val tmp = stageEvents(s, dir)
+    val sink = s"stream_join_${math.abs(dir.hashCode)}"
+    val src = s.readStream.schema(events.schema).parquet(tmp)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    graft.streaming.StreamingOps.runAvailableNow(
+      graft.streaming.StreamingOps.intervalJoin(
+          purchases, clicks, "user_id", "c_user", "p_ts", "c_ts", 1800L)
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          col("c_ts"), col("click_value")),
+      sink)
+    s.table(sink).orderBy("purchase_id", "c_ts", "click_value")
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+      |       c.ts AS c_ts, c.value AS click_value
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1800 SECONDS AND c.ts <= p.ts
+      |ORDER BY purchase_id, c_ts, click_value""".stripMargin
+
   /** Benchmark decontamination over documents: docs with doc_id % 50
     * == 0 play the eval set; every other doc reports how many of its
     * distinct word-4-grams appear in the eval set (4-grams because the
@@ -1386,6 +1421,7 @@ object ExtQueries {
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
     "q_stream_dedup"      -> (streamDedup _),
+    "q_stream_join"       -> (streamJoin _),
     "q_pack"              -> (packSequences _),
     "q_pii"               -> (piiScrub _),
     "q_split_stats"       -> (splitStats _),
@@ -1410,6 +1446,7 @@ object ExtQueries {
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,
     "q_stream_dedup"      -> streamDedupSql,
+    "q_stream_join"       -> streamJoinSql,
     "q_pack"              -> packSequencesSql,
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,

@@ -95,6 +95,31 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (the attribution shape: every left
+    * row picks up all right rows with the same key whose timestamp
+    * falls in `[leftTs - horizonSeconds, leftTs]`).
+    *
+    * Both sides carry watermarks and the join condition carries an
+    * explicit event-time bound — the two things Spark needs to EVICT
+    * join state: each side buffers only rows younger than
+    * watermark + horizon, so state is bounded by the horizon's arrival
+    * volume, not stream lifetime (the property that makes a
+    * stream-stream join runnable forever at ingest scale). Inner join:
+    * a match is emitted as soon as both rows are present; with the
+    * engine's single-batch AvailableNow staging the final table equals
+    * the batch join exactly (spec + oracle). On static frames the
+    * watermarks are no-ops and this IS the batch join — the unified
+    * Dataset API's point. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      horizonSeconds: Long, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey" +
+          s" AND $rightTs >= $leftTs - INTERVAL $horizonSeconds SECONDS" +
+          s" AND $rightTs <= $leftTs"))
+
   /** One `Trigger.AvailableNow` pass of a streaming query into a memory
     * sink; returns the sink table name. Drives both ops above in specs
     * and doubles as the engine's "process whatever arrived" entry. */

@@ -71,6 +71,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("stream-stream interval join == batch join on a closed stream") {
+    val events = Tables.events(s, sfDir)
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("purchase_value"))
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("click_value"))
+    val cols = Seq("purchase_id", "user_id", "p_ts", "c_ts", "click_value")
+    // the SAME intervalJoin call on static frames IS the batch join
+    // (watermarks are no-ops there — unified Dataset API)
+    val batch = intervalJoin(purchases(events), clicks(events),
+        "user_id", "c_user", "p_ts", "c_ts", 1800L)
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ij").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(events.schema).parquet(tmp)
+    runAvailableNow(
+      intervalJoin(purchases(src), clicks(src),
+        "user_id", "c_user", "p_ts", "c_ts", 1800L)
+        .select(cols.map(col): _*),
+      "ij_out")
+    val streamed = s.table("ij_out").collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    // multiset equality: duplicate (purchase, click) pairs must not
+    // collapse or multiply across the two execution modes
+    assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ==
+      batch.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
   test("streaming dedup within watermark == batch dropDuplicates") {
     val events = Tables.events(s, sfDir)
     // hour-bucketed key: duplicate keys are by construction within one
