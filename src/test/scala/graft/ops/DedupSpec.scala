@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     assert(hit.size >= 8, s"simhash found only ${hit.size}/10 planted near-dups")
   }
 
+  test("dedup manifest: exactly one canonical per cluster, and it is the quality argmax") {
+    val rows = graft.ExtQueries.all("q_dedup_manifest")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (component, members) =>
+      val canon = members.filter(_._5)
+      assert(canon.length == 1, s"component $component: ${canon.length} canonicals")
+      val keep = canon.head
+      assert(members.forall(_._4 == keep._1), "keep_id must be uniform per cluster")
+      // argmax by (quality desc, doc_id asc)
+      members.foreach { m =>
+        assert(m._3 < keep._3 || (m._3 == keep._3 && m._1 >= keep._1),
+          s"component $component: ${m._1} (q=${m._3}) beats keep ${keep._1} (q=${keep._3})")
+      }
+    }
+  }
+
   test("simhash hamming distance is exact") {
     val fp = SimHash.fingerprints(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
