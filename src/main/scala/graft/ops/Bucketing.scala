@@ -67,4 +67,18 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Hive-style partitioned parquet layout — the OTHER storage-layout
+    * lever: bucketing co-locates by hash for joins, directory
+    * partitioning prunes by VALUE for filters. A predicate on the
+    * partition column never opens non-matching files (gated in
+    * BucketingSpec via FileSourceScanExec.partitionFilters), which at
+    * 100 TB is the difference between scanning a day and scanning a
+    * decade. Partition by LOW-cardinality columns only (year/date/
+    * source shard) — one directory per value. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

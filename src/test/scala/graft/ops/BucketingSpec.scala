@@ -46,6 +46,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: a partition-column predicate prunes at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = "/root/repo/target/part_orders"
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(to_date(col("o_orderdate"))))
+    Bucketing.writePartitioned(orders, path, Seq("order_year"))
+    withNoBroadcast { // static plan for the scan assertion
+      val pruned = spark.read.parquet(path).filter(col("order_year") === 1995)
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.partitionFilters.nonEmpty,
+        "partition predicate must reach the scan as a PartitionFilter:\n" + scan)
+      // and it actually selects ONE directory of several, not a
+      // post-scan filter over everything
+      val years = orders.select("order_year").distinct().count()
+      assert(years > 1, "fixture must span multiple years")
+      val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      assert(selected.size == 1,
+        s"expected 1 pruned partition of $years, got ${selected.size}")
+      assert(pruned.count() ==
+        orders.filter(col("order_year") === 1995).count())
+    }
+  }
+
   test("aggregation on the bucket key plans no shuffle") {
     withNoBroadcast {
       val agg = Bucketing.table(spark, "bk_orders")
