@@ -579,7 +579,7 @@ object ExtQueries {
     * pure-ASCII text — a precondition ENFORCED in-oracle by
     * [[asciiGuardedTokensCte]]'s error() branch (ADVICE r6), not just by
     * the fixture-level FixtureSpec test. */
-  private def fold61(e: String) =
+  private[graft] def fold61(e: String) =
     s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
       s"list_transform(range(1, length($e)+1), ci -> CAST(ord(substr($e, ci, 1)) AS HUGEINT))), " +
       s"(acc, c) -> (acc * 1000000007 + c) % 2305843009213693952) AS BIGINT)"
@@ -1540,19 +1540,16 @@ object ExtQueries {
     "q_ann_ivf"           -> annIvfSql,
     "q_tfidf_terms"       -> tfidfTopTermsSql)
 
-  /** rows-only: q_mv_approx is the floor — a DataSketches HLL
-    * estimate has no DuckDB equivalent; routed == direct equality is
-    * RoutingSpec-gated, and the exact companion (q_mv_distinct) IS
-    * oracled.
-    *
-    * Everything else escaped in r5-r7 by making the engine's
-    * randomness re-derivable: winnowing (r5) and minhash/ngram (r6)
-    * via the engine-owned PolyHash61; simhash, the LSH hyperplanes and
-    * the IVF k-means (r7) via PolyHash61 / literal-embedded
-    * java.util.Random driver constants / unrolled Lloyd iterations
-    * with exact left-fold arithmetic (annIvfSql). Where a SIGN or an
+  /** rows-only: EMPTY since r7 — every query is fully DuckDB-oracled.
+    * The escape route, applied r5-r7: make the engine's randomness
+    * re-derivable. Winnowing (r5) and minhash/ngram (r6) via the
+    * engine-owned PolyHash61; simhash, the LSH hyperplanes, the IVF
+    * k-means and finally the HLL sketch (r7) via PolyHash61 /
+    * literal-embedded java.util.Random driver constants / unrolled
+    * Lloyd iterations / an engine-owned register layout
+    * (functions/GraftHll replacing DataSketches). Where a SIGN or an
     * argmin decides an output (LSH bucket bits, k-means cells), the
     * oracle uses the exact list_reduce fold — list_sum's summation
     * order is unspecified. */
-  val rowsOnly: Set[String] = Set("q_mv_approx")
+  val rowsOnly: Set[String] = Set.empty
 }

@@ -192,14 +192,64 @@ object Queries {
         |       CAST(sum(total_price) AS DOUBLE) AS total_revenue
         |FROM stg_orders GROUP BY order_priority ORDER BY order_priority""".stripMargin
 
-  /** HLL approx-distinct measure beside the exact one (rows-only: the
-    * DataSketches estimate has no DuckDB equivalent; routed == direct
-    * equality and the rollup-scan plan are gated in RoutingSpec). */
+  /** HLL approx-distinct measure beside the exact one. Fully oracled
+    * since r7: the measure uses the ENGINE-OWNED HLL
+    * ([[graft.functions.GraftHll]] — PolyHash61-hashed registers, not
+    * a DataSketches binary), so DuckDB re-derives the register array
+    * and the estimate exactly; routed == direct equality and the
+    * rollup-scan plan remain gated in RoutingSpec. */
   def mvOrdersApprox(s: SparkSession, dir: String): DataFrame =
     SparkEntry.catalog(s, dir).get("mv_orders_simple")
       .query(Seq("order_priority"),
         Seq("approx_unique_customers", "unique_customers"))
       .orderBy("order_priority")
+
+  /** DuckDB re-expression of the engine HLL (see GraftHll scaladoc):
+    * h = double PolyHash61 fold (the second over the first's decimal
+    * digits), bucket = h mod 4096, rho = trailing-zeros(h >> 12) + 1
+    * via `length(bin(w & -w))` (EXACT integer math — no floating log),
+    * registers = per-bucket max over a dense 4096-bucket grid,
+    * estimate folded IN BUCKET ORDER with the same
+    * alpha/small-range-correction literals. */
+  val mvOrdersApproxSql: String = {
+    val h = ExtQueries.fold61(
+      s"CAST(${ExtQueries.fold61("CAST(customer_id AS VARCHAR)")} AS VARCHAR)")
+    modelCtes +
+      s""", h AS (
+        |  SELECT order_priority, $h AS h FROM stg_orders
+        |), regs AS (
+        |  SELECT order_priority, h % 4096 AS bucket,
+        |         max(CASE WHEN (h >> 12) = 0 THEN 50
+        |                  ELSE length(bin((h >> 12) & -(h >> 12))) END) AS reg
+        |  FROM h GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT g.order_priority, b.bucket, coalesce(r.reg, 0) AS reg
+        |  FROM (SELECT DISTINCT order_priority FROM stg_orders) g
+        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS bucket) b
+        |  LEFT JOIN regs r ON r.order_priority = g.order_priority AND r.bucket = b.bucket
+        |), folded AS (
+        |  SELECT order_priority,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)),
+        |           (acc, x) -> acc + x) AS s,
+        |         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM grid GROUP BY 1
+        |), est AS (
+        |  SELECT order_priority,
+        |         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s AS raw,
+        |         zeros
+        |  FROM folded
+        |)
+        |SELECT e.order_priority,
+        |       CAST(round(CASE WHEN e.raw <= 2.5 * 4096.0 AND e.zeros > 0
+        |                       THEN 4096.0 * ln(4096.0 / e.zeros)
+        |                       ELSE e.raw END) AS BIGINT) AS approx_unique_customers,
+        |       u.unique_customers
+        |FROM est e
+        |JOIN (SELECT order_priority, count(DISTINCT customer_id) AS unique_customers
+        |      FROM stg_orders GROUP BY 1) u USING (order_priority)
+        |ORDER BY e.order_priority""".stripMargin
+  }
 
   /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
     * measure with datediff/nullif. */
@@ -393,6 +443,7 @@ object Queries {
     "q_mv_filtered"           -> mvOrdersSimpleFilteredSql,
     "q_mv_distinct"           -> mvOrdersDistinctSql,
     "q_mv_customer"           -> mvCustomerMetricsSql,
+    "q_mv_approx"             -> mvOrdersApproxSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_sql_measure"           -> sqlMeasureSql,
     "q_sql_ddl"               -> sqlDdlSql,

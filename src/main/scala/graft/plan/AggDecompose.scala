@@ -96,6 +96,12 @@ object AggDecompose {
             // The scalar hll_sketch_estimate stays in the combiner
             // template and applies after re-aggregation.
             fresh(hll_sketch_agg(args.head), c => hll_union_agg(col(c)))
+          case "graft_hll_agg" if f.arguments.length == 1 =>
+            // the engine-owned HLL (same routing/fold story as above,
+            // but PolyHash61-hashed → fully DuckDB-oracled; the scalar
+            // graft_hll_estimate stays in the combiner template)
+            fresh(graft.functions.GraftHll.agg(args.head),
+              c => graft.functions.GraftHll.merge(col(c)))
           case _ if aggNames(fname) => { ok = false; f }
           case _ => f // scalar function — leave in the combiner template
         }
@@ -130,5 +136,5 @@ object AggDecompose {
     "first", "last", "collect_list", "collect_set", "stddev", "variance",
     "stddev_samp", "var_samp", "percentile", "median", "approx_count_distinct",
     "first_value", "last_value", "any_value", "max_by", "min_by",
-    "hll_sketch_agg", "hll_union_agg")
+    "hll_sketch_agg", "hll_union_agg", "graft_hll_agg", "graft_hll_merge")
 }

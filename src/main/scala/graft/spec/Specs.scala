@@ -33,7 +33,7 @@ object Specs {
       |  - name: unique_customers
       |    expr: count(distinct customer_id)
       |  - name: approx_unique_customers
-      |    expr: hll_sketch_estimate(hll_sketch_agg(customer_id))
+      |    expr: graft_hll_estimate(graft_hll_agg(customer_id))
       |materialization:
       |  schedule: every 8 weeks
       |  mode: relaxed

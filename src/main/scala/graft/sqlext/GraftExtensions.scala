@@ -32,6 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[MeasureMarker].getCanonicalName, "measure"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MeasureMarker(args.head)))
+    // engine-owned HLL (graft.functions.GraftHll) — registered so
+    // measure exprs written in SQL (spec YAML, combiner templates)
+    // resolve; the analyzer wraps the AggregateFunctions itself
+    def fn(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftHll", name),
+        builder))
+    fn("graft_hll_agg")(args => graft.functions.GraftHllAgg(args.head))
+    fn("graft_hll_merge")(args => graft.functions.GraftHllMerge(args.head))
+    fn("graft_hll_estimate")(args => graft.functions.GraftHllEstimate(args.head))
     ext.injectResolutionRule(s => new MeasureExpansionRule(s))
     // SQL-string DDL lifecycle (CREATE ... WITH METRICS LANGUAGE YAML /
     // DROP VIEW / DESCRIBE / SHOW TBLPROPERTIES) — see MetricViewDdl

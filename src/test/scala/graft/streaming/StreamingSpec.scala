@@ -127,14 +127,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  /** Row-set comparison that treats binary HLL sketch columns by their
-    * ESTIMATE: serialized sketch bytes are not build-stable (coupon
-    * order reflects merge order) and Array[Byte] compares by reference
-    * anyway — the semantic contract is the estimate. */
+  /** Row-set comparison that treats binary HLL register columns by
+    * their ESTIMATE: Array[Byte] compares by reference anyway, and the
+    * semantic contract is the estimate. (The engine-owned GraftHll
+    * registers are actually build-order-INDEPENDENT — register max is
+    * commutative — but comparing by estimate keeps the test about the
+    * contract, not the encoding.) */
   private def normRows(rows: Array[org.apache.spark.sql.Row]): Set[Seq[Any]] =
     rows.map(_.toSeq.map {
-      case b: Array[Byte] =>
-        Math.round(org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate)
+      case b: Array[Byte] => graft.functions.GraftHll.estimate(b)
       case x => x
     }).toSet
 
@@ -160,7 +161,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy("order_status")
       .agg(count(lit(1)).as("order_count__p0"),
         sum("total_price").as("total_revenue__p0"),
-        hll_sketch_agg(col("customer_id")).as("approx_unique_customers__p0"))
+        graft.functions.GraftHll.agg(col("customer_id")).as("approx_unique_customers__p0"))
       .collect())
     assert(incremental == full)
   }
