@@ -67,7 +67,11 @@ object RoutingBench {
     * written R-fold with disjoint id spaces, every other table a
     * symlink to the base dir's parquet. */
   private def fixture(spark: SparkSession, baseDir: String, replicas: Int): String = {
-    val dir = "/root/repo/target/routing_fixture_" +
+    // fixture base is relative to the launch dir (overridable), not a
+    // hardcoded absolute checkout path (ADVICE r7)
+    val base = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      java.nio.file.Paths.get("target").toAbsolutePath.toString)
+    val dir = s"$base/routing_fixture_" +
       baseDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$replicas"
     val path = java.nio.file.Paths.get(dir)
     val marker = path.resolve("_generated")
@@ -84,17 +88,20 @@ object RoutingBench {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
-    val base = java.nio.file.Paths.get(baseDir)
-    val others = java.nio.file.Files.list(base).iterator()
-    while (others.hasNext) {
-      val src = others.next()
-      val name = src.getFileName.toString
-      if (name.endsWith(".parquet") && name != "orders.parquet") {
-        val link = path.resolve(name)
-        java.nio.file.Files.deleteIfExists(link)
-        java.nio.file.Files.createSymbolicLink(link, src.toAbsolutePath)
+    // Files.list holds a directory fd until closed (ADVICE r7)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(baseDir))
+    try {
+      val others = listing.iterator()
+      while (others.hasNext) {
+        val src = others.next()
+        val name = src.getFileName.toString
+        if (name.endsWith(".parquet") && name != "orders.parquet") {
+          val link = path.resolve(name)
+          java.nio.file.Files.deleteIfExists(link)
+          java.nio.file.Files.createSymbolicLink(link, src.toAbsolutePath)
+        }
       }
-    }
+    } finally listing.close()
     java.nio.file.Files.write(marker, recipe.getBytes)
     dir
   }

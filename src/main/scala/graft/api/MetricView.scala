@@ -201,6 +201,10 @@ final class MetricViewCatalog(
     * materialization caches — reference macros/generate_metric_views
     * .sql:78-79. */
   def createOrReplace(name: String, yaml: String, comment: Option[String] = None): MetricView = {
+    // the persistent catalog resolves "<name>.yaml" under its dir, so a
+    // name is also a (relative) file name: reject anything that could
+    // escape the catalog directory on save/load (ADVICE r7)
+    MetricViewCatalog.requireSafeName(name)
     val spec = YamlParser.parse(yaml)
     validate(name, spec)
     val view = new MetricView(name, spec, this, comment, yaml)
@@ -306,6 +310,10 @@ final class MetricViewCatalog(
     val p = java.nio.file.Paths.get(dir)
     val names = java.nio.file.Files.readAllLines(p.resolve("_manifest"))
     names.forEach { n =>
+      // a tampered _manifest must not read arbitrary "*.yaml" paths:
+      // every name resolves strictly inside `dir` (ADVICE r7;
+      // createOrReplace re-checks, but that is AFTER the reads here)
+      MetricViewCatalog.requireSafeName(n)
       val yaml = new String(
         java.nio.file.Files.readAllBytes(p.resolve(s"$n.yaml")), "UTF-8")
       val cpath = p.resolve(s"$n.comment")
@@ -351,4 +359,16 @@ final class MetricViewCatalog(
       case _ => mat.build(v, force = true)
     }
   }
+}
+
+object MetricViewCatalog {
+  /** View names double as catalog FILE names ("<name>.yaml"), so they
+    * must resolve strictly inside the catalog dir: no path separators,
+    * no "..", no leading dot, nothing empty (ADVICE r7). Enforced at
+    * CREATE (the only way in) and again on load (tampered manifests). */
+  def requireSafeName(name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\")
+      && !name.contains("..") && !name.startsWith(".")
+      && !name.exists(_.isControl),
+      s"unsafe metric-view name: '$name'")
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-owned HyperLogLog (Flajolet et al. 2007) with the
@@ -111,6 +112,21 @@ object GraftHll {
 case class GraftHllAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  // The value→string hash contract (hashOf) matches SQL CAST only for
+  // integral and string keys; anything else (double/decimal/date/
+  // timestamp) would render via String.valueOf and silently diverge
+  // from the DuckDB oracle, so those keys fail at ANALYSIS time
+  // (ADVICE r7). Cast a date/decimal key to string explicitly if its
+  // rendered form is really the intended identity. (Direct
+  // checkInputDataTypes override — TypeCollection is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_agg supports string and integral keys, got ${dt.simpleString}; " +
+        "cast the key to string if its rendered form is the intended identity")
+  }
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](GraftHll.M)
 

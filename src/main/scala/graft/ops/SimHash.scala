@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * swap that fully oracled the minhash pipeline in r6). PolyHash61 is
   * 61-bit, so fingerprint bits 61-63 always vote negative and are
   * structurally 0: a 61-effective-bit simhash, which leaves the
-  * hamming-similarity contract intact (DedupSpec gates) — block 3 of
-  * the 4×16-bit banding just carries 13 live bits.
+  * hamming-similarity contract intact (DedupSpec gates).
   *
   * Pairing: near-dups (hamming ≤ d) must share at least one of d+1
   * equal bit-blocks (pigeonhole), so docs are bucketed by each of 4
-  * 16-bit blocks — one shuffle on (block idx, block value) — and
-  * verified with exact `bit_count(a XOR b)`.
+  * BIT-AWARE blocks over the 61 live bits — 16/15/15/15 at offsets
+  * 0/16/31/46 (ADVICE r7: a naive 4×16 split left block 3 with only
+  * 13 live bits, ~8× the bucket collision mass of the other blocks on
+  * large corpora) — one shuffle on (block idx, block value), then
+  * verified with exact `bit_count(a XOR b)`. The pigeonhole argument
+  * only needs the blocks to be disjoint and to cover every bit that
+  * can differ, which the 61-bit cover does.
   */
 object SimHash {
 
@@ -56,10 +60,13 @@ object SimHash {
     // persisted: the block self-join reads it on both sides (see
     // MinHashLSH.candidatePairs)
     val fp = Persists.cache(fingerprints(df, textCol, idCol))
+    // bit-aware 16/15/15/15 blocks over the 61 live bits (see scaladoc)
+    val blockDefs = Seq((0, 16), (16, 15), (31, 15), (46, 15))
     val blocked = fp.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        bi => call_function("shiftright", col("simhash"), bi * 16).bitwiseAND(lit(0xffffL))))
-        .as(Seq("block", "block_val")))
+      posexplode(array(blockDefs.map { case (off, width) =>
+        call_function("shiftright", col("simhash"), lit(off))
+          .bitwiseAND(lit((1L << width) - 1L))
+      }: _*)).as(Seq("block", "block_val")))
     val a = blocked.select(col("block"), col("block_val"),
       col("doc_id").as("a_id"), col("simhash").as("a_hash"))
     val b = blocked.select(col("block"), col("block_val"),

@@ -62,4 +62,18 @@ class CatalogPersistSpec extends SparkSpec {
       name => Models.resolve(spark, sfDir, name).drop("order_priority"))
     intercept[Exception] { broken.load(dir) }
   }
+
+  test("path-escaping view names are rejected at CREATE and on tampered manifests (ADVICE r7)") {
+    val cat = new MetricViewCatalog(spark, Models.resolve(spark, sfDir, _))
+    Seq("../evil", "a/b", "a\\b", ".hidden", "").foreach { bad =>
+      intercept[IllegalArgumentException] { cat.createOrReplace(bad, tmpYaml) }
+    }
+    // a tampered _manifest must not read "*.yaml" outside the dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog-tamper")
+    cat.createOrReplace("mv_tmp", tmpYaml)
+    cat.save(dir.toString)
+    java.nio.file.Files.write(dir.resolve("_manifest"), "../outside\n".getBytes)
+    val fresh = new MetricViewCatalog(spark, Models.resolve(spark, sfDir, _))
+    intercept[IllegalArgumentException] { fresh.load(dir.toString) }
+  }
 }

@@ -19,6 +19,22 @@ class GraftHllSpec extends SparkSpec {
     }
   }
 
+  test("non-integral/string keys fail at analysis time (ADVICE r7)") {
+    import spark.implicits._
+    // the value->string hash contract matches SQL CAST only for
+    // integral + string keys; a double key must not silently diverge
+    // from the oracle
+    val ex = intercept[Exception] {
+      Seq(1.5, 2.5).toDF("v").agg(GraftHll.agg(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_hll_agg"))
+    // while a casted key is fine
+    val ok = Seq(1.5, 2.5).toDF("v")
+      .agg(GraftHll.estimateCol(GraftHll.agg(col("v").cast("string"))))
+      .collect()(0).getLong(0)
+    assert(ok == 2L)
+  }
+
   test("merge of split partials == aggregate of the whole (exact, not approximate)") {
     import spark.implicits._
     val df = (1 to 5000).toDF("v")

@@ -84,4 +84,13 @@ class BucketingSpec extends SparkSpec {
         expected.collect().map(_.toSeq).toSet)
     }
   }
+
+  test("path-escaping table names are rejected before any delete (ADVICE r7)") {
+    val df = Tables.orders(spark, sfDir).limit(1)
+    Seq("../evil", "a/b", "a\\b", "x..y", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Bucketing.writeBucketed(df, bad, Seq("o_custkey"), 2)
+      }
+    }
+  }
 }
