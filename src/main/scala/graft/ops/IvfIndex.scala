@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,51 @@ object IvfIndex {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         .withColumn("__cell", explode(probeCellsExpr(col("__qv"), model, nprobe))))
     val scored = c.join(q, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Persist the corpus as an IVF-partitioned parquet layout: one
+    * directory per centroid cell (`__cell=<c>/`), cell assignment
+    * computed ONCE at write time. This is the storage half of a real
+    * IVF index — [[topKIndexed]]'s probe then prunes at the DIRECTORY
+    * level, so a query READS only nprobe of k cells (at 100 TB:
+    * nprobe/k of the corpus bytes, vs. every probe re-scoring every
+    * row's cell under the in-session [[topK]]). The model that wrote
+    * the layout must be the model that probes it — persist it beside
+    * the data with [[IndexStore.saveIvf]] (a retrained model partitions
+    * the corpus DIFFERENTLY and would probe the wrong directories). */
+  def writeIndexed(corpus: DataFrame, path: String, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.withColumn("__cell", cellExpr(col(vecCol), model))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+
+  /** ANN top-k against a [[writeIndexed]] layout. The probe cell set is
+    * resolved driver-side from the (broadcast-small by contract) query
+    * set — |queries|·nprobe ints, deduped to at most k — and pushed as
+    * a LITERAL partition predicate, so pruning is static and
+    * plan-gated (IndexStoreSpec asserts the scan's partitionFilters
+    * select exactly the probed directories); no full-scan fallback the
+    * way a join-based dynamic filter could silently degrade to.
+    * Scoring/ranking is identical to [[topK]] (same plan shape). */
+  def topKIndexed(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      model: Model, nprobe: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(probeCellsExpr(col("__qv"), model, nprobe)))
+    // metadata-scale collect: ≤ min(|queries|·nprobe, k) ints
+    val cells = q.select("__cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(path)
+      .filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
