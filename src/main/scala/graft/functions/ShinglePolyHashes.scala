@@ -31,8 +31,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * min-signature-wise is asserted in ShinglePolyHashesSpec; the DuckDB
   * oracle (ExtQueries.minhashPairsCtes) is untouched because it
   * derives the same signatures from the same distinct shingle set.
+  *
+  * `saltState` (r8, the adversarial-corpus mitigation made code —
+  * VERDICT r7 residual #1): a non-zero initial Horner state folds a
+  * per-run secret PREFIX into every shingle hash. Because the
+  * polynomial hash of a concatenation is the continued fold,
+  * `compute(toks, w, PolyHash61.compute((salt+" ").getBytes))` equals
+  * hashing the string `salt + " " + shingle` — asserted against that
+  * exact HOF form in ShinglePolyHashesSpec. Collision construction
+  * against PolyHash61 needs the fold's start state; a secret salt
+  * denies it. saltState = 0 is the unsalted (oracle-able) contract.
   */
-case class ShinglePolyHashes(child: Expression, w: Int)
+case class ShinglePolyHashes(child: Expression, w: Int, saltState: Long = 0L)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(w >= 2, "shingle width must be >= 2")
@@ -43,12 +53,12 @@ case class ShinglePolyHashes(child: Expression, w: Int)
   override def prettyName: String = "shingle_poly_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShinglePolyHashes.compute(input.asInstanceOf[ArrayData], w)
+    ShinglePolyHashes.compute(input.asInstanceOf[ArrayData], w, saltState)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = ShinglePolyHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = $cls.compute($input, $w);")
+      s"${ev.value} = $cls.compute($input, $w, ${saltState}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShinglePolyHashes =
@@ -62,7 +72,7 @@ object ShinglePolyHashes {
   private val Prime = 2147483647L // the signature family's field
 
   /** Shared by interpreted eval and generated code. */
-  def compute(toks: ArrayData, w: Int): GenericArrayData = {
+  def compute(toks: ArrayData, w: Int, saltState: Long = 0L): GenericArrayData = {
     val n = toks.numElements()
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
     // token bytes fetched once each, not once per covering shingle
@@ -72,7 +82,7 @@ object ShinglePolyHashes {
     val out = new Array[Long](n - w + 1)
     var i = 0
     while (i <= n - w) {
-      var h = 0L
+      var h = saltState
       var j = 0
       while (j < w) {
         if (j > 0) h = (h * B + 0x20L) & Mask // the concat_ws " " byte
@@ -90,8 +100,10 @@ object ShinglePolyHashes {
     new GenericArrayData(out)
   }
 
-  def apply(toks: Column, w: Int): Column = {
+  def apply(toks: Column, w: Int): Column = apply(toks, w, 0L)
+
+  def apply(toks: Column, w: Int, saltState: Long): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    GraftBridge.column(ShinglePolyHashes(GraftBridge.expression(spark, toks), w))
+    GraftBridge.column(ShinglePolyHashes(GraftBridge.expression(spark, toks), w, saltState))
   }
 }

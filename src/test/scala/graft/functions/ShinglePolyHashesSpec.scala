@@ -38,6 +38,38 @@ class ShinglePolyHashesSpec extends SparkSpec {
     }
   }
 
+  test("salted fold == hashing 'salt + \" \" + shingle' (the saltState contract)") {
+    import spark.implicits._
+    val salt = "s3cr3t-run"
+    val s0 = PolyHash61.compute((salt + " ").getBytes("UTF-8"))
+    // HOF form of the salted contract: PolyHash61 of the CONCATENATED
+    // string, folded into the same prime field
+    val saltedHof = (toks: org.apache.spark.sql.Column) =>
+      transform(MinHashLSH.shinglesFromTokens(toks, 3),
+        s => pmod(PolyHash61(concat(lit(salt + " "), s)), lit(2147483647L)))
+    Seq("true", "false").foreach { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val rows = Tables.documents(spark, sfDir).limit(100)
+          .withColumn("__toks", TextOps.tokens(lower(col("text"))))
+          .filter(size(col("__toks")) >= 3)
+          .withColumn("native", ShinglePolyHashes(col("__toks"), 3, s0))
+          .withColumn("hof", saltedHof(col("__toks")))
+          .withColumn("unsalted", ShinglePolyHashes(col("__toks"), 3))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getSeq[Long](r.fieldIndex("native")).toSet ==
+            r.getSeq[Long](r.fieldIndex("hof")).toSet,
+            s"salted hash mismatch (codegen=$codegen)")
+          assert(r.getSeq[Long](r.fieldIndex("native")).toSet !=
+            r.getSeq[Long](r.fieldIndex("unsalted")).toSet,
+            "salt must actually change the hashes")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("edge cases: short docs yield no hashes; duplicate shingles keep the min") {
     import spark.implicits._
     val byId = Seq(

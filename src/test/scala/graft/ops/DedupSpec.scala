@@ -81,6 +81,43 @@ class DedupSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("a salted run still finds every true near-dup pair (adversarial posture, r8)") {
+    // the salt re-keys every shingle and bucket hash; recall must hold
+    // because banding probability depends only on Jaccard, not on WHICH
+    // min-wise family the salt lands us in
+    val truth = bruteJaccard(0.7)
+    val found = MinHashLSH.nearDuplicates(corpus, 0.7, salt = MinHashLSH.secretSalt())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found), s"salted run missed: ${truth -- found}")
+  }
+
+  test("over-cap buckets quarantine their docs instead of silently dropping them (r8)") {
+    // 12 identical docs flood their (shared) buckets past the cap — the
+    // bucket-flooding shape an adversary would construct. Unguarded,
+    // they would simply never pair (dedup evaded); guarded, every one
+    // of them surfaces in the quarantine for exact verification.
+    val flood = (0 until 12).map(i =>
+      (500L + i, "flood flood attack attack evade evade dedup dedup now now"))
+    val hostile = corpus.unionByName(flood.toDF("doc_id", "text"))
+    val guarded = MinHashLSH.candidatePairsGuarded(hostile, maxBucketSize = 5)
+    val quarantined = guarded.quarantined.collect().map(_.getLong(0)).toSet
+    assert((500L until 512L).toSet.subsetOf(quarantined),
+      s"flooded docs missing from quarantine: ${(500L until 512L).toSet -- quarantined}")
+    // the flooded docs produced no pairs (their buckets are over cap)...
+    val pairIds = guarded.pairs.collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds.intersect((500L until 512L).toSet).isEmpty)
+    // ...and exact verification of the quarantine recovers them: the
+    // caller's routed path (here: exact dedup over the quarantined set)
+    val recovered = TextOps.exactDedup(
+      hostile.join(guarded.quarantined, Seq("doc_id"), "left_semi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (keep_id, copies)
+    assert(recovered.exists { case (keep, copies) => keep == 500L && copies == 12L },
+      s"quarantine exact-verify should collapse the 12 flooded docs, got ${recovered.toSeq}")
+    // benign corpus control: nothing quarantines at the default cap
+    assert(MinHashLSH.candidatePairsGuarded(corpus).quarantined.count() == 0)
+  }
+
   test("simhash near-dups: planted mutations found with small hamming") {
     val found = SimHash.nearDuplicates(corpus, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
