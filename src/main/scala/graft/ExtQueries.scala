@@ -651,6 +651,48 @@ object ExtQueries {
       |FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
+  /** Incremental dedup against a persisted corpus index (r8): docs with
+    * `doc_id % 10 = 7` play the freshly-arrived delta, the rest the
+    * already-indexed corpus. O(delta) per batch — the corpus
+    * contributes only its once-written slim band-bucket index, never a
+    * re-scan (IncrementalDedupSpec plan-gates that the index streams
+    * through broadcast joins unshuffled). Oracled by the BATCH CTEs
+    * restricted to delta-involving pairs, which is exactly
+    * [[graft.ops.IncrementalDedup]]'s equivalence contract. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    IncrementalDedup.deltaPairs(s, stageIncIndex(s, dir),
+        docs, docs.filter(col("doc_id") % 10 === 7))
+      .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+      .limit(20)
+  }
+
+  val dedupIncrementalSql: String = minhashPairsCtes +
+    """
+      |SELECT p.a_id, p.b_id,
+      |       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      |FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
+      |WHERE p.a_id % 10 = 7 OR p.b_id % 10 = 7
+      |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
+
+  private val stagedIncIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM corpus index build for [[dedupIncremental]] (the
+    * "offline index job"; same per-JVM temp staging + cleanup as
+    * [[minhashPairs]]). */
+  private def stageIncIndex(s: SparkSession, dir: String): String =
+    stagedIncIndex.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_inc_index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Throwable => () }))
+      IncrementalDedup.writeIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7), p.toString)
+      p.toString
+    })
+
   /** SimHash fingerprints (per-row HOFs, no shuffle). Fully oracled
     * since r7: the per-token hash is PolyHash61 (not xxhash64), so
     * DuckDB re-derives the bit-vote fold exactly (VERDICT r6 task 6 —
@@ -1528,6 +1570,7 @@ object ExtQueries {
     "q_revenue_by_nation" -> (revenueByNation _),
     "q_top_parts"         -> (topParts _),
     "q_dedup_minhash"     -> (dedupMinhash _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_simhash"     -> (simhashFingerprints _),
     "q_ngram_jaccard"     -> (ngramJaccard _),
     "q_ann_brute"         -> (annBruteForce _),
@@ -1577,6 +1620,7 @@ object ExtQueries {
     "q_dedup_clusters"    -> dedupClustersSql,
     "q_dedup_manifest"    -> dedupManifestSql,
     "q_dedup_minhash"     -> dedupMinhashSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_ngram_jaccard"     -> ngramJaccardSql,
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,

@@ -108,6 +108,65 @@ object MinHashLSH {
     })
   }
 
+  /** (__id, __sig) signature table — the shuffle-free per-row stage
+    * (tokens → streamed shingle hashes → k-min signature), shared by
+    * [[candidatePairsGuarded]] and [[IncrementalDedup]]. Uncached; the
+    * caller decides persistence. A shingle-less doc (fewer than w
+    * tokens) is dropped here: no content to match on, and it keeps the
+    * all-sentinel signatures from bucketing together (r7 contract —
+    * the oracle's unnest of an empty shingle list produces no rows). */
+  private[ops] def sigTable(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, seed: Long, salt: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+      .filter(size(col("__toks")) >= w)
+      .withColumn("__hs",
+        graft.functions.ShinglePolyHashes(col("__toks"), w, saltState(salt)))
+      .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
+      .select("__id", "__sig")
+
+  /** SLIM banded table (__id, __band, __bucket) from a signature table
+    * — three fixed-width values per row. The pair join must never
+    * carry shingle arrays: at corpus scale that would shuffle ~the
+    * whole text of the corpus through the one wide stage twice. Ids
+    * shuffle; text stays put. The salt folds into the bucket hash too,
+    * so neither hash in the pipeline presents an unseeded collision
+    * target. */
+  private[ops] def bandBuckets(withSig: DataFrame, k: Int, bands: Int,
+      salt: String): DataFrame = {
+    val r = k / bands
+    val bucketOf: Column => Column =
+      if (salt.isEmpty)
+        bi => graft.functions.PolyHash61(concat_ws(",", bi.cast("string"),
+          call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))
+      else
+        bi => graft.functions.PolyHash61(concat_ws(",", lit(salt), bi.cast("string"),
+          call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))
+    withSig.select(
+      col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
+        .as(Seq("__band", "__bucket")))
+  }
+
+  /** Exact-Jaccard shingle lookup for CANDIDATE docs only: a semi-join
+    * prunes the doc scan to the candidate id set before any shingle is
+    * built (AQE broadcasts the tiny id side at runtime). Cached —
+    * both sides of the pair join read it. The corpus is never shuffled
+    * and its shingles are never serialized (see candidatePairsGuarded's
+    * cache-width note). */
+  private[ops] def shingleLookup(df: DataFrame, textCol: String, idCol: String,
+      candIds: DataFrame, w: Int): DataFrame =
+    Persists.cache(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+        .join(candIds, Seq("__id"), "left_semi")
+        .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+        .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
+        .select("__id", "__sh"))
+
+  /** Exact Jaccard of two materialized shingle-array columns. */
+  private[ops] def jaccardCol(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+
   /** Candidate near-duplicate pairs with exact Jaccard similarity.
     * Output: (a_id, b_id, jaccard), a_id < b_id. Over-cap buckets are
     * dropped (benign-corpus posture); see [[candidatePairsGuarded]] for
@@ -150,8 +209,6 @@ object MinHashLSH {
       maxBucketSize: Int = 1000,
       salt: String = ""): GuardedPairs = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    val s0 = saltState(salt)
     // each stage materialized as a column so no lambda re-evaluates an
     // upstream subtree (see shinglesFromTokens scaladoc); persisted
     // because census + bucket join consume it repeatedly (aliased
@@ -177,31 +234,8 @@ object MinHashLSH {
     // was ~8s of this pipeline's 10.5s at sf0.1; duplicates are kept
     // because the k-min signature is duplicate-insensitive
     // (ShinglePolyHashesSpec asserts signature equality).
-    val withSig = Persists.cache(
-      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-        .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
-        .filter(size(col("__toks")) >= w)
-        .withColumn("__hs", graft.functions.ShinglePolyHashes(col("__toks"), w, s0))
-        .withColumn("__sig", graft.functions.MinHashSignature(col("__hs"), k, seed))
-        .select("__id", "__sig"))
-
-    // SLIM banded table: (band, bucket, id) — three fixed-width values
-    // per row. The pair join must never carry the shingle arrays: at
-    // corpus scale that would shuffle ~the whole text of the corpus
-    // through the one wide stage twice. Ids shuffle; text stays put.
-    // The salt is folded into the bucket hash too, so neither hash in
-    // the pipeline presents an unseeded collision target.
-    val bucketOf: Column => Column =
-      if (salt.isEmpty)
-        bi => graft.functions.PolyHash61(concat_ws(",", bi.cast("string"),
-          call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))
-      else
-        bi => graft.functions.PolyHash61(concat_ws(",", lit(salt), bi.cast("string"),
-          call_function("slice", col("__sig"), bi * r + 1, lit(r)).cast("array<string>")))
-    val banded = withSig.select(
-      col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
-        .as(Seq("__band", "__bucket")))
+    val withSig = Persists.cache(sigTable(df, textCol, idCol, k, w, seed, salt))
+    val banded = bandBuckets(withSig, k, bands, salt)
 
     // skew guard as an aggregate, not a window (a window over the full
     // banded table forces a sort of every row; groupBy-count is a
@@ -252,18 +286,11 @@ object MinHashLSH {
     // is never shuffled and its shingles are never serialized.
     val candIds = pairs.select(col("a_id").as("__id"))
       .union(pairs.select(col("b_id").as("__id"))).distinct()
-    val sh = Persists.cache(
-      df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-        .join(candIds, Seq("__id"), "left_semi")
-        .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
-        .withColumn("__sh", shinglesFromTokens(col("__toks"), w))
-        .select("__id", "__sh"))
+    val sh = shingleLookup(df, textCol, idCol, candIds, w)
     val verified = pairs
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 6))
+      .withColumn("jaccard", jaccardCol(col("a_sh"), col("b_sh")))
       .select("a_id", "b_id", "jaccard")
     GuardedPairs(verified, quarantined)
   }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup (r8): O(delta) near-dup matching against a
+  * persisted corpus index. The load-bearing property is the
+  * equivalence contract — batch pipeline on corpus ∪ delta, restricted
+  * to delta-involving pairs — because that is what lets the DuckDB
+  * oracle hash-gate q_dedup_incremental with the batch CTEs. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 base docs (corpus) + 10 mutated near-dups and 2 fresh docs
+    * (delta) — mutations of corpus docs land delta⟷corpus pairs, the
+    * identical fresh pair lands a delta⟷delta pair. */
+  private lazy val (corpus, delta): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("spark", "table", "query", "join", "filter", "agg",
+      "window", "batch", "stream", "column", "row", "hash", "sort", "scan",
+      "merge", "key", "value", "data", "fast", "slow")
+    val base = (0 until 40).map(_ =>
+      (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val mutated = base.take(10).map { t =>
+      val ws = t.split(" ").toVector
+      val drop = rnd.nextInt(ws.size)
+      ws.zipWithIndex.collect { case (w, j) if j != drop => w }.mkString(" ")
+    }
+    val fresh = (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val c = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = mutated.zipWithIndex.map { case (t, i) => (100L + i, t) } ++
+      Seq((200L, fresh), (201L, fresh))
+    (c.toDF("doc_id", "text"), d.toDF("doc_id", "text"))
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("deltaPairs == batch pipeline on corpus ∪ delta restricted to delta-involving pairs") {
+    val union = corpus.unionByName(delta)
+    val expected = rows(MinHashLSH.candidatePairs(union)
+      .filter(col("a_id") >= 100L || col("b_id") >= 100L))
+    assert(expected.nonEmpty, "fixture must produce delta-involving pairs")
+    assert(expected.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "fixture must include a delta-delta pair")
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
+    IncrementalDedup.writeIndex(corpus, idx)
+    val got = rows(IncrementalDedup.deltaPairs(spark, idx, union, delta))
+    assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
+  }
+
+  test("combined occupancy drives the bucket cap: corpus + delta copies overflow together") {
+    // 3 identical docs in the corpus, 3 more arriving in the delta: a
+    // combined bucket of 6. With cap 5 the batch pipeline drops those
+    // buckets — the incremental path must count corpus+delta TOGETHER
+    // (a delta-only census of 3 would pass the cap and diverge).
+    val floodText = "flood flood attack attack evade evade dedup dedup now now"
+    val c2 = corpus.unionByName(Seq((50L, floodText), (51L, floodText),
+      (52L, floodText)).toDF("doc_id", "text"))
+    val d2 = delta.unionByName(Seq((300L, floodText), (301L, floodText),
+      (302L, floodText)).toDF("doc_id", "text"))
+    val union = c2.unionByName(d2)
+    val expected = rows(MinHashLSH.candidatePairs(union, maxBucketSize = 5)
+      .filter(col("a_id") >= 100L || col("b_id") >= 100L))
+    assert(!expected.exists(p => p._1 >= 300L || p._2 >= 300L),
+      "batch pipeline must have capped the flooded bucket")
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-cap").toString
+    IncrementalDedup.writeIndex(c2, idx)
+    val got = rows(IncrementalDedup.deltaPairs(spark, idx, union, d2, maxBucketSize = 5))
+    assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
+  }
+
+  test("the corpus index streams through broadcast joins — never shuffled, never re-hashed") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-plan").toString
+    IncrementalDedup.writeIndex(corpus, idx)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static-plan convention
+    try {
+      val df = IncrementalDedup.deltaPairs(spark, idx,
+        corpus.unionByName(delta), delta)
+      // the pair stage is Persists-cached, so the index scan lives
+      // inside an InMemoryRelation — expand cached plans when walking
+      def expand(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children.flatMap(expand) ++ (p match {
+          case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            expand(t.relation.cachedPlan)
+          case _ => Nil
+        }))
+      val plan = df.queryExecution.executedPlan
+      def isBandedScan(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec => s.relation.location.rootPaths.exists(
+          _.toString.endsWith("/banded"))
+        case _ => false
+      }
+      // "unshuffled to its join": the banded index's raw rows must hit
+      // a BroadcastHashJoin (which reduces them to pairs / semi-prunes
+      // them) BEFORE any shuffle. For every shuffle node, search its
+      // subtree for the banded scan but STOP at broadcast joins — a hit
+      // means raw index rows crossed an exchange. (Shuffles above the
+      // pair join — the dropDuplicates over pair ids — are fine.)
+      def rawScanBelow(p: SparkPlan): Boolean =
+        if (isBandedScan(p)) true
+        else p match {
+          case _: BroadcastHashJoinExec => false // already reduced
+          case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            rawScanBelow(t.relation.cachedPlan)
+          case other => other.children.exists(rawScanBelow)
+        }
+      assert(expand(plan).exists(isBandedScan),
+        "plan must read the persisted banded index:\n" + plan)
+      val offending = expand(plan).collect {
+        case e: ShuffleExchangeLike if rawScanBelow(e) => e
+      }
+      assert(offending.isEmpty,
+        "raw index rows were shuffled before their broadcast join:\n" +
+          offending.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
