@@ -52,7 +52,14 @@ object ScaleBench {
     // arrival volume; pairs scale linearly because replicas add USERS,
     // not per-user density) and the canonicalization manifest (staged
     // label replay + quality scan + per-cluster window)
-    "q_stream_join", "q_dedup_manifest")
+    "q_stream_join", "q_dedup_manifest",
+    // r8 additions: both stage their offline artifact (corpus band
+    // index / IVF model+layout) on the first run — min-of-2 reports the
+    // amortized per-batch cost, which is the deployed shape (index
+    // builds are offline jobs). Their delta/query sets grow WITH the
+    // corpus here; the fixed-delta flatness probe below is the
+    // decade-invariance measurement.
+    "q_dedup_incremental", "q_ann_ivf_indexed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -102,11 +109,35 @@ object ScaleBench {
     val (base, baseRounds) = sweep(baseDir)
     val (scaled, scaledRounds) = sweep(scaleDir)
 
+    // FIXED-DELTA incremental-dedup probe (r8): the decade-invariance
+    // claim is "a day's arrivals cost the same against a 10× corpus".
+    // The delta is pinned to the BASE corpus's `% 10 = 7` docs at both
+    // scales; only the indexed corpus grows. Index build is untimed —
+    // it is the offline job the per-batch cost amortizes. Expect a
+    // ratio ≪ R: the only corpus-proportional work left is streaming
+    // the (3-fixed-width-column) index through a broadcast semi-join.
+    def incProbe(dir: String): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_scale_inc").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.IncrementalDedup.writeIndex(
+        docs.filter(col("doc_id") % 10 =!= 7), idx)
+      val delta = graft.model.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") % 10 === 7)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.IncrementalDedup.deltaPairs(spark, idx, docs, delta)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incBase = incProbe(baseDir)
+    val incScaled = incProbe(scaleDir)
+
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}}}""")
     spark.stop()
   }
 
