@@ -253,6 +253,16 @@ object ExtQueries {
       target.toString
     })
 
+  /** State-store parallelism for the staged-fixture streaming queries
+    * (r8): a streaming query's state-store count is frozen at first
+    * start from shuffle.partitions, and EVERY store pays per-batch
+    * commit + maintenance — so it must track expected state volume,
+    * not the session's batch shuffle width. The whole staged horizon
+    * here is tens of MB; 8 stores is already generous (measured:
+    * q_stream_join 8.5 s → 2.7 s at sf0.1 vs 32 stores). An ingest
+    * cluster sizes this ≈ cores via the session setting instead. */
+  private val StreamParts = 8
+
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
     val tmp = stageEvents(s, dir)
@@ -262,7 +272,7 @@ object ExtQueries {
         s.readStream.schema(events.schema).parquet(tmp))
         .select(col("window_start"), col("event_type"), col("n_events"),
           col("total_value").cast("double").as("total_value")),
-      sink)
+      sink, statePartitions = Some(StreamParts))
     s.table(sink).orderBy("window_start", "event_type")
   }
 
@@ -305,7 +315,7 @@ object ExtQueries {
       graft.streaming.StreamingOps.dedupStream(
           keyed, Seq("ts", "user_id", "event_type"), "1 hour")
         .select(col("ts").as("hour_start"), col("user_id"), col("event_type")),
-      sink)
+      sink, statePartitions = Some(StreamParts))
     s.table(sink).orderBy("hour_start", "user_id", "event_type")
   }
 
@@ -336,7 +346,7 @@ object ExtQueries {
           purchases, clicks, "user_id", "c_user", "p_ts", "c_ts", 1800L)
         .select(col("purchase_id"), col("user_id"), col("p_ts"),
           col("c_ts"), col("click_value")),
-      sink)
+      sink, statePartitions = Some(StreamParts))
     s.table(sink).orderBy("purchase_id", "c_ts", "click_value")
   }
 

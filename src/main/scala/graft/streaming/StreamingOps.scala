@@ -127,15 +127,33 @@ object StreamingOps {
 
   /** One `Trigger.AvailableNow` pass of a streaming query into a memory
     * sink; returns the sink table name. Drives both ops above in specs
-    * and doubles as the engine's "process whatever arrived" entry. */
+    * and doubles as the engine's "process whatever arrived" entry.
+    *
+    * `statePartitions` sizes the stateful-operator parallelism: a
+    * streaming query's state-store COUNT is fixed at first start from
+    * `spark.sql.shuffle.partitions`, and every store pays per-batch
+    * commit + maintenance regardless of how little state it holds — a
+    * capacity knob that must track expected STATE VOLUME, not the
+    * session's batch shuffle width (a stream-stream join runs 4 stores
+    * per partition: at 32 partitions that is 128 commit streams for a
+    * fixture whose whole horizon fits in one; measured 8.5 s → 2.7 s at
+    * sf0.1 going 32 → 8). None = inherit the session setting — the
+    * right call on a real ingest cluster, where partitions ≈ cores. */
   def runAvailableNow(df: DataFrame, sinkName: String,
-      outputMode: OutputMode = OutputMode.Append): Unit = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      outputMode: OutputMode = OutputMode.Append,
+      statePartitions: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally statePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prev))
   }
 }
