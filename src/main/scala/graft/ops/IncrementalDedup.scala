@@ -69,7 +69,21 @@ object IncrementalDedup {
       allDocs: DataFrame, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      maxBucketSize: Int = 1000, salt: String = ""): DataFrame = {
+      maxBucketSize: Int = 1000, salt: String = ""): DataFrame =
+    deltaPairsGuarded(spark, indexPath, allDocs, delta, textCol, idCol,
+      k, bands, w, seed, maxBucketSize, salt).pairs
+
+  /** [[deltaPairs]] plus the quarantine list — the adversarial posture
+    * for the shape it matters MOST in: hostile content arrives as
+    * deltas. Delta docs whose (combined-occupancy) buckets exceed
+    * `maxBucketSize` surface in `quarantined` for exact verification
+    * instead of silently skipping dedup; a salted index
+    * ([[writeIndex]]'s `salt`) must be probed with the SAME salt. */
+  def deltaPairsGuarded(spark: SparkSession, indexPath: String,
+      allDocs: DataFrame, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 1000, salt: String = ""): MinHashLSH.GuardedPairs = {
     require(k % bands == 0, "k must be divisible by bands")
 
     // delta's slim banded table — cached: census, membership and pair
@@ -89,14 +103,22 @@ object IncrementalDedup {
     // delta-bucket-sized table.
     val dCounts = dBanded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     val cCensus = spark.read.parquet(s"$indexPath/census")
-    val okBuckets = Persists.cache(
+    val combined = Persists.cache(
       cCensus.join(broadcast(dCounts.select("band", "bucket")),
           Seq("band", "bucket"), "left_semi")
         .select(col("band"), col("bucket"), col("n"))
         .unionByName(dCounts)
-        .groupBy("band", "bucket").agg(sum("n").as("n"))
-        .filter(col("n") >= 2 && col("n") <= maxBucketSize)
+        .groupBy("band", "bucket").agg(sum("n").as("n")))
+    val okBuckets = Persists.cache(
+      combined.filter(col("n") >= 2 && col("n") <= maxBucketSize)
         .select("band", "bucket"))
+    // delta docs in over-cap buckets: excluded from pairing, handed
+    // back for exact verification (see MinHashLSH.GuardedPairs)
+    val quarantined = dBanded
+      .join(broadcast(combined.filter(col("n") > maxBucketSize)
+        .select("band", "bucket")), Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id").as(idCol))
+      .distinct()
 
     // members of surviving delta-touched buckets: corpus index rows
     // (broadcast-semi-pruned — no index shuffle) ∪ the delta's own rows
@@ -121,10 +143,11 @@ object IncrementalDedup {
     val candIds = pairs.select(col("a_id").as("__id"))
       .union(pairs.select(col("b_id").as("__id"))).distinct()
     val sh = MinHashLSH.shingleLookup(allDocs, textCol, idCol, candIds, w)
-    pairs
+    val verified = pairs
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")
       .withColumn("jaccard", MinHashLSH.jaccardCol(col("a_sh"), col("b_sh")))
       .select("a_id", "b_id", "jaccard")
+    MinHashLSH.GuardedPairs(verified, quarantined)
   }
 }

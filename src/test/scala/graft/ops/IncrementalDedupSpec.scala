@@ -73,6 +73,34 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
+  test("a hostile delta flooding an indexed bucket quarantines instead of evading dedup") {
+    // 3 flood copies already in the corpus, 4 more arriving in the
+    // delta: combined occupancy 7 > cap 5. The delta copies must
+    // surface in the quarantine — a delta-only count (4 < 5) would
+    // have let them pair *and* an unguarded path would have silently
+    // skipped them.
+    val floodText = "flood flood attack attack evade evade dedup dedup now now"
+    val c2 = corpus.unionByName(Seq((60L, floodText), (61L, floodText),
+      (62L, floodText)).toDF("doc_id", "text"))
+    val d2 = delta.unionByName((0 until 4).map(i => (400L + i, floodText))
+      .toDF("doc_id", "text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-q").toString
+    IncrementalDedup.writeIndex(c2, idx)
+    val guarded = IncrementalDedup.deltaPairsGuarded(spark, idx,
+      c2.unionByName(d2), d2, maxBucketSize = 5)
+    val quarantined = guarded.quarantined.collect().map(_.getLong(0)).toSet
+    assert((400L until 404L).toSet.subsetOf(quarantined),
+      s"flooded delta docs missing from quarantine: ${(400L until 404L).toSet -- quarantined}")
+    val pairIds = guarded.pairs.collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds.intersect((400L until 404L).toSet).isEmpty)
+    // benign delta control: nothing quarantines at the default cap
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-inc-dedup-q2").toString
+    IncrementalDedup.writeIndex(corpus, idx2)
+    assert(IncrementalDedup.deltaPairsGuarded(spark, idx2,
+      corpus.unionByName(delta), delta).quarantined.count() == 0)
+  }
+
   test("the corpus index streams through broadcast joins — never shuffled, never re-hashed") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
