@@ -1465,6 +1465,72 @@ object ExtQueries {
   /** Quality selection: top-5 documents per predicted language by
     * quality score (the "keep the best k per group" pipeline stage).
     * One shuffle on the group key; deterministic tiebreak by doc_id. */
+  /** Mixture-allocation sample (r8): 200 docs with per-language
+    * quotas proportional to quality-weighted mass — Hamilton
+    * largest-remainder quotas over integer micro-units, md5-rank draw
+    * within stratum (Sampling.mixtureSample). Every quota decision is
+    * integer arithmetic, so the whole allocation hash-oracles exactly
+    * (a pow/ln-keyed weighted draw could not — last-ulp quotient flips
+    * floors across engines). */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.textStats(Tables.documents(s, dir))
+      .select("doc_id", "quality_score")
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      .join(scored, "doc_id")
+    Sampling.mixtureSample(docs, col("lang"), col("quality_score"),
+        col("doc_id"), n = 200L)
+      .select(col("lang"), col("quota"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val mixtureSampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tk
+      |  FROM documents
+      |), stats AS (
+      |  SELECT doc_id, len(tk) AS token_count,
+      |         round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+      |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+      |         round(CAST(len(list_filter(tk, w -> list_contains(['the','a','an','of','and','or','is','are','in','on','to','it','this','that','with','for','as','at','by','be'], w))) AS DOUBLE) / len(tk), 6) AS stopword_ratio
+      |  FROM toks
+      |), scored AS (
+      |  SELECT doc_id,
+      |         round(least(1.0, greatest(0.0,
+      |           0.15 * ln(1.0 + token_count)
+      |           - 2.0 * punct_ratio - 2.0 * digit_ratio
+      |           - abs(stopword_ratio - 0.35))), 6) AS quality_score
+      |  FROM stats
+      |), w AS (
+      |  SELECT d.doc_id, d.lang,
+      |         CAST(round(s.quality_score * 1000000) AS HUGEINT) AS micro
+      |  FROM documents d JOIN scored s USING (doc_id)
+      |), strata AS (
+      |  SELECT lang, sum(micro) AS ws FROM w GROUP BY lang
+      |), quotas AS (
+      |  SELECT lang,
+      |         (200 * ws) // (sum(ws) OVER ()) AS base,
+      |         (200 * ws) % (sum(ws) OVER ()) AS rem
+      |  FROM strata
+      |), q2 AS (
+      |  SELECT lang, base,
+      |         row_number() OVER (ORDER BY rem DESC, lang ASC) AS lr,
+      |         200 - sum(base) OVER () AS spare
+      |  FROM quotas
+      |), final AS (
+      |  SELECT lang,
+      |         CAST(base + CASE WHEN lr <= spare THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM q2
+      |), ranked AS (
+      |  SELECT lang, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rk
+      |  FROM documents
+      |)
+      |SELECT r.lang, f.quota, r.rk, r.doc_id
+      |FROM ranked r JOIN final f USING (lang)
+      |WHERE r.rk <= f.quota
+      |ORDER BY lang, rk""".stripMargin
+
   def qualityTopK(s: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.textStats(Tables.documents(s, dir))
       .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -1604,6 +1670,7 @@ object ExtQueries {
     "q_pii"               -> (piiScrub _),
     "q_split_stats"       -> (splitStats _),
     "q_stratified"        -> (stratifiedSample _),
+    "q_mixture_sample"    -> (mixtureSample _),
     "q_quality_topk"      -> (qualityTopK _),
     "q_length_quantiles"  -> (lengthQuantiles _))
 
@@ -1620,6 +1687,7 @@ object ExtQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_split_stats"       -> splitStatsSql,
     "q_stratified"        -> stratifiedSampleSql,
+    "q_mixture_sample"    -> mixtureSampleSql,
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_stream_window"     -> streamWindowSql,

@@ -69,4 +69,54 @@ object Sampling {
         Window.partitionBy(strataCol)
           .orderBy(md5(idCol.cast("string")).asc, idCol.asc)))
       .filter(col("rk") <= k)
+
+  /** Mixture-allocation sample (r8): draw `n` rows with per-stratum
+    * quotas PROPORTIONAL to each stratum's total weight — the data-
+    * MIXING op a training pipeline runs ("assemble 1M docs with domain
+    * share ∝ quality-weighted mass"), where [[stratifiedSample]]'s
+    * equal-k is the wrong shape.
+    *
+    * Quotas are Hamilton largest-remainder over INTEGER micro-units:
+    * weights are 6dp-rounded upstream, so `round(w·10⁶)` is the same
+    * long on every engine; `base = ⌊n·W_s/W⌋` and the remainder
+    * ranking `(n·W_s mod W) desc, stratum asc` are pure integer
+    * arithmetic — no floating quotient whose last ulp could flip a
+    * ⌊⌋ between engines (the reason this op hash-oracles exactly
+    * while an Efraimidis-Spirakis weighted draw — pow/ln keys — could
+    * not). Within a stratum the draw is the md5-rank order. A stratum
+    * smaller than its quota contributes all its rows (both engines
+    * agree by construction).
+    *
+    * Plan shape: one tiny aggregate over #strata (broadcast back), one
+    * shuffle on the stratum key for the per-stratum rank — the
+    * [[topKPerGroup]] family; nothing global. Output adds `quota`
+    * and `rk`. */
+  def mixtureSample(df: DataFrame, strataCol: Column, weightCol: Column,
+      idCol: Column, n: Long): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    // decimal(38,0) keeps n·W_s exact far past long range; DIV is
+    // integral division (→ long), `%` on decimals is exact — Spark's
+    // `/` on integers returns DOUBLE, whose last-ulp quotient could
+    // flip the floor between engines
+    val micro = round(weightCol * lit(1000000L)).cast("decimal(38,0)")
+    val strata = df.groupBy(strataCol.as("__stratum"))
+      .agg(sum(micro).as("__ws"))
+    val total = Window.partitionBy() // #strata rows — tiny by contract
+    val nWs = lit(n).cast("decimal(38,0)") * col("__ws")
+    val leftovers = Window.orderBy((nWs % col("__w")).desc, col("__stratum").asc)
+    val quotas = strata
+      .withColumn("__w", sum(col("__ws")).over(total))
+      .withColumn("__base", call_function("div", nWs, col("__w")))
+      .withColumn("__spare", lit(n) - sum(col("__base")).over(total))
+      .withColumn("__lr", row_number().over(leftovers))
+      .withColumn("quota",
+        col("__base") + when(col("__lr") <= col("__spare"), 1L).otherwise(0L))
+      .select(col("__stratum"), col("quota"))
+    df.join(broadcast(quotas), strataCol === col("__stratum"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(strataCol)
+          .orderBy(md5(idCol.cast("string")).asc, idCol.asc)))
+      .filter(col("rk") <= col("quota"))
+      .drop("__stratum")
+  }
 }

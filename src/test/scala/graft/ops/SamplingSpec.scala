@@ -54,6 +54,41 @@ class SamplingSpec extends SparkSpec {
     assert(a.count(_.head == "even") == 5 && a.count(_.head == "odd") == 5)
   }
 
+  test("mixtureSample: quotas sum to n, proportional within 1 (Hamilton), deterministic") {
+    import spark.implicits._
+    // 3 strata with weight mass 5:3:2 → quotas 50/30/20 at n=100
+    val df = (0 until 300).map { i =>
+      val (g, w) = i % 3 match {
+        case 0 => ("a", 0.5); case 1 => ("b", 0.3); case _ => ("c", 0.2)
+      }
+      (i.toLong, g, w)
+    }.toDF("id", "g", "w")
+    val got = Sampling.mixtureSample(df, col("g"), col("w"), col("id"), 100L)
+      .select("g", "quota", "rk", "id").collect()
+    assert(got.length == 100)
+    val quotas = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("a" -> 50L, "b" -> 30L, "c" -> 20L), quotas.toString)
+    // Hamilton on a non-divisible mass: every quota within 1 of the
+    // exact proportional share, and they always sum to n
+    val df2 = (0 until 301).map(i => (i.toLong, s"g${i % 7}", 0.1 + (i % 7) * 0.05))
+      .toDF("id", "g", "w")
+    val q2 = Sampling.mixtureSample(df2, col("g"), col("w"), col("id"), 97L)
+      .select("g", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = df2.groupBy("g").agg(sum(round(col("w") * 1000000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = mass.values.sum
+    assert(q2.values.sum == 97L, q2.toString)
+    q2.foreach { case (g, q) =>
+      val exact = 97.0 * mass(g) / total
+      assert(math.abs(q - exact) < 1.0, s"stratum $g: quota $q vs exact $exact")
+    }
+    // input order cannot change the draw
+    val again = Sampling.mixtureSample(df.orderBy(rand(3)), col("g"), col("w"),
+      col("id"), 100L).select("g", "quota", "rk", "id").collect()
+    assert(got.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("topKPerGroup plan shuffles once on the group key") {
     val scored = TextOps.textStats(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("quality_score"),
