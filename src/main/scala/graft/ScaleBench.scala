@@ -64,7 +64,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      "/root/repo/target/scale_sf1")
+      java.nio.file.Paths.get("target", "scale_sf1").toAbsolutePath.toString)
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

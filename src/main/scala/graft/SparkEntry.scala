@@ -34,8 +34,10 @@ object SparkEntry {
     * reference's CREATE OR REPLACE cache preservation). */
   def matCatalog(spark: SparkSession, dir: String): MetricViewCatalog =
     catalogs.getOrElseUpdate((spark, dir + "#mat"), {
-      val workDir = "/root/repo/target/graft-mat/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // relative to the launch dir (same portability fix as
+      // RoutingBench's fixture dir, ADVICE r7)
+      val workDir = java.nio.file.Paths.get("target", "graft-mat",
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).toAbsolutePath.toString
       val cat = new MetricViewCatalog(spark, Models.resolve(spark, dir, _), Some(workDir))
       Specs.all.foreach { case (name, yaml) => cat.createOrReplace(name, yaml) }
       // ensure-built (spec-hash idempotent), NOT refresh: refresh always
