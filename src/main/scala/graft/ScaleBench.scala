@@ -114,8 +114,10 @@ object ScaleBench {
     // The delta is pinned to the BASE corpus's `% 10 = 7` docs at both
     // scales; only the indexed corpus grows. Index build is untimed —
     // it is the offline job the per-batch cost amortizes. Expect a
-    // ratio ≪ R: the only corpus-proportional work left is streaming
-    // the (3-fixed-width-column) index through a broadcast semi-join.
+    // ratio ≪ R: the corpus-proportional work left is two SCANS (the
+    // 3-fixed-width-column index streamed through a broadcast
+    // semi-join, and the verify stage's (id, text) column read) — no
+    // corpus re-hash, no corpus shuffle.
     def incProbe(dir: String): Double = {
       val idx = java.nio.file.Files.createTempDirectory("graft_scale_inc").toString
       val docs = graft.model.Tables.documents(spark, dir)

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * pipeline ([[MinHashLSH.candidatePairs]]) on corpus ∪ delta re-reads,
   * re-tokenizes and re-hashes the WHOLE corpus to dedup a day's
   * arrivals; here the corpus contributes only its once-written slim
-  * band-bucket index (three fixed-width columns), and the corpus TEXT
-  * is touched only for verified candidates via the same ids-only
-  * semi-join as the batch path.
+  * band-bucket index (three fixed-width columns) plus one columnar
+  * (id, text) scan in the verify stage — never a re-tokenize, re-hash
+  * or text shuffle.
   *
-  * Per-delta-batch cost, by stage:
+  * Per-delta-batch cost, by stage (the "O(delta)" claim covers hash
+  * and SHUFFLE work; two corpus-proportional SCANS remain — the slim
+  * index stream and the verify stage's (id, text) column read — both
+  * scan-bound and cheap relative to the re-hash they replace, which is
+  * what the fixed-delta sweep measures: 1.85× cost for 100× corpus,
+  * BENCH_SCALE_r08):
   *  - delta signatures: per-row, shuffle-free, O(delta);
   *  - bucket census: the delta's bucket set aggregates O(delta)
   *    rows, then a BROADCAST of that (tiny) set prunes the corpus
@@ -21,7 +26,10 @@ import org.apache.spark.sql.functions._
   *  - pair generation: delta-banded ⋈ (index ∪ delta) members of
   *    surviving buckets, again broadcast on the delta side — buckets
   *    containing no delta doc never produce work;
-  *  - verify: exact Jaccard over shingles of candidate ids only.
+  *  - verify: exact Jaccard over shingles of candidate ids only —
+  *    shingles are BUILT for candidates only; the semi-join that
+  *    prunes to candidates still reads the (id, text) columns of the
+  *    full doc table (no id predicate reaches the scan).
   *
   * EQUIVALENCE CONTRACT (spec-gated, and the reason the DuckDB oracle
   * can hash-gate this operator): the output equals the batch pipeline
@@ -53,6 +61,31 @@ object IncrementalDedup {
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/census")
     banded.unpersist()
+    // record the hash-family parameters the index was built with:
+    // probing with a different family yields silently-empty matches,
+    // not an error — the IndexStore shape-header principle. The salt
+    // itself is a per-run SECRET, so only its md5 is stored (enough to
+    // detect a mismatch, not enough to reconstruct the fold state).
+    java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("params"),
+      paramsLine(k, bands, w, seed, salt).getBytes("UTF-8"))
+  }
+
+  private def paramsLine(k: Int, bands: Int, w: Int, seed: Long, salt: String): String = {
+    val saltCheck = java.security.MessageDigest.getInstance("MD5")
+      .digest(salt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"k=$k bands=$bands w=$w seed=$seed saltMd5=$saltCheck"
+  }
+
+  private def requireSameParams(indexPath: String,
+      k: Int, bands: Int, w: Int, seed: Long, salt: String): Unit = {
+    val p = java.nio.file.Paths.get(indexPath).resolve("params")
+    require(java.nio.file.Files.exists(p),
+      s"no params file at $indexPath — not a writeIndex artifact")
+    val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    val probe = paramsLine(k, bands, w, seed, salt)
+    require(stored == probe,
+      s"index at $indexPath was built with [$stored] but probed with [$probe] — " +
+        "mismatched hash families silently miss every match; rebuild or re-probe")
   }
 
   /** Near-dup candidate pairs INVOLVING the delta, verified with exact
@@ -60,8 +93,9 @@ object IncrementalDedup {
     * pipeline's shape, restricted to delta-involving pairs.
     *
     * @param allDocs corpus ∪ delta documents (text lookup for the
-    *                verify stage only — read via candidate-ids
-    *                semi-join, so the corpus text is NOT scanned)
+    *                verify stage only: a candidate-ids semi-join, so
+    *                shingles are built for candidates only — the scan
+    *                itself still reads the (id, text) columns)
     * @param delta   the newly-arrived docs; ids must be disjoint from
     *                the index's
     */
@@ -77,14 +111,28 @@ object IncrementalDedup {
     * for the shape it matters MOST in: hostile content arrives as
     * deltas. Delta docs whose (combined-occupancy) buckets exceed
     * `maxBucketSize` surface in `quarantined` for exact verification
-    * instead of silently skipping dedup; a salted index
-    * ([[writeIndex]]'s `salt`) must be probed with the SAME salt. */
+    * instead of silently skipping dedup. Probe parameters (k/bands/w/
+    * seed/salt) must MATCH the index's — enforced against the stored
+    * params file, because a mismatched hash family does not error, it
+    * silently matches nothing.
+    *
+    * `broadcastDelta`: the delta-derived tables (bucket set, slim
+    * banded rows) are broadcast by default — right whenever a batch of
+    * arrivals fits executor/driver broadcast limits, which is the
+    * normal ingest cadence. A backfill-sized delta (≫ millions of
+    * docs) must pass false: the joins fall back to shuffles on the
+    * bucket key and the corpus index pays one shuffle — still never a
+    * re-hash. */
   def deltaPairsGuarded(spark: SparkSession, indexPath: String,
       allDocs: DataFrame, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      maxBucketSize: Int = 1000, salt: String = ""): MinHashLSH.GuardedPairs = {
+      maxBucketSize: Int = 1000, salt: String = "",
+      broadcastDelta: Boolean = true): MinHashLSH.GuardedPairs = {
     require(k % bands == 0, "k must be divisible by bands")
+    requireSameParams(indexPath, k, bands, w, seed, salt)
+    val bc: DataFrame => DataFrame =
+      if (broadcastDelta) broadcast(_) else identity
 
     // delta's slim banded table — cached: census, membership and pair
     // join all read it; fixed-width rows (the batch path's cache rule)
@@ -104,7 +152,7 @@ object IncrementalDedup {
     val dCounts = dBanded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     val cCensus = spark.read.parquet(s"$indexPath/census")
     val combined = Persists.cache(
-      cCensus.join(broadcast(dCounts.select("band", "bucket")),
+      cCensus.join(bc(dCounts.select("band", "bucket")),
           Seq("band", "bucket"), "left_semi")
         .select(col("band"), col("bucket"), col("n"))
         .unionByName(dCounts)
@@ -115,7 +163,7 @@ object IncrementalDedup {
     // delta docs in over-cap buckets: excluded from pairing, handed
     // back for exact verification (see MinHashLSH.GuardedPairs)
     val quarantined = dBanded
-      .join(broadcast(combined.filter(col("n") > maxBucketSize)
+      .join(bc(combined.filter(col("n") > maxBucketSize)
         .select("band", "bucket")), Seq("band", "bucket"), "left_semi")
       .select(col("doc_id").as(idCol))
       .distinct()
@@ -123,18 +171,18 @@ object IncrementalDedup {
     // members of surviving delta-touched buckets: corpus index rows
     // (broadcast-semi-pruned — no index shuffle) ∪ the delta's own rows
     val members = spark.read.parquet(s"$indexPath/banded")
-      .join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
-      .unionByName(dBanded.join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi"))
+      .join(bc(okBuckets), Seq("band", "bucket"), "left_semi")
+      .unionByName(dBanded.join(bc(okBuckets), Seq("band", "bucket"), "left_semi"))
 
     // delta-involving pairs only: the DELTA side broadcasts and the
     // member table streams, so buckets without a delta doc never
     // produce work and the corpus index never shuffles. Normalize to
     // a_id < b_id (delta⟷corpus AND delta⟷delta pairs both arise).
-    val dSlim = dBanded.join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
+    val dSlim = dBanded.join(bc(okBuckets), Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("doc_id").as("d_id"))
     val pairs = Persists.cache(
       members.select(col("band"), col("bucket"), col("doc_id").as("o_id"))
-        .join(broadcast(dSlim), Seq("band", "bucket"))
+        .join(bc(dSlim), Seq("band", "bucket"))
         .filter(col("d_id") =!= col("o_id"))
         .select(least(col("d_id"), col("o_id")).as("a_id"),
           greatest(col("d_id"), col("o_id")).as("b_id"))

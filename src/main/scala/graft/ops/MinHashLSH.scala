@@ -257,9 +257,14 @@ object MinHashLSH {
       .filter(col("count") >= 2 && col("count") <= maxBucketSize)
       .select("__band", "__bucket")
     // distinct docs in over-cap buckets: excluded from pairing, handed
-    // back for exact verification. Benign corpora: empty or near-empty
-    // (the census shuffle is already paid; this adds one more reduce
-    // over it plus an ids-only semi-join-shaped projection).
+    // back for exact verification. Benign corpora: empty or near-empty.
+    // Cost note: within ONE action this shares the census plan; but the
+    // usual guarded flow (act on pairs, THEN act on quarantined) pays a
+    // recompute of the per-row stages for the second action — Persists
+    // releases the signature cache when the first action consumes it.
+    // Callers verifying a non-trivial quarantine should evaluate both
+    // outputs in one action (e.g. union the ids in) or persist
+    // upstream themselves.
     val quarantined = banded
       .join(census.filter(col("count") > maxBucketSize)
         .select("__band", "__bucket"), Seq("__band", "__bucket"), "left_semi")

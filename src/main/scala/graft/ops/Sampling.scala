@@ -110,7 +110,15 @@ object Sampling {
       .withColumn("__spare", lit(n) - sum(col("__base")).over(total))
       .withColumn("__lr", row_number().over(leftovers))
       .withColumn("quota",
-        col("__base") + when(col("__lr") <= col("__spare"), 1L).otherwise(0L))
+        // zero total mass has no proportional allocation — fail loudly
+        // (DuckDB's `//` errors on division by zero; Spark's decimal
+        // div yields null and would silently return an EMPTY sample,
+        // so the engines would diverge without this guard). In the
+        // raise_error branch the quota expression is never evaluated.
+        when(col("__w") <= lit(0),
+            raise_error(lit("mixtureSample: total weight mass is zero")).cast("long"))
+          .otherwise(
+            col("__base") + when(col("__lr") <= col("__spare"), 1L).otherwise(0L)))
       .select(col("__stratum"), col("quota"))
     df.join(broadcast(quotas), strataCol === col("__stratum"))
       .withColumn("rk", row_number().over(

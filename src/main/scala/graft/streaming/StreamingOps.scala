@@ -138,7 +138,13 @@ object StreamingOps {
     * per partition: at 32 partitions that is 128 commit streams for a
     * fixture whose whole horizon fits in one; measured 8.5 s → 2.7 s at
     * sf0.1 going 32 → 8). None = inherit the session setting — the
-    * right call on a real ingest cluster, where partitions ≈ cores. */
+    * right call on a real ingest cluster, where partitions ≈ cores.
+    *
+    * The override is a session-conf set/restore around the (blocking)
+    * run: correct for this engine's one-query-at-a-time drivers
+    * (Verify/Bench run queries sequentially); a concurrent caller on
+    * the SAME session could observe the temporary value — pass None
+    * and set the conf at session scope in that topology. */
   def runAvailableNow(df: DataFrame, sinkName: String,
       outputMode: OutputMode = OutputMode.Append,
       statePartitions: Option[Int] = None): Unit = {

@@ -73,6 +73,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
+  test("probing with mismatched hash-family params fails loudly; shuffle fallback matches broadcast plan") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-params").toString
+    IncrementalDedup.writeIndex(corpus, idx)
+    val union = corpus.unionByName(delta)
+    // a mismatched family would SILENTLY match nothing — must throw
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.deltaPairs(spark, idx, union, delta, bands = 32, k = 64)
+    }
+    assert(ex.getMessage.contains("built with"))
+    intercept[IllegalArgumentException] { // salted probe of unsalted index
+      IncrementalDedup.deltaPairs(spark, idx, union, delta, salt = "s3cr3t")
+    }
+    // backfill-sized deltas disable the broadcast hints: same rows
+    val bcast = rows(IncrementalDedup.deltaPairs(spark, idx, union, delta))
+    val shuffled = rows(IncrementalDedup.deltaPairsGuarded(spark, idx, union, delta,
+      broadcastDelta = false).pairs)
+    assert(bcast == shuffled)
+  }
+
   test("a hostile delta flooding an indexed bucket quarantines instead of evading dedup") {
     // 3 flood copies already in the corpus, 4 more arriving in the
     // delta: combined occupancy 7 > cap 5. The delta copies must

@@ -89,6 +89,20 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("mixtureSample fails loudly on zero total weight mass (oracle parity)") {
+    import spark.implicits._
+    // DuckDB's `//` errors on a zero divisor; Spark must fail loudly
+    // too, never return an empty sample. Under ANSI (the default) the
+    // decimal div itself throws DIVIDE_BY_ZERO; with ANSI off the
+    // explicit raise_error guard in mixtureSample fires instead.
+    val df = (0 until 10).map(i => (i.toLong, "a", 0.0)).toDF("id", "g", "w")
+    val ex = intercept[Exception] {
+      Sampling.mixtureSample(df, col("g"), col("w"), col("id"), 5L).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("total weight mass is zero") || msg.contains("DIVIDE_BY_ZERO"), msg)
+  }
+
   test("topKPerGroup plan shuffles once on the group key") {
     val scored = TextOps.textStats(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("quality_score"),
