@@ -111,7 +111,14 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
   /** Routing decision + routed plan (reference A10, README.md:399-431):
     * eligible iff some aggregated rollup covers the query dims, the
     * WHERE's dims, and every requested measure (all decomposable, none
-    * windowed). Smallest covering rollup wins. */
+    * windowed). Smallest covering rollup wins — by ACTUAL row count
+    * (recorded at build time, [[VersionedTable.rowCount]]), because
+    * dimension count is only a proxy: one high-cardinality dim (e.g.
+    * order_date, thousands of groups) makes a bigger table than two
+    * low-cardinality ones (segment x status, ~15). Cost-based choice is
+    * what matters at 100 TB, where the rollup size spread spans orders
+    * of magnitude; dim count stays as the tie-break and the fallback
+    * for stats-less tables. */
   def route(
       v: MetricView,
       dims: Seq[String],
@@ -129,7 +136,9 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
           measures.forall(m => r.measures.contains(m.name)) &&
           measures.forall(m => !m.isWindowed && v.decomposed(m).isDefined)
       }
-    candidates.sortBy(_.dimensions.size).headOption.map { r =>
+    candidates.sortBy(r =>
+      (VersionedTable.rowCount(path(v, r.name)).getOrElse(Long.MaxValue),
+        r.dimensions.size)).headOption.map { r =>
       val pre0 = VersionedTable.read(spark, path(v, r.name))
       val pre = where.fold(pre0)(w => pre0.filter(
         Expander.dimFilter(spark, identityDims(v), w)))

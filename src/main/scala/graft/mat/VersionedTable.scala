@@ -54,6 +54,14 @@ object VersionedTable {
     val curN = currentVersion(dir).map(versionNumber).getOrElse(0L)
     val next = s"v${curN + 1}"
     df.write.mode("overwrite").parquet(s"$dir/$next")
+    // snapshot stats, captured while the version is being produced: the
+    // count-star re-read is answered from parquet footer metadata (no
+    // row scan), and routing uses it to pick the CHEAPEST covering
+    // rollup by actual size rather than by dimension count. Stored
+    // inside the version dir ("_"-prefixed files are invisible to the
+    // parquet reader), so stats flip atomically with the data.
+    val rows = df.sparkSession.read.parquet(s"$dir/$next").count()
+    Files.write(Paths.get(dir, next, "_rowcount"), rows.toString.getBytes)
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, next.getBytes)
     Files.move(tmp, pointer(dir),
@@ -63,6 +71,13 @@ object VersionedTable {
     listVersions(dir).filter(versionNumber(_) < curN)
       .foreach(v => deleteRecursively(Paths.get(dir, v)))
   }
+
+  /** Row count of the live snapshot, if its write recorded one (tables
+    * written before stats existed simply report None — routing then
+    * falls back to the dimension-count proxy). */
+  def rowCount(dir: String): Option[Long] =
+    currentPath(dir).map(p => Paths.get(p, "_rowcount")).filter(Files.exists(_))
+      .map(p => new String(Files.readAllBytes(p)).trim.toLong)
 
   /** Remove the table entirely (spec invalidation). */
   def destroy(dir: String): Unit = {

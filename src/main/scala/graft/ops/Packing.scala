@@ -53,4 +53,79 @@ object Packing {
     assign(docs, seqTokens, partCol, orderCol, textCol)
       .groupBy(col(partCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+
+  /** Bin utilization of a packing: packed tokens / (bins x budget) —
+    * the fraction of the accelerator batch that is real data rather
+    * than padding. A weak packer silently wastes training FLOPs, so
+    * PackingSpec gates this with a floor.
+    *
+    * For [[assign]] (concat-and-chunk) every sequence except the last
+    * one per shard is exactly full by construction, so the rate is
+    * 1 − O(shards/sequences); its waste is zero padding at the price of
+    * fragmenting documents across sequence boundaries. For
+    * [[assignWholeDoc]] the rate is genuinely informative: whole-doc
+    * packing trades padding waste for intact documents. */
+  def fillRate(assigned: DataFrame, seqTokens: Int,
+      partCol: String = "source"): Double = {
+    val r = assigned.agg(
+      sum(col("n_tokens")).as("tokens"),
+      countDistinct(col(partCol), col("seq_id")).as("bins"))
+      .collect()(0)
+    r.getLong(0).toDouble / (r.getLong(1) * seqTokens.toDouble)
+  }
+
+  /** Whole-document packing (next-fit): docs are never split — a doc
+    * that would overflow the current sequence starts a new one; a doc
+    * longer than the budget gets a sequence of its own. Same columns as
+    * [[assign]].
+    *
+    * The greedy-vs-FFD tradeoff, explicitly: first-fit-decreasing packs
+    * ~2-5% denser on heavy-tailed length distributions, but it is a
+    * SEQUENTIAL algorithm over open bins — distributed FFD needs either
+    * a global length sort plus stateful bin search (a driver bottleneck)
+    * or approximate length-bucketed batching. Next-fit in arrival order
+    * is one shuffle + one linear partition scan, deterministic, and its
+    * measured fill on real corpora (PackingSpec: ~0.9 on the fixture)
+    * sits close enough to FFD that the simplicity wins at 100 TB; when
+    * budget-critical, sort each shard by length upstream and next-fit
+    * approximates first-fit's density.
+    *
+    * Scale shape: repartition by shard + in-partition sort, then ONE
+    * stateful linear scan per partition (mapPartitions — the bin
+    * boundary depends on every prior doc in the shard, which no
+    * window/prefix-sum can express). State is O(1) per partition; a
+    * shard never spans partitions, so ids stay contiguous per shard. */
+  def assignWholeDoc(docs: DataFrame, seqTokens: Int,
+      partCol: String = "source", orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqTokens >= 1)
+    val withTokens = docs.withColumn("n_tokens", tokenCount(col(textCol)))
+    val inSchema = withTokens.schema
+    val outSchema = inSchema.add("seq_id", org.apache.spark.sql.types.LongType)
+    val shardIdx = inSchema.fieldIndex(partCol)
+    val shardType = inSchema(shardIdx).dataType
+    val tokIdx = inSchema.fieldIndex("n_tokens")
+    val packed = withTokens
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(orderCol))
+      .queryExecution.toRdd.mapPartitions { rows =>
+        // a partition holds whole shards (hash-partitioned on partCol),
+        // possibly several: reset the running bin on shard change
+        var shard: Any = new Object
+        var seqId = 0L
+        var used = 0L
+        rows.map { internal =>
+          val row = internal.copy()
+          val s = row.get(shardIdx, shardType)
+          val n = row.getInt(tokIdx)
+          if (s != shard) { shard = s; seqId = 0L; used = 0L }
+          else if (used + n > seqTokens) { seqId += 1L; used = 0L }
+          used += n
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            row.toSeq(inSchema) :+ seqId)
+        }
+      }
+    org.apache.spark.sql.GraftBridge.internalDF(
+      withTokens.sparkSession, packed, outSchema)
+  }
 }

@@ -34,4 +34,13 @@ object GraftBridge {
     cds.sparkSession.internalCreateDataFrame(
       cds.queryExecution.toRdd, cds.schema)
   }
+
+  /** DataFrame over an internal-row RDD — the return path for the rare
+    * per-partition imperative operator (e.g. whole-doc packing's
+    * stateful scan) whose rows were produced by `queryExecution.toRdd`
+    * and therefore already carry internal types. */
+  def internalDF(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -107,6 +107,50 @@ class RoutingSpec extends SparkSpec {
     assert(scans(q).contains("monthly_revenue"), scans(q))
   }
 
+  test("cost-based choice: fewer-dims-but-bigger rollup loses to a smaller covering one") {
+    // by_date has ONE dim but ~one row per order date (thousands);
+    // by_segment_status has TWO dims but ~15 rows. For a query both
+    // cover, the dim-count proxy would pick by_date; the recorded row
+    // counts must pick by_segment_status.
+    val c = mat
+    c.createOrReplace("mv_route_cost",
+      """version: 0.1
+        |source: fct_orders
+        |dimensions:
+        |  - name: market_segment
+        |    expr: market_segment
+        |  - name: order_status
+        |    expr: order_status
+        |  - name: order_date
+        |    expr: order_date
+        |measures:
+        |  - name: total_revenue
+        |    expr: sum(total_price)
+        |materialization:
+        |  materialized_views:
+        |    - name: by_date
+        |      type: aggregated
+        |      dimensions:
+        |        - order_date
+        |      measures:
+        |        - total_revenue
+        |    - name: by_segment_status
+        |      type: aggregated
+        |      dimensions:
+        |        - market_segment
+        |        - order_status
+        |      measures:
+        |        - total_revenue
+        |""".stripMargin)
+    c.refresh("mv_route_cost")
+    val q = c.get("mv_route_cost").query(Nil, Seq("total_revenue"))
+    val p = scans(q)
+    assert(p.contains("by_segment_status") && !p.contains("by_date"), p)
+    val direct = plain.get("mv_order_metrics").query(Nil, Seq("total_revenue"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    c.drop("mv_route_cost")
+  }
+
   test("where over a covered dim stays routed; uncovered dim filter does not") {
     val covered = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("total_revenue"), Some("order_status = 'F'"))
