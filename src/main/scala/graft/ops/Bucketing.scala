@@ -84,10 +84,27 @@ object Bucketing {
     * BucketingSpec via FileSourceScanExec.partitionFilters), which at
     * 100 TB is the difference between scanning a day and scanning a
     * decade. Partition by LOW-cardinality columns only (year/date/
-    * source shard) — one directory per value. */
+    * source shard) — one directory per value.
+    *
+    * `dynamicOverwrite=true` switches overwrite from "truncate the
+    * whole layout" to "replace ONLY the partitions present in `df`"
+    * (Spark's dynamic partitionOverwriteMode): the refresh lever for
+    * incremental maintenance — untouched partition directories keep
+    * their files byte-for-byte, so a delta fold rewrites O(|touched
+    * partitions|), never the table. The trade vs [[graft.mat.VersionedTable]]
+    * is atomicity GRAIN: each partition commit is atomic (staged then
+    * moved), but a reader scanning across partitions mid-refresh can
+    * see old partition A with new partition B — the standard
+    * Hive/Spark in-place contract; a transactional table format gives
+    * both, which is what a production 100 TB deployment would layer
+    * on top. */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], dynamicOverwrite: Boolean = false): Unit = {
     require(partitionCols.nonEmpty)
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    // writer-level option beats the session conf, so one call site
+    // opting in never flips the mode for unrelated writes
+    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(path)
   }
 }

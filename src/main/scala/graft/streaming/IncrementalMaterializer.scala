@@ -85,6 +85,70 @@ final class IncrementalMaterializer(
       }
   }
 
+  /** Partition-aware fold: maintains each aggregated rollup as a
+    * Hive-partitioned parquet layout keyed on `partitionCol` (which
+    * must be one of the rollup's dimensions, low-cardinality by the
+    * layout contract — [[graft.ops.Bucketing.writePartitioned]]), and
+    * rewrites ONLY the partitions whose values appear in the batch:
+    *
+    *  1. batch partials → the set of touched partition values (a
+    *     handful of values by the low-cardinality contract);
+    *  2. prior state for JUST those partitions (the filter prunes at
+    *     the directory level — untouched partitions are never read);
+    *  3. merge → dynamic partition overwrite, which replaces only the
+    *     directories present in the merged frame.
+    *
+    * Untouched partition directories keep their files byte-for-byte
+    * (mtime-gated in StreamingSpec), so a delta that lands in one
+    * day/status/shard costs O(|batch| + |touched partitions|) in both
+    * read AND write — at 100 TB the difference between rewriting a
+    * partition and rewriting the table every refresh. Trade vs the
+    * [[VersionedTable]] fold ([[foldBatch]]): per-partition commit
+    * atomicity instead of whole-snapshot, the standard in-place
+    * Hive/Spark contract (see writePartitioned's scaladoc).
+    */
+  def foldBatchPartitioned(v: MetricView, batch: DataFrame, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    v.spec.materialization.toSeq.flatMap(_.materializedViews).filter(_.isAggregated)
+      .foreach { mv =>
+        require(mv.dimensions.contains(partitionCol),
+          s"partition column '$partitionCol' is not a dimension of rollup '${mv.name}'")
+        val path = s"${rollupPath(v.name, mv.name)}_bypart"
+        val fresh = batchPartials(v, mv, batch)
+        val updated = if (new java.io.File(path).isDirectory) {
+          val touched = fresh.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+          // partitioned reads surface the partition column with an
+          // INFERRED type and at the end of the schema — cast it back
+          // so unionByName inside merge() lines up
+          val old = spark.read.parquet(path)
+            .withColumn(partitionCol,
+              col(partitionCol).cast(fresh.schema(partitionCol).dataType))
+            .filter(col(partitionCol).isin(touched: _*))
+          merge(v, mv, Seq(old, fresh))
+        } else fresh
+        // stage the merged frame before the overwrite: Spark (rightly)
+        // refuses a write whose plan still reads the destination path,
+        // and the stage keeps the merge re-runnable if the commit dies
+        val stage = s"$path._stage"
+        updated.write.mode("overwrite").parquet(stage)
+        graft.ops.Bucketing.writePartitioned(spark.read.parquet(stage), path,
+          Seq(partitionCol), dynamicOverwrite = true)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      }
+  }
+
+  /** Streaming driver for the partition-aware fold — same shape as
+    * [[maintain]], rewriting only touched partitions per micro-batch. */
+  def maintainPartitioned(v: MetricView, stream: DataFrame, partitionCol: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        foldBatchPartitioned(v, batch.toDF(), partitionCol))
+      .option("checkpointLocation", s"$checkpointDir/${v.name}_bypart")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Maintain the rollups from a streaming source of new rows: drains
     * available input (Trigger.AvailableNow) and folds each micro-batch.
     * The checkpoint remembers which files were already folded, so the
