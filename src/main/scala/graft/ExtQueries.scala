@@ -1036,11 +1036,22 @@ object ExtQueries {
         array_join(slice(words, 1, 3), " ").as("k1"),
         array_join(slice(reverse(words), 1, 3), " ").as("k2"))
       val edges = ConnectedComponents.keyEdges(keyed, "doc_id", Seq("k1", "k2"))
+      // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
+      // already pre-pays the first propagation round, so the bulk
+      // window needs ONE full round before the cheap frontier tail
+      // takes over (r8; 2 full rounds re-materialized labels that only
+      // 24 of 50k rows were still moving)
       val comp = ConnectedComponents.run(
-        keyed.select(col("doc_id").as("id")), edges)
-      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-      comp.join(broadcast(sizes), "component")
-        .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+        keyed.select(col("doc_id").as("id")), edges, checkEvery = 1)
+      // one shuffle total: repartition by component both CLUSTERS each
+      // component's rows for the manifest's downstream window AND lets
+      // the same partitioning serve the cluster_size window count — no
+      // separate groupBy stage, no broadcast build (r8; was
+      // groupBy + broadcast join, ~0.4 s slower and a driver collect)
+      val wComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      comp.repartition(col("component"))
+        .select(col("id").as("doc_id"), col("component"),
+          count(lit(1)).over(wComp).as("cluster_size"))
         .write.mode("overwrite").parquet(p.toString)
       p.toString
     })

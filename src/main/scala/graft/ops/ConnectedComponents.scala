@@ -76,8 +76,12 @@ object ConnectedComponents {
     * rounds in the window did; the only cost is up to `checkEvery−1`
     * no-op rounds after the true fixpoint. */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
-          checkEvery: Int = 2): DataFrame = {
+          checkEvery: Int = 2, deltaThreshold: Long = 100000): DataFrame = {
     require(checkEvery >= 1)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val tRun0 = System.nanoTime()
+    def mark(label: String): Unit = if (debug)
+      println(f"[cc] $label at ${(System.nanoTime() - tRun0) / 1e9}%.2f s")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -119,12 +123,75 @@ object ConnectedComponents {
     // LogicalRDD over the persisted iterate — the RDD reads the cache
     // lazily; within a window the plan holds ≤ 2^checkEvery copies of
     // that flat root, which is bounded and tiny.
-    var labels = org.apache.spark.sql.GraftBridge
-      .flatten(persisted.toDF("id", "component"))
+    mark("init plans built")
+    // NO flatten on the init labels: flatten's toRdd pays full
+    // physical planning + driver codegen of the (uncached) upstream
+    // pipeline — ~1.5 s at sf0.1 — which window 1's action would then
+    // redo. Referencing the cached init frame directly is execution-
+    // equivalent (every reference reads the same InMemoryRelation) and
+    // the window plan holds ≤ 2^checkEvery copies of it, bounded.
+    // Post-window flattens stay: there the plan is a projection over a
+    // MATERIALIZED cache, so toRdd planning is ~0.05 s, and truncation
+    // is what stops the 2^rounds tree.
+    var labels = persisted.toDF("id", "component")
     var iter = 0
     var changed = 1L
+    // `persisted` carries a trustworthy __changed frontier column only
+    // after the first full window has run
+    var frontierReady = false
     while (changed > 0 && iter < maxIter) {
-      val steps = math.min(checkEvery, maxIter - iter)
+     if (frontierReady && changed <= deltaThreshold) {
+      // ---- frontier (delta) round — the Pregel active-vertex tail ----
+      // Monotone label propagation has a long sparse tail: after the
+      // bulk windows, `changed` collapses (measured 24 → 3 → 0 at
+      // sf0.1) yet each full round still joins the ENTIRE edge table to
+      // the ENTIRE label table. A node can only improve if a NEIGHBOR
+      // changed last round, so once the frontier is small enough to
+      // broadcast (`deltaThreshold` rows — the driver-safety gate, same
+      // role as autoBroadcastJoinThreshold), propagate only from the
+      // frontier: broadcast the changed (id, label) pairs against the
+      // dst-partitioned edge cache (NO shuffle of edges or labels — the
+      // only exchange is the tiny matched subset's groupBy), and merge
+      // into the cached labels. Pointer jumping is skipped here — the
+      // frontier is already past the bulk mixing, and `maxIter` still
+      // guards pathological chains; if a hub update fans the frontier
+      // back above the threshold, the loop falls back to full windows.
+      // changed == 0 after a frontier round IS the global fixpoint: no
+      // neighbor of the last changed set improved, so nothing pending.
+      val delta = labels.filter(col("__changed"))
+        .select(col("id").as("src"), col("component").as("__dl"))
+      val nbDelta = sym.join(broadcast(delta), "src")
+        .groupBy("dst").agg(min(col("__dl")).as("nb_min"))
+      val upd = labels.select("id", "component")
+        .join(nbDelta.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nb_min"), col("component")))
+            .as("component"))
+        .select(col("id"), col("component"),
+          (col("component") < col("prev")).as("__changed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tw0 = System.nanoTime()
+      changed = upd.filter(col("__changed")).count()
+      if (debug)
+        println(f"[cc] frontier round ${iter + 1}: " +
+          f"${(System.nanoTime() - tw0) / 1e9}%.2f s, changed=$changed")
+      persisted.unpersist(false)
+      persisted = upd
+      // each round references the previous iterate TWICE (frontier
+      // filter + label join), so re-root on the materialized cache like
+      // the window path does — flatten over a materialized cache is
+      // ~0.05 s of planning, and it keeps every round's plan bounded
+      labels = org.apache.spark.sql.GraftBridge.flatten(upd)
+      iter += 1
+     } else {
+      // first window runs `checkEvery` rounds back-to-back (the bulk of
+      // propagation — hub-min init + neighbor rounds); later windows
+      // run ONE round each, so the fixpoint confirmation materializes
+      // one no-op round, not checkEvery of them. Worst case this adds
+      // driver actions on deep graphs; each action is a count over the
+      // cached iterate (~0.1 s) vs ~1 s per extra materialized round.
+      val steps = math.min(if (iter < checkEvery) checkEvery else 1,
+        maxIter - iter)
       // every per-round iterate is persisted (self-joined subplans are
       // not deduped by ReuseExchange — without the cache each stage
       // would recompute) but only the window's LAST survives the action
@@ -158,13 +225,22 @@ object ConnectedComponents {
       val next = cur
       // ONE action materializes (and caches) all `steps` rounds and
       // reads off the final round's convergence bit
+      mark(s"window to ${iter + steps}: plans built")
+      val tw0 = System.nanoTime()
       changed = next.filter(col("__changed")).count()
+      if (debug)
+        println(f"[cc] window rounds ${iter + 1}-${iter + steps}: " +
+          f"${(System.nanoTime() - tw0) / 1e9}%.2f s, changed=$changed")
       windowCaches.dropRight(1).foreach(_.unpersist(false))
       persisted.unpersist(false)
       persisted = next
-      labels = org.apache.spark.sql.GraftBridge
-        .flatten(next.select("id", "component"))
+      // __changed rides along so a following frontier round can read
+      // its frontier straight off the flat root
+      labels = org.apache.spark.sql.GraftBridge.flatten(next)
+      mark(s"window to ${iter + steps}: flatten done")
       iter += steps
+      frontierReady = true
+     }
     }
     lastRounds = iter
     sym.unpersist(false)
@@ -175,6 +251,9 @@ object ConnectedComponents {
           "with pointer jumping this needs ~log2(diameter) rounds; " +
           "raise maxIter for extraordinarily deep graphs")
     }
+    // frontier rounds leave the __changed column on `labels`; the
+    // operator contract is (id, component)
+    labels = labels.select("id", "component")
     // the final iterate stays cached until the caller's terminal action
     // consumes the flat wrapper (its plan no longer embeds the iterate)
     Persists.cacheBehind(persisted, labels)
