@@ -251,6 +251,78 @@ object Queries {
         |ORDER BY e.order_priority""".stripMargin
   }
 
+  /** Approx-percentile measures (GraftHistogram — the routable
+    * counterpart of exact percentile/median): on-the-fly at the
+    * priority grain. Oracle re-derives the bounded-range histogram —
+    * bin counts, window cumsum, first qualifying bin, interpolation —
+    * with every double op in the engine's order (no libm at all, so the
+    * match is bit-exact, tighter than the HLL `ln` caveat). */
+  def mvOrdersPercentile(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_dist")
+      .query(Seq("order_priority"),
+        Seq("p50_order_value", "p95_order_value", "order_count"))
+      .orderBy("order_priority")
+
+  /** Same measures ROUTED through the dist_by_status rollup (bin-count
+    * arrays re-aggregate by element-wise add — semantically invisible,
+    * so the oracle is the same direct derivation). */
+  def routedPercentile(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_orders_dist")
+      .query(Seq("order_status"),
+        Seq("p50_order_value", "p95_order_value", "order_count"))
+      .orderBy("order_status")
+
+  /** DuckDB re-expression of GraftHistogram.quantile for one dim.
+    * Mirrored ops (GraftHistogram.scala): bin =
+    * clamp(floor(((x−lo)/(hi−lo))·bins)); pick = first non-empty bin
+    * whose inclusive cumsum (as double) reaches p·total; estimate =
+    * lo + (bin + (p·total − cumBefore)/c) · ((hi−lo)/bins). */
+  private def percentileSql(dim: String): String =
+    modelCtes +
+      s""", hb AS (
+        |  SELECT $dim,
+        |         CAST(least(1023, greatest(0,
+        |           floor(((CAST(total_price AS DOUBLE) - 0.0) / (600000.0 - 0.0)) * 1024.0)
+        |         )) AS BIGINT) AS bin
+        |  FROM stg_orders
+        |), hc AS (
+        |  SELECT $dim, bin, c,
+        |         sum(c) OVER (PARTITION BY $dim ORDER BY bin) AS cum,
+        |         sum(c) OVER (PARTITION BY $dim) AS total
+        |  FROM (SELECT $dim, bin, count(*) AS c FROM hb GROUP BY 1, 2)
+        |), e50 AS (
+        |  SELECT hc.$dim,
+        |         0.0 + (CAST(hc.bin AS DOUBLE)
+        |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
+        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+        |           * ((600000.0 - 0.0) / 1024.0) AS v
+        |  FROM hc
+        |  JOIN (SELECT $dim, min(bin) AS bin FROM hc
+        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
+        |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
+        |        GROUP BY 1) pick USING ($dim, bin)
+        |), e95 AS (
+        |  SELECT hc.$dim,
+        |         0.0 + (CAST(hc.bin AS DOUBLE)
+        |           + (CAST(0.95 AS DOUBLE) * CAST(hc.total AS DOUBLE)
+        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+        |           * ((600000.0 - 0.0) / 1024.0) AS v
+        |  FROM hc
+        |  JOIN (SELECT $dim, min(bin) AS bin FROM hc
+        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
+        |              >= CAST(0.95 AS DOUBLE) * CAST(total AS DOUBLE)
+        |        GROUP BY 1) pick USING ($dim, bin)
+        |)
+        |SELECT g.$dim, e50.v AS p50_order_value, e95.v AS p95_order_value,
+        |       g.order_count
+        |FROM (SELECT $dim, count(*) AS order_count FROM stg_orders GROUP BY 1) g
+        |JOIN e50 USING ($dim)
+        |JOIN e95 USING ($dim)
+        |ORDER BY g.$dim""".stripMargin
+
+  val mvOrdersPercentileSql: String = percentileSql("order_priority")
+  val routedPercentileSql: String = percentileSql("order_status")
+
   /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
     * measure with datediff/nullif. */
   def mvCustomerMetrics(s: SparkSession, dir: String): DataFrame =
@@ -427,6 +499,8 @@ object Queries {
     "q_mv_filtered"           -> (mvOrdersSimpleFiltered _),
     "q_mv_distinct"           -> (mvOrdersDistinct _),
     "q_mv_approx"             -> (mvOrdersApprox _),
+    "q_mv_percentile"         -> (mvOrdersPercentile _),
+    "q_routed_percentile"     -> (routedPercentile _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_sql_measure"           -> (sqlMeasure _),
@@ -444,6 +518,8 @@ object Queries {
     "q_mv_distinct"           -> mvOrdersDistinctSql,
     "q_mv_customer"           -> mvCustomerMetricsSql,
     "q_mv_approx"             -> mvOrdersApproxSql,
+    "q_mv_percentile"         -> mvOrdersPercentileSql,
+    "q_routed_percentile"     -> routedPercentileSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_sql_measure"           -> sqlMeasureSql,
     "q_sql_ddl"               -> sqlDdlSql,

@@ -45,6 +45,7 @@ object SparkEntry {
       val m = cat.materializer.get
       m.build(cat.get("mv_orders_simple"))
       m.build(cat.get("mv_order_metrics"))
+      m.build(cat.get("mv_orders_dist"))
       cat
     })
 

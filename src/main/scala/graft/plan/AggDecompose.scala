@@ -102,6 +102,22 @@ object AggDecompose {
             // graft_hll_estimate stays in the combiner template)
             fresh(graft.functions.GraftHll.agg(args.head),
               c => graft.functions.GraftHll.merge(col(c)))
+          case "graft_percentile_bounded" if f.arguments.length == 5 =>
+            // approx-percentile routes too: the bounded-range histogram
+            // partial is a storable array<bigint> of bin counts whose
+            // merge (element-wise add) is EXACT over unions, so the
+            // measure decomposes like HLL — partial graft_hist_agg,
+            // re-agg graft_hist_merge, and the interpolating
+            // graft_hist_quantile stays in the combiner template.
+            // (Exact `percentile`/`median` stay non-decomposable below
+            // — this is their declared-domain routable counterpart.)
+            val histAttr = fresh(
+              graft.functions.GraftHistogram.agg(
+                args(0), args(2), args(3), args(4)),
+              c => graft.functions.GraftHistogram.merge(col(c)))
+            UnresolvedFunction(Seq("graft_hist_quantile"),
+              Seq(histAttr, f.arguments(1), f.arguments(2), f.arguments(3)),
+              isDistinct = false)
           case _ if aggNames(fname) => { ok = false; f }
           case _ => f // scalar function — leave in the combiner template
         }
@@ -136,5 +152,6 @@ object AggDecompose {
     "first", "last", "collect_list", "collect_set", "stddev", "variance",
     "stddev_samp", "var_samp", "percentile", "median", "approx_count_distinct",
     "first_value", "last_value", "any_value", "max_by", "min_by",
-    "hll_sketch_agg", "hll_union_agg", "graft_hll_agg", "graft_hll_merge")
+    "hll_sketch_agg", "hll_union_agg", "graft_hll_agg", "graft_hll_merge",
+    "graft_percentile_bounded", "graft_hist_agg", "graft_hist_merge")
 }

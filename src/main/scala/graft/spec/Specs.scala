@@ -227,10 +227,48 @@ object Specs {
       |        semiadditive: last
       |""".stripMargin
 
+  /** Engine extension: distribution measures. `graft_percentile_bounded`
+    * (GraftHistogram) is the routable counterpart of the exact
+    * `percentile`/`median` the routing layer refuses — the declared
+    * [0, 600000] domain covers TPC-H order totals (~850 to ~560k) and
+    * 1024 bins bound the value error to (hi−lo)/bins ≈ 586 (~0.4% of a
+    * typical median). The dist_by_status rollup stores the bin-count
+    * partials, so status-grain percentile queries re-aggregate 8 KB
+    * arrays instead of rescanning orders. */
+  val mvOrdersDist: String =
+    """version: 0.1
+      |source: stg_orders
+      |dimensions:
+      |  - name: order_status
+      |    expr: order_status
+      |  - name: order_priority
+      |    expr: order_priority
+      |measures:
+      |  - name: order_count
+      |    expr: count(*)
+      |  - name: p50_order_value
+      |    expr: graft_percentile_bounded(total_price, 0.5, 0.0, 600000.0, 1024)
+      |  - name: p95_order_value
+      |    expr: graft_percentile_bounded(total_price, 0.95, 0.0, 600000.0, 1024)
+      |materialization:
+      |  schedule: every 8 weeks
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: dist_by_status
+      |      type: aggregated
+      |      dimensions:
+      |        - order_status
+      |      measures:
+      |        - order_count
+      |        - p50_order_value
+      |        - p95_order_value
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,
     "mv_customer_metrics" -> mvCustomerMetrics,
     "mv_sales_geo"        -> mvSalesGeo,
-    "mv_customer_window"  -> mvCustomerWindow)
+    "mv_customer_window"  -> mvCustomerWindow,
+    "mv_orders_dist"      -> mvOrdersDist)
 }

@@ -45,6 +45,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_hll_agg")(args => graft.functions.GraftHllAgg(args.head))
     fn("graft_hll_merge")(args => graft.functions.GraftHllMerge(args.head))
     fn("graft_hll_estimate")(args => graft.functions.GraftHllEstimate(args.head))
+    // engine-owned bounded-range histogram (graft.functions.GraftHistogram)
+    // — the routable approx-percentile sketch
+    fn("graft_hist_agg")(args =>
+      graft.functions.GraftHistAgg(args(0), args(1), args(2), args(3)))
+    fn("graft_hist_merge")(args => graft.functions.GraftHistMerge(args.head))
+    fn("graft_hist_quantile")(args =>
+      graft.functions.GraftHistQuantile(args(0), args(1), args(2), args(3)))
+    // measure-level sugar: graft_percentile_bounded(x, p, lo, hi, bins)
+    // = quantile over the histogram of x — ONE call a spec author
+    // writes; AggDecompose splits it into the storable partial + the
+    // mergeable re-agg + the scalar estimate for routing. The inner
+    // aggregate is wrapped explicitly because the analyzer only
+    // auto-wraps the top-level function result.
+    fn("graft_percentile_bounded") { args =>
+      graft.functions.GraftHistQuantile(
+        graft.functions.GraftHistAgg(args(0), args(2), args(3), args(4))
+          .toAggregateExpression(),
+        args(1), args(2), args(3))
+    }
     ext.injectResolutionRule(s => new MeasureExpansionRule(s))
     // SQL-string DDL lifecycle (CREATE ... WITH METRICS LANGUAGE YAML /
     // DROP VIEW / DESCRIBE / SHOW TBLPROPERTIES) — see MetricViewDdl

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+
+/** GraftHistogram: the routable approx-percentile sketch. Gates the
+  * cross-engine contract (binning/interpolation arithmetic), the
+  * mergeability that routing relies on, accuracy vs the exact
+  * percentile, and both codegen paths of the quantile scalar. */
+class GraftHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bin edges: lo -> 0, hi clamps to last, out-of-range clamps") {
+    assert(GraftHistogram.binOf(0.0, 0.0, 100.0, 10) == 0)
+    assert(GraftHistogram.binOf(9.999, 0.0, 100.0, 10) == 0)
+    assert(GraftHistogram.binOf(10.0, 0.0, 100.0, 10) == 1)
+    assert(GraftHistogram.binOf(100.0, 0.0, 100.0, 10) == 9) // x == hi
+    assert(GraftHistogram.binOf(-5.0, 0.0, 100.0, 10) == 0)
+    assert(GraftHistogram.binOf(1e9, 0.0, 100.0, 10) == 9)
+  }
+
+  test("quantile interpolation on a known histogram") {
+    val h = new GenericArrayData(Array(2L, 0L, 3L)) // lo=0 hi=3 -> width 1
+    def q(p: Double) = GraftHistogram.quantile(h, p, 0.0, 3.0)
+    assert(q(0.0) == 0.0) // lower edge of first occupied bin
+    assert(q(0.4) == 1.0) // target 2.0 lands exactly at bin 0's top edge
+    // target 2.5 -> bin 2 (bin 1 empty, skipped), frac = 0.5/3
+    assert(math.abs(q(0.5) - (2.0 + 0.5 / 3.0)) < 1e-15)
+    assert(q(1.0) == 3.0) // upper edge of last occupied bin
+    assert(GraftHistogram.quantile(new GenericArrayData(Array(0L, 0L)), 0.5, 0.0, 1.0) == null)
+  }
+
+  test("estimate within one bin width of the exact percentile") {
+    val bins = 1024
+    val width = 600000.0 / bins
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_totalprice").cast("double").as("x"))
+    val r = df.select(
+      expr(s"graft_percentile_bounded(x, 0.5, 0.0, 600000.0, $bins)").as("p50"),
+      expr(s"graft_percentile_bounded(x, 0.95, 0.0, 600000.0, $bins)").as("p95"),
+      expr("percentile(x, 0.5)").as("e50"),
+      expr("percentile(x, 0.95)").as("e95")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= width,
+      s"p50 ${r.getDouble(0)} vs exact ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= width,
+      s"p95 ${r.getDouble(1)} vs exact ${r.getDouble(3)}")
+  }
+
+  test("merge of split partials == whole-input histogram (exact, not approximate)") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("id"), col("o_totalprice").cast("double").as("x"))
+    val whole = df
+      .select(expr("graft_hist_agg(x, 0.0, 600000.0, 64)").as("h"))
+      .head().getSeq[Long](0)
+    val merged = df
+      .groupBy((col("id") % 7).as("part"))
+      .agg(expr("graft_hist_agg(x, 0.0, 600000.0, 64)").as("h"))
+      .select(expr("graft_hist_merge(h)").as("h"))
+      .head().getSeq[Long](0)
+    assert(whole == merged)
+    assert(whole.sum == df.count())
+  }
+
+  test("quantile scalar: generated code == interpreted, both paths") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderpriority").as("pr"), col("o_totalprice").cast("double").as("x"))
+      .groupBy("pr")
+      .agg(expr("graft_hist_agg(x, 0.0, 600000.0, 256)").as("h"))
+    val results = Seq("true", "false").map { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(col("pr"), expr("graft_hist_quantile(h, 0.5, 0.0, 600000.0)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(results(0) == results(1))
+    assert(results(0).nonEmpty)
+  }
+
+  test("analysis-time failures: bad value type, non-literal bins, p out of range") {
+    val df = Seq(("a", 1.0)).toDF("s", "x")
+    intercept[Exception] {
+      df.select(expr("graft_hist_agg(s, 0.0, 1.0, 8)")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("graft_hist_agg(x, 0.0, 1.0, cast(x as int))")).collect()
+    }
+    intercept[Exception] {
+      df.select(expr("graft_percentile_bounded(x, 1.5, 0.0, 1.0, 8)")).collect()
+    }
+    intercept[Exception] { // hi <= lo
+      df.select(expr("graft_hist_agg(x, 1.0, 1.0, 8)")).collect()
+    }
+  }
+}

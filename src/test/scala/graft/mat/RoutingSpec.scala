@@ -82,6 +82,26 @@ class RoutingSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
+  test("approx-percentile measure ROUTES through the rollup (bin counts add exactly)") {
+    // the percentile counterpart of the HLL case above: bounded-range
+    // histogram partials merge by element-wise ADD — exact over unions
+    // — so percentile measures re-aggregate from dist_by_status,
+    // including down to the global grain
+    val q = mat.get("mv_orders_dist")
+      .query(Seq("order_status"), Seq("p50_order_value", "p95_order_value"))
+    val p = scans(q)
+    assert(p.contains("dist_by_status"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_dist")
+      .query(Seq("order_status"), Seq("p50_order_value", "p95_order_value"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // global grain: one merged histogram across all statuses
+    val g = mat.get("mv_orders_dist").query(Seq(), Seq("p50_order_value"))
+    val gd = plain.get("mv_orders_dist").query(Seq(), Seq("p50_order_value"))
+    assert(scans(g).contains("dist_by_status"), scans(g))
+    assert(g.collect().map(_.toSeq).toSet == gd.collect().map(_.toSeq).toSet)
+  }
+
   test("uncovered measure falls back (avg not in any rollup) but stays correct") {
     val q = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("avg_order_value"))

@@ -166,6 +166,33 @@ class StreamingSpec extends SparkSpec {
     assert(incremental == full)
   }
 
+  test("histogram (approx-percentile) partials fold incrementally == full recompute") {
+    // bin counts ADD across batches — the fold is exact, so the folded
+    // rollup must equal a from-scratch build bin-for-bin (stronger than
+    // the estimate-level HLL comparison above)
+    val cat = graft.SparkEntry.catalog(s, sfDir)
+    val v = cat.get("mv_orders_dist")
+    val work = java.nio.file.Files.createTempDirectory("graft_inc_hist").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_hist").toString
+    val inc = new IncrementalMaterializer(s, work, ckpt)
+
+    val src = graft.model.Models.stgOrders(s, sfDir)
+    inc.foldBatch(v, src.filter(col("order_id") % 2 === 0))
+    inc.foldBatch(v, src.filter(col("order_id") % 2 =!= 0))
+
+    val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
+    val incremental = graft.mat.VersionedTable
+      .read(s, s"$work/${v.name}/${mv.name}").collect().map(_.toSeq).toSet
+    val full = src.groupBy("order_status")
+      .agg(count(lit(1)).as("order_count__p0"),
+        graft.functions.GraftHistogram.agg(col("total_price"),
+          lit(0.0), lit(600000.0), lit(1024)).as("p50_order_value__p0"),
+        graft.functions.GraftHistogram.agg(col("total_price"),
+          lit(0.0), lit(600000.0), lit(1024)).as("p95_order_value__p0"))
+      .collect().map(_.toSeq).toSet
+    assert(incremental == full)
+  }
+
   test("incremental maintenance through a real file stream (AvailableNow)") {
     val cat = graft.SparkEntry.catalog(s, sfDir)
     val v = cat.get("mv_orders_simple")
