@@ -177,6 +177,58 @@ object WindowQueries {
         |         AS trailing_2y_spend
         |FROM base ORDER BY market_segment, last_order_date""".stripMargin
 
+  /** W1 × GraftHistogram: trailing-30d approx-MEDIAN per day — a
+    * windowed QUANTILE, which plain window functions cannot express at
+    * scale (exact percentile over a sliding frame re-sorts the frame's
+    * raw rows per output row). The planner's decomposed-partial design
+    * gives it for free: histogram partials collapse to the date grain
+    * first, [[graft.functions.GraftHistMerge]] re-aggregates 256-long
+    * bin arrays over the RANGE frame, and the quantile scalar
+    * interpolates per output row. Oracle: trailing bin counts via an
+    * interval self-join (dense in bins — a per-bin window would drop
+    * (date, bin) pairs absent on the current day), then the same
+    * cumsum/pick/interpolate derivation as q_mv_percentile. */
+  def trailingPercentile(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_dist")
+      .query(Seq("order_date"), Seq("trailing_30d_p50_value"))
+      .orderBy("order_date")
+
+  val trailingPercentileSql: String =
+    Queries.modelCtes +
+      """, hb AS (
+        |  SELECT order_date,
+        |         CAST(least(255, greatest(0,
+        |           floor(((CAST(total_price AS DOUBLE) - 0.0) / (600000.0 - 0.0)) * 256.0)
+        |         )) AS BIGINT) AS bin
+        |  FROM stg_orders
+        |), db AS (
+        |  SELECT order_date, bin, count(*) AS c FROM hb GROUP BY 1, 2
+        |), th AS (
+        |  SELECT d.order_date, b.bin, sum(b.c) AS c
+        |  FROM (SELECT DISTINCT order_date FROM stg_orders) d
+        |  JOIN db b ON b.order_date BETWEEN d.order_date - INTERVAL 29 DAY
+        |                               AND d.order_date
+        |  GROUP BY 1, 2
+        |), hc AS (
+        |  SELECT order_date, bin, c,
+        |         sum(c) OVER (PARTITION BY order_date ORDER BY bin) AS cum,
+        |         sum(c) OVER (PARTITION BY order_date) AS total
+        |  FROM th
+        |), e AS (
+        |  SELECT hc.order_date,
+        |         0.0 + (CAST(hc.bin AS DOUBLE)
+        |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
+        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+        |           * ((600000.0 - 0.0) / 256.0) AS v
+        |  FROM hc
+        |  JOIN (SELECT order_date, min(bin) AS bin FROM hc
+        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
+        |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
+        |        GROUP BY 1) pick USING (order_date, bin)
+        |)
+        |SELECT order_date, v AS trailing_30d_p50_value
+        |FROM e ORDER BY order_date""".stripMargin
+
   // ------------------------------------------------------- routing (A9/A10)
 
   /** A10: routed to the revenue_by_segment rollup (reference
@@ -260,6 +312,7 @@ object WindowQueries {
     "q_win_semiadditive"       -> (semiadditiveMonthly _),
     "q_win_ytd"                -> (ytd _),
     "q_win_month_year"         -> (trailingMonthYear _),
+    "q_win_percentile"         -> (trailingPercentile _),
     "q_routed_segment"         -> (routedSegment _),
     "q_routed_monthly"         -> (routedMonthly _),
     "q_routed_where"           -> (routedWhere _),
@@ -273,6 +326,7 @@ object WindowQueries {
     "q_win_semiadditive"       -> semiadditiveMonthlySql,
     "q_win_ytd"                -> ytdSql,
     "q_win_month_year"         -> trailingMonthYearSql,
+    "q_win_percentile"         -> trailingPercentileSql,
     "q_routed_segment"         -> routedSegmentSql,
     "q_routed_monthly"         -> routedMonthlySql,
     "q_routed_where"           -> routedWhereSql,

@@ -243,6 +243,8 @@ object Specs {
       |    expr: order_status
       |  - name: order_priority
       |    expr: order_priority
+      |  - name: order_date
+      |    expr: order_date
       |measures:
       |  - name: order_count
       |    expr: count(*)
@@ -250,6 +252,12 @@ object Specs {
       |    expr: graft_percentile_bounded(total_price, 0.5, 0.0, 600000.0, 1024)
       |  - name: p95_order_value
       |    expr: graft_percentile_bounded(total_price, 0.95, 0.0, 600000.0, 1024)
+      |  - name: trailing_30d_p50_value
+      |    expr: graft_percentile_bounded(total_price, 0.5, 0.0, 600000.0, 256)
+      |    window:
+      |      - order: order_date
+      |        range: trailing 30 day
+      |        semiadditive: last
       |materialization:
       |  schedule: every 8 weeks
       |  mode: relaxed
