@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * :399-431).
   *
   * Layout: `<workDir>/<view>/<matView>/` parquet + `<workDir>/<view>/
-  * _spec_hash`. Rollups store *decomposed partials* per measure
-  * (`total_revenue__p0` = sum partial, `avg_order_value__p0/__p1` =
-  * sum/count pair) so any re-grouping to a dim subset stays exact —
-  * never an average of averages.
+  * _spec_hash`. Rollups store *decomposed partials* with
+  * CONTENT-ADDRESSED column names (`gp_<slug>__<semantic hash>`,
+  * AggDecompose.partialName) so any re-grouping to a dim subset stays
+  * exact — never an average of averages — and measures that need the
+  * SAME partial share one stored column: an avg next to a sum of the
+  * same input stores sum+count, not sum+sum+count, and a p50/p95
+  * percentile pair stores ONE histogram array, not two (r8; the name
+  * doubles as the cross-session resolution key, so the stored-hash
+  * marker carries a naming-scheme version to invalidate pre-r8
+  * caches).
   *
   * Scale: a rollup is |dim-combination| rows — tiny next to the fact
   * table — so routed queries read KBs instead of TBs (the reference's
@@ -29,9 +35,15 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
   private def path(v: MetricView, mvName: String) = s"${viewDir(v)}/$mvName"
   private def hashFile(v: MetricView) = Paths.get(s"${viewDir(v)}/_spec_hash")
 
+  /** Stored build marker: spec hash + the partial NAMING scheme version.
+    * Naming is the cross-session column-resolution key, so a naming
+    * change must invalidate caches built under the old scheme even
+    * though the spec (and its user-visible spec_hash) is unchanged. */
+  private def storedHash(v: MetricView) = v.spec.materializationHash + "#p2"
+
   def isBuilt(v: MetricView): Boolean =
     Files.exists(hashFile(v)) &&
-      new String(Files.readAllBytes(hashFile(v))).trim == v.spec.materializationHash &&
+      new String(Files.readAllBytes(hashFile(v))).trim == storedHash(v) &&
       v.spec.materialization.toSeq.flatMap(_.materializedViews)
         .forall(mv => VersionedTable.exists(path(v, mv.name)))
 
@@ -69,7 +81,7 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
   /** Record the spec hash after an out-of-band (incremental) build. */
   def markBuilt(v: MetricView): Unit = {
     Files.createDirectories(Paths.get(viewDir(v)))
-    Files.write(hashFile(v), v.spec.materializationHash.getBytes)
+    Files.write(hashFile(v), storedHash(v).getBytes)
   }
 
   /** Drop the stored rollup/baseline tables (spec changed — incremental
@@ -85,14 +97,15 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
   private def rollupFrame(v: MetricView, mv: MatViewSpec): DataFrame = {
     val spark = SparkSession.active
     val dimCols = mv.dimensions.map(d => Expander.dimCol(spark, v.spec, d))
-    val partials = mv.measures.flatMap { mName =>
-      val m = v.spec.measure(mName)
-      require(!m.isWindowed,
-        s"rollup ${mv.name}: window measure $mName cannot be materialized in an aggregated view")
-      val dec = v.decomposed(m).getOrElse(sys.error(
-        s"rollup ${mv.name}: measure $mName ('${m.expr}') is not decomposable"))
-      dec.partials.map(_.agg)
-    }
+    val partials = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap { mName =>
+        val m = v.spec.measure(mName)
+        require(!m.isWindowed,
+          s"rollup ${mv.name}: window measure $mName cannot be materialized in an aggregated view")
+        val dec = v.decomposed(m).getOrElse(sys.error(
+          s"rollup ${mv.name}: measure $mName ('${m.expr}') is not decomposable"))
+        dec.partials
+      }).map(_.agg)
     val needed = mv.dimensions.map(v.spec.dimension(_).expr) ++
       mv.measures.map(v.spec.measure(_).expr)
     Expander.rowLevel(spark, v.spec, resolve, needed)

@@ -58,8 +58,11 @@ object AggDecompose {
 
     def fresh(agg: Column, reagg: String => Column,
         post: Column => Column = identity): UnresolvedAttribute = {
-      val nm = s"${prefix}__p${partials.length}"
-      partials += PartialAgg(nm, agg.as(nm), reagg, post)
+      val nm = AggDecompose.partialName(agg)
+      // content-addressed names make equal partials IDENTICAL across
+      // measures (and within one), so dedup is just name-distinct
+      if (!partials.exists(_.name == nm))
+        partials += PartialAgg(nm, agg.as(nm), reagg, post)
       UnresolvedAttribute(Seq(nm))
     }
 
@@ -145,6 +148,45 @@ object AggDecompose {
     // Column → Expression without a SparkSession: go through the active one
     val spark = org.apache.spark.sql.SparkSession.active
     GraftBridge.expression(spark, c)
+  }
+
+  /** Content-addressed stored-column name for a partial aggregate:
+    * a readable slug of the expression plus the canonicalized
+    * expression's semantic hash. Two measures that need the same
+    * partial (p50/p95 over one histogram; a sum measure next to an
+    * avg of the same column) thus name the same column — rollups
+    * store it ONCE and consumers dedup by name alone
+    * ([[distinctPartials]]). Deterministic across sessions (case-class
+    * structural hashing, no expr-ids in unresolved trees), so a rollup
+    * written in one session resolves in the next. */
+  private[graft] def partialName(agg: Column): String = {
+    val e = colExpr(agg)
+    val slug = (try e.sql catch { case scala.util.control.NonFatal(_) => "partial" })
+      .toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "").take(40)
+    f"gp_${slug}__${e.semanticHash() & 0xffffffffL}%08x"
+  }
+
+  /** Order-preserving name-dedup of partials collected across measures,
+    * with a loud guard: same-named partials must be semantically equal
+    * aggregates — turns a (vanishingly unlikely) 32-bit hash collision
+    * into an error instead of silently serving one measure from
+    * another's partial. */
+  def distinctPartials(ps: Seq[PartialAgg]): Seq[PartialAgg] = {
+    // compare under the alias: Alias exprIds are instance-unique and not
+    // normalized by semanticEquals, but the name was hashed pre-alias
+    def unaliased(p: PartialAgg): Expression = colExpr(p.agg) match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    ps.groupBy(_.name).values.filter(_.size > 1).foreach { g =>
+      val e0 = unaliased(g.head)
+      g.tail.foreach { p =>
+        require(unaliased(p).semanticEquals(e0),
+          s"partial name collision: '${p.name}' names two different aggregates")
+      }
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    ps.filter(p => seen.add(p.name))
   }
 
   private val aggNames = Set(

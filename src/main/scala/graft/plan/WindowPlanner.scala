@@ -130,8 +130,11 @@ object WindowPlanner {
     val plainDecs = plainMs.map(decompose)
 
     // 1. collapse to base grain with ALL measures' decomposed partials
-    //    (partial names are namespaced by measure, so they can't collide)
-    val allPartials = (winDecs ++ plainDecs).flatMap(_._2.partials)
+    //    (content-addressed names: measures sharing a partial — e.g. a
+    //    trailing sum next to a cumulative sum of the same column —
+    //    collapse it ONCE; name-distinct is a safe dedup)
+    val allPartials = AggDecompose.distinctPartials(
+      (winDecs ++ plainDecs).flatMap(_._2.partials))
     val base = rows
       .groupBy(baseGrain.map(d => dimExprFor(d).as(d)): _*)
       .agg(allPartials.head.agg, allPartials.tail.map(_.agg): _*)

@@ -50,7 +50,8 @@ final class IncrementalMaterializer(
     * contract for star joins). */
   private def batchPartials(v: MetricView, mv: MatViewSpec, batch: DataFrame): DataFrame = {
     val dimCols = mv.dimensions.map(d => Expander.dimCol(spark, v.spec, d))
-    val partials = mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials.map(_.agg))
+    val partials = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials)).map(_.agg)
     val needed = mv.dimensions.map(v.spec.dimension(_).expr) ++
       mv.measures.map(v.spec.measure(_).expr)
     val rows = Expander.rowLevel(spark, v.spec,
@@ -62,9 +63,9 @@ final class IncrementalMaterializer(
     * (sum of sums, sum of counts, min of mins, max of maxs). */
   private def merge(v: MetricView, mv: MatViewSpec, frames: Seq[DataFrame]): DataFrame = {
     val merged = frames.reduce(_.unionByName(_))
-    val mergeAggs = mv.measures.flatMap { m =>
-      v.decomposed(v.spec.measure(m)).get.partials.map(p => p.reagg(p.name).as(p.name))
-    }
+    val mergeAggs = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials))
+      .map(p => p.reagg(p.name).as(p.name))
     merged.groupBy(mv.dimensions.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
   }
 

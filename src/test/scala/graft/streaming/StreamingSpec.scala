@@ -156,12 +156,13 @@ class StreamingSpec extends SparkSpec {
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
     val incremental = normRows(
       graft.mat.VersionedTable.read(s, s"$work/${v.name}/${mv.name}").collect())
-    // full recompute via the batch materializer path
+    // full recompute over the whole input with the same stored-partial
+    // set (content-addressed names, shared across measures)
+    val partialCols = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials)).map(_.agg)
     val full = normRows(part1.unionByName(part2)
       .groupBy("order_status")
-      .agg(count(lit(1)).as("order_count__p0"),
-        sum("total_price").as("total_revenue__p0"),
-        graft.functions.GraftHll.agg(col("customer_id")).as("approx_unique_customers__p0"))
+      .agg(partialCols.head, partialCols.tail: _*)
       .collect())
     assert(incremental == full)
   }
@@ -183,12 +184,14 @@ class StreamingSpec extends SparkSpec {
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
     val incremental = graft.mat.VersionedTable
       .read(s, s"$work/${v.name}/${mv.name}").collect().map(_.toSeq).toSet
+    // p50 and p95 share ONE content-addressed histogram column — the
+    // stored schema is (status, count partial, one bin array)
+    val partialCols = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials)).map(_.agg)
+    assert(partialCols.size == 2,
+      s"expected count + ONE shared histogram partial, got ${partialCols.size}")
     val full = src.groupBy("order_status")
-      .agg(count(lit(1)).as("order_count__p0"),
-        graft.functions.GraftHistogram.agg(col("total_price"),
-          lit(0.0), lit(600000.0), lit(1024)).as("p50_order_value__p0"),
-        graft.functions.GraftHistogram.agg(col("total_price"),
-          lit(0.0), lit(600000.0), lit(1024)).as("p95_order_value__p0"))
+      .agg(partialCols.head, partialCols.tail: _*)
       .collect().map(_.toSeq).toSet
     assert(incremental == full)
   }
@@ -209,9 +212,14 @@ class StreamingSpec extends SparkSpec {
 
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
     val got = graft.mat.VersionedTable.read(s, s"$work/${v.name}/${mv.name}")
-      .agg(sum("order_count__p0")).collect()(0).getLong(0)
+      .agg(sum(col(pname(v, "order_count")))).collect()(0).getLong(0)
     assert(got == 1000L)
   }
+
+  /** Stored column name of a measure's first partial (content-addressed
+    * — AggDecompose.partialName). */
+  private def pname(v: graft.api.MetricView, measure: String): String =
+    v.decomposed(v.spec.measure(measure)).get.partials.head.name
 
   test("partition-aware fold rewrites ONLY the touched partition (mtime-gated)") {
     val cat = graft.SparkEntry.catalog(s, sfDir)
@@ -249,14 +257,13 @@ class StreamingSpec extends SparkSpec {
       "the touched partition should have been rewritten")
 
     // and the folded layout equals a full recompute over src ⊎ delta
+    val partials = graft.plan.AggDecompose.distinctPartials(
+      mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials))
     val got = normRows(s.read.parquet(path)
-      .select("order_status", "order_count__p0", "total_revenue__p0",
-        "approx_unique_customers__p0").collect())
+      .select(col("order_status") +: partials.map(p => col(p.name)): _*).collect())
     val full = normRows(src.unionByName(delta)
       .groupBy("order_status")
-      .agg(count(lit(1)).as("order_count__p0"),
-        sum("total_price").as("total_revenue__p0"),
-        graft.functions.GraftHll.agg(col("customer_id")).as("approx_unique_customers__p0"))
+      .agg(partials.head.agg, partials.tail.map(_.agg): _*)
       .collect())
     assert(got == full)
   }
@@ -277,7 +284,7 @@ class StreamingSpec extends SparkSpec {
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
     val path = s"$work/${v.name}/${mv.name}"
     def total = graft.mat.VersionedTable.read(s, path)
-      .agg(sum("order_count__p0")).collect()(0).getLong(0)
+      .agg(sum(col(pname(v, "order_count")))).collect()(0).getLong(0)
     assert(total == 400L)
     val v1 = graft.mat.VersionedTable.currentVersion(path)
 
