@@ -55,6 +55,68 @@ object ExtQueries {
       |       min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Corpus distribution-drift monitor: per-source total-variation
+    * distance of the document-length distribution against the whole
+    * corpus — the check a training-data pipeline runs per crawl
+    * snapshot to catch a source whose content shifted. ONE scan of the
+    * corpus: per-source bounded-range histograms (GraftHistogram), the
+    * global reference re-aggregated from those partials with
+    * graft_hist_merge (never a second pass), then the bit-exact TVD
+    * scalar (GraftHistTvd — no logs, unlike KL/PSI, so the oracle
+    * matches to the last ulp). At 100 TB the per-source rows are
+    * |sources| × bins longs — the monitor's cost IS the one corpus
+    * scan. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("doc_count"),
+        expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h"))
+    val global = perSource.agg(expr("graft_hist_merge(h)").as("g"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), col("doc_count"),
+        expr("graft_hist_tvd(h, g)").as("length_drift_tvd"))
+      .orderBy("source")
+  }
+
+  /** DuckDB re-expression of GraftHistogram/GraftHistTvd: same clamped
+    * binning, dense bin grid (zero bins contribute |0 − q|), and the
+    * |p−q| fold in ascending bin order (double addition is order-
+    * sensitive; list_reduce replicates the engine's loop). */
+  val driftSql: String =
+    """WITH hb AS (
+      |  SELECT source,
+      |         CAST(least(127, greatest(0,
+      |           floor(((CAST(n_chars AS DOUBLE) - 0.0) / (1024.0 - 0.0)) * 128.0)
+      |         )) AS BIGINT) AS bin
+      |  FROM documents
+      |), sc AS (
+      |  SELECT source, bin, count(*) AS c FROM hb GROUP BY 1, 2
+      |), gc AS (
+      |  SELECT bin, count(*) AS c FROM hb GROUP BY 1
+      |), st AS (
+      |  SELECT source, count(*) AS t FROM hb GROUP BY 1
+      |), gt AS (
+      |  SELECT count(*) AS t FROM hb
+      |), diffs AS (
+      |  SELECT g.source, g.bin,
+      |         abs(CAST(coalesce(sc.c, 0) AS DOUBLE) / CAST(st.t AS DOUBLE)
+      |             - CAST(coalesce(gc.c, 0) AS DOUBLE) / CAST(gt.t AS DOUBLE)) AS d
+      |  FROM (SELECT s.source, b.bin
+      |        FROM (SELECT DISTINCT source FROM documents) s
+      |        CROSS JOIN (SELECT unnest(range(0, 128)) AS bin) b) g
+      |  JOIN st ON st.source = g.source
+      |  CROSS JOIN gt
+      |  LEFT JOIN sc ON sc.source = g.source AND sc.bin = g.bin
+      |  LEFT JOIN gc ON gc.bin = g.bin
+      |), folded AS (
+      |  SELECT source,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(d ORDER BY bin)), (acc, x) -> acc + x) AS sm
+      |  FROM diffs GROUP BY 1
+      |)
+      |SELECT f.source, st.t AS doc_count, 0.5 * f.sm AS length_drift_tvd
+      |FROM folded f JOIN st USING (source) ORDER BY f.source""".stripMargin
+
   /** Language ID over documents (accuracy on real multilingual samples
     * is spec-tested; the marker-scoring contract itself is oracled —
     * the same marker sets + argmax fold re-expressed in DuckDB SQL). */
@@ -1683,7 +1745,8 @@ object ExtQueries {
     "q_stratified"        -> (stratifiedSample _),
     "q_mixture_sample"    -> (mixtureSample _),
     "q_quality_topk"      -> (qualityTopK _),
-    "q_length_quantiles"  -> (lengthQuantiles _))
+    "q_length_quantiles"  -> (lengthQuantiles _),
+    "q_drift"             -> (drift _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -1701,6 +1764,7 @@ object ExtQueries {
     "q_mixture_sample"    -> mixtureSampleSql,
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
+    "q_drift"             -> driftSql,
     "q_stream_window"     -> streamWindowSql,
     "q_stream_dedup"      -> streamDedupSql,
     "q_stream_join"       -> streamJoinSql,

@@ -109,6 +109,33 @@ object GraftHistogram {
     java.lang.Double.valueOf(lo + (j.toDouble + frac) * ((hi - lo) / bins.toDouble))
   }
 
+  /** Total-variation distance between two bin-count histograms:
+    * `0.5 · Σ |h1[i]/t1 − h2[i]/t2|` folded in ascending bin order
+    * (the order the oracle's list_reduce replicates — double addition
+    * is not associative, so the fold order IS part of the contract).
+    * TVD rather than KL/PSI/JS on purpose: those need `ln`, whose
+    * libm rounding is the one cross-engine wobble the HLL estimate
+    * still carries; TVD is pure arithmetic — bit-exact — and bounded
+    * in [0, 1] with a direct reading (max probability mass that
+    * disagrees). Null if either histogram is empty. */
+  def tvd(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"graft_hist_tvd: incompatible bin counts $n vs ${b.numElements()}")
+    var t1 = 0L; var t2 = 0L
+    var i = 0
+    while (i < n) { t1 += a.getLong(i); t2 += b.getLong(i); i += 1 }
+    if (t1 == 0L || t2 == 0L) return null
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      acc += math.abs(a.getLong(i).toDouble / t1.toDouble -
+        b.getLong(i).toDouble / t2.toDouble)
+      i += 1
+    }
+    java.lang.Double.valueOf(0.5 * acc)
+  }
+
   def agg(x: Column, lo: Column, hi: Column, bins: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     def e(c: Column) = GraftBridge.expression(spark, c)
@@ -163,7 +190,10 @@ case class GraftHistAgg(child: Expression, lo: Expression, hi: Expression,
     else {
       val (l, h, b) = (GraftHistogram.foldedDouble(lo),
         GraftHistogram.foldedDouble(hi), GraftHistogram.foldedDouble(bins))
-      if (!(h > l))
+      if (!java.lang.Double.isFinite(l) || !java.lang.Double.isFinite(h))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_hist_agg lo/hi must be finite, got [$l, $h]")
+      else if (!(h > l))
         TypeCheckResult.TypeCheckFailure(s"graft_hist_agg needs hi > lo, got [$l, $h]")
       else if (b < 2 || b > 65536 || b != math.floor(b))
         TypeCheckResult.TypeCheckFailure(
@@ -317,4 +347,47 @@ case class GraftHistQuantile(hist: Expression, p: Expression,
       newChildren: IndexedSeq[Expression]): GraftHistQuantile =
     copy(hist = newChildren(0), p = newChildren(1), lo = newChildren(2),
       hi = newChildren(3))
+}
+
+/** Scalar: total-variation drift between two histograms (see
+  * [[GraftHistogram.tvd]]) — the distribution-drift monitor a corpus
+  * pipeline runs per snapshot/source. Both inputs must come from the
+  * same (lo, hi, bins) sketch; a length mismatch fails loudly. */
+case class GraftHistTvd(h1: Expression, h2: Expression)
+    extends Expression with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(h1, h2)
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val a = h1.eval(input)
+    val b = h2.eval(input)
+    if (a == null || b == null) null
+    else GraftHistogram.tvd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = h1.genCode(ctx)
+    val bGen = h2.genCode(ctx)
+    val cls = GraftHistogram.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val res = ctx.freshName("histTvd")
+    ev.copy(code = code"""
+      ${aGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${aGen.isNull} && !${bGen.isNull}) {
+        java.lang.Double $res = $cls.tvd(${aGen.value}, ${bGen.value});
+        if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res.doubleValue(); }
+      }""")
+  }
+
+  override def prettyName: String = "graft_hist_tvd"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftHistTvd =
+    copy(h1 = newChildren(0), h2 = newChildren(1))
 }

@@ -52,6 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_hist_merge")(args => graft.functions.GraftHistMerge(args.head))
     fn("graft_hist_quantile")(args =>
       graft.functions.GraftHistQuantile(args(0), args(1), args(2), args(3)))
+    fn("graft_hist_tvd")(args =>
+      graft.functions.GraftHistTvd(args(0), args(1)))
     // measure-level sugar: graft_percentile_bounded(x, p, lo, hi, bins)
     // = quantile over the histogram of x — ONE call a spec author
     // writes; AggDecompose splits it into the storable partial + the

@@ -77,6 +77,34 @@ class GraftHistogramSpec extends SparkSpec {
     assert(results(0).nonEmpty)
   }
 
+  test("tvd: identical -> 0, disjoint -> 1, known mixture, empty -> null, mismatch throws") {
+    def g(xs: Long*) = new GenericArrayData(xs.toArray)
+    assert(GraftHistogram.tvd(g(3, 1, 0), g(6, 2, 0)) == 0.0) // same distribution
+    assert(GraftHistogram.tvd(g(5, 0), g(0, 7)) == 1.0)       // disjoint support
+    // p = (.5,.5), q = (.75,.25) -> tvd = .5*(|.25|+|.25|) = .25
+    assert(GraftHistogram.tvd(g(2, 2), g(3, 1)) == 0.25)
+    assert(GraftHistogram.tvd(g(0, 0), g(1, 2)) == null)
+    intercept[IllegalArgumentException] {
+      GraftHistogram.tvd(g(1, 2), g(1, 2, 3))
+    }
+  }
+
+  test("tvd scalar: generated code == interpreted, both paths") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source")
+      .agg(expr("graft_hist_agg(n_chars, 0.0, 1024.0, 64)").as("h"))
+      .crossJoin(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(expr("graft_hist_agg(n_chars, 0.0, 1024.0, 64)").as("g")))
+    val results = Seq("true", "false").map { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(col("source"), expr("graft_hist_tvd(h, g)").as("d"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(results(0) == results(1))
+    assert(results(0).values.forall(d => d >= 0.0 && d <= 1.0))
+  }
+
   test("analysis-time failures: bad value type, non-literal bins, p out of range") {
     val df = Seq(("a", 1.0)).toDF("s", "x")
     intercept[Exception] {
