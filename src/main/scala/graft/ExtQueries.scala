@@ -67,10 +67,13 @@ object ExtQueries {
     * |sources| × bins longs — the monitor's cost IS the one corpus
     * scan. */
   def drift(s: SparkSession, dir: String): DataFrame = {
-    val perSource = Tables.documents(s, dir)
+    // cached: referenced twice (global merge + the join below) and
+    // self-joined subplans are not deduped — without the cache the
+    // corpus would scan twice. |sources| rows of bins longs, tiny.
+    val perSource = graft.ops.Persists.cache(Tables.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("doc_count"),
-        expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h"))
+        expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h")))
     val global = perSource.agg(expr("graft_hist_merge(h)").as("g"))
     perSource.crossJoin(broadcast(global))
       .select(col("source"), col("doc_count"),
