@@ -357,6 +357,57 @@ object ExtQueries {
       |FROM w, m WHERE window_start + INTERVAL '1 hour' <= wm
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming approx-percentile: the histogram sketch inside streaming
+    * aggregation state (StreamingOps.windowedPercentile) — p50 event
+    * value per closed 1-hour window. Same watermark-cutoff determinism
+    * as q_stream_window; the oracle re-derives the bounded histogram
+    * per (window, type) with the engine's binning/interpolation
+    * arithmetic, so the streaming sketch is hash-gated end-to-end. */
+  def streamPercentile(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val tmp = stageEvents(s, dir)
+    val sink = s"stream_pct_${math.abs(dir.hashCode)}"
+    graft.streaming.StreamingOps.runAvailableNow(
+      graft.streaming.StreamingOps.windowedPercentile(
+        s.readStream.schema(events.schema).parquet(tmp)),
+      sink, statePartitions = Some(StreamParts))
+    s.table(sink).orderBy("window_start", "event_type")
+  }
+
+  val streamPercentileSql: String =
+    """WITH m AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM events),
+      |hb AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |         CAST(least(255, greatest(0,
+      |           floor(((CAST(value AS DOUBLE) - 0.0) / (1024.0 - 0.0)) * 256.0)
+      |         )) AS BIGINT) AS bin
+      |  FROM events
+      |), hc AS (
+      |  SELECT window_start, event_type, bin, c,
+      |         sum(c) OVER (PARTITION BY window_start, event_type ORDER BY bin) AS cum,
+      |         sum(c) OVER (PARTITION BY window_start, event_type) AS total
+      |  FROM (SELECT window_start, event_type, bin, count(*) AS c
+      |        FROM hb GROUP BY 1, 2, 3)
+      |), e AS (
+      |  SELECT hc.window_start, hc.event_type,
+      |         0.0 + (CAST(hc.bin AS DOUBLE)
+      |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
+      |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+      |           * ((1024.0 - 0.0) / 256.0) AS v
+      |  FROM hc
+      |  JOIN (SELECT window_start, event_type, min(bin) AS bin FROM hc
+      |        WHERE c > 0 AND CAST(cum AS DOUBLE)
+      |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
+      |        GROUP BY 1, 2) pick USING (window_start, event_type, bin)
+      |), n AS (
+      |  SELECT window_start, event_type, count(*) AS n_events
+      |  FROM hb GROUP BY 1, 2
+      |)
+      |SELECT n.window_start, n.event_type, n.n_events, e.v AS p50_value
+      |FROM n JOIN e USING (window_start, event_type), m
+      |WHERE n.window_start + INTERVAL '1 hour' <= m.wm
+      |ORDER BY n.window_start, n.event_type""".stripMargin
+
   /** Streaming exact dedup driven end-to-end (VERDICT r4 ask #6):
     * `dropDuplicatesWithinWatermark` over the staged event stream,
     * keyed on (hour-bucket, user_id, event_type). The hour bucket is
@@ -1740,6 +1791,7 @@ object ExtQueries {
     "q_repetition"        -> (repetition _),
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
+    "q_stream_percentile" -> (streamPercentile _),
     "q_stream_dedup"      -> (streamDedup _),
     "q_stream_join"       -> (streamJoin _),
     "q_pack"              -> (packSequences _),
@@ -1769,6 +1821,7 @@ object ExtQueries {
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_drift"             -> driftSql,
     "q_stream_window"     -> streamWindowSql,
+    "q_stream_percentile" -> streamPercentileSql,
     "q_stream_dedup"      -> streamDedupSql,
     "q_stream_join"       -> streamJoinSql,
     "q_pack"              -> packSequencesSql,

@@ -81,6 +81,25 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Tumbling-window approx-median of `value` per event type — the
+    * histogram sketch in STREAMING aggregation state. The bin-count
+    * buffer serializes into the state store like any agg buffer
+    * (TypedImperativeAggregate serialize/deserialize), partial rows
+    * merge by element-wise add across microbatches, and the quantile
+    * scalar runs on emission — so a percentile dashboard over an
+    * infinite stream carries `bins` longs of state per open window,
+    * never the window's raw rows. Same watermark/eviction story as
+    * [[windowedValue]]. */
+  def windowedPercentile(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("graft_hist_agg(value, 0.0, 1024.0, 256)").as("h"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"),
+        expr("graft_hist_quantile(h, 0.5, 0.0, 1024.0)").as("p50_value"))
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark`) —
     * the streaming analogue of exact dedup for continuously arriving

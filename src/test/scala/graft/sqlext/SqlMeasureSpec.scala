@@ -19,6 +19,20 @@ class SqlMeasureSpec extends SparkSpec {
     assert(sql.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
   }
 
+  test("approx-percentile measure through SQL MEASURE()") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_priority, MEASURE(p50_order_value) AS p50_order_value,
+        |       MEASURE(trailing_30d_p50_value) IS NOT NULL AS has_window
+        |FROM mv_orders_dist GROUP BY order_priority""".stripMargin)
+    // the windowed percentile rides the same expansion; compare the
+    // plain percentile against the DataFrame path
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_orders_dist")
+      .query(Seq("order_priority"), Seq("p50_order_value"))
+    assert(sql.select("order_priority", "p50_order_value")
+      .collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+  }
+
   test("WHERE over dims + GROUP BY ordinal + scalar over MEASURE") {
     init()
     val sql = spark.sql(
