@@ -67,14 +67,23 @@ object ConnectedComponents {
     * connected component. Throws if `maxIter` rounds don't converge
     * (wrong silently is worse than loud).
     *
-    * Convergence is checked once per `checkEvery` rounds, not per
-    * round: the intervening rounds are built lazily and a single
-    * action materializes the whole window, halving the driver/job
-    * round-trips that dominate the iterative tail. Checking the FINAL
-    * round's `__changed` is sufficient — labels only ever decrease, so
-    * a round with no change is a fixpoint regardless of what earlier
-    * rounds in the window did; the only cost is up to `checkEvery−1`
-    * no-op rounds after the true fixpoint. */
+    * Two-phase execution (r8):
+    *  - BULK: the first `checkEvery` rounds run as one lazily-built
+    *    window materialized by a single action (halving driver/job
+    *    round-trips); later full windows are one round each, so a
+    *    fixpoint confirmation materializes one no-op round, not
+    *    `checkEvery` of them. Checking the window's FINAL `__changed`
+    *    is sufficient — labels only ever decrease, so a no-change
+    *    round is a fixpoint regardless of earlier rounds.
+    *  - FRONTIER: once the changed set fits under `deltaThreshold`
+    *    rows, rounds propagate only FROM the frontier — the changed
+    *    (id, label) pairs broadcast against the dst-partitioned edge
+    *    cache, so neither edges nor labels shuffle (the Pregel
+    *    active-vertex tail). `changed == 0` after a frontier round is
+    *    the global fixpoint: no neighbor of the last changed set
+    *    improved, so nothing is pending. If a hub update fans the
+    *    frontier back above the threshold, the loop falls back to
+    *    full windows. */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
           checkEvery: Int = 2, deltaThreshold: Long = 100000): DataFrame = {
     require(checkEvery >= 1)
