@@ -375,31 +375,17 @@ object ExtQueries {
   }
 
   val streamPercentileSql: String =
-    """WITH m AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM events),
+    s"""WITH m AS (SELECT max(ts) - INTERVAL '1 hour' AS wm FROM events),
       |hb AS (
       |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-      |         CAST(least(255, greatest(0,
-      |           floor(((CAST(value AS DOUBLE) - 0.0) / (1024.0 - 0.0)) * 256.0)
-      |         )) AS BIGINT) AS bin
+      |         ${Queries.binSql("CAST(value AS DOUBLE)", "0.0", "1024.0", 256)} AS bin
       |  FROM events
-      |), hc AS (
-      |  SELECT window_start, event_type, bin, c,
-      |         sum(c) OVER (PARTITION BY window_start, event_type ORDER BY bin) AS cum,
-      |         sum(c) OVER (PARTITION BY window_start, event_type) AS total
-      |  FROM (SELECT window_start, event_type, bin, count(*) AS c
-      |        FROM hb GROUP BY 1, 2, 3)
-      |), e AS (
-      |  SELECT hc.window_start, hc.event_type,
-      |         0.0 + (CAST(hc.bin AS DOUBLE)
-      |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
-      |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
-      |           * ((1024.0 - 0.0) / 256.0) AS v
-      |  FROM hc
-      |  JOIN (SELECT window_start, event_type, min(bin) AS bin FROM hc
-      |        WHERE c > 0 AND CAST(cum AS DOUBLE)
-      |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
-      |        GROUP BY 1, 2) pick USING (window_start, event_type, bin)
-      |), n AS (
+      |), """.stripMargin +
+      Queries.quantileCtes(Seq("window_start", "event_type"),
+        """(SELECT window_start, event_type, bin, count(*) AS c
+          |        FROM hb GROUP BY 1, 2, 3)""".stripMargin,
+        Seq("e" -> "0.5"), "0.0", "1024.0", 256) +
+      """, n AS (
       |  SELECT window_start, event_type, count(*) AS n_events
       |  FROM hb GROUP BY 1, 2
       |)

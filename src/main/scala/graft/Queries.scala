@@ -272,47 +272,62 @@ object Queries {
         Seq("p50_order_value", "p95_order_value", "order_count"))
       .orderBy("order_status")
 
-  /** DuckDB re-expression of GraftHistogram.quantile for one dim.
-    * Mirrored ops (GraftHistogram.scala): bin =
-    * clamp(floor(((x−lo)/(hi−lo))·bins)); pick = first non-empty bin
-    * whose inclusive cumsum (as double) reaches p·total; estimate =
-    * lo + (bin + (p·total − cumBefore)/c) · ((hi−lo)/bins). */
+  /** Shared DuckDB re-expression of GraftHistogram's binning: the
+    * clamped `floor(((x−lo)/(hi−lo))·bins)` with every double op in
+    * the engine's order. ONE generator serves all four percentile
+    * oracles — the bit-exact mirroring lives in exactly one place. */
+  private[graft] def binSql(valueExpr: String, lo: String, hi: String,
+      bins: Int): String =
+    s"CAST(least(${bins - 1}, greatest(0, " +
+      s"floor((($valueExpr - $lo) / ($hi - $lo)) * $bins.0))) AS BIGINT)"
+
+  /** Shared DuckDB re-expression of GraftHistogram.quantile over a
+    * per-keys bin-count relation `countsRel` (columns: keys*, bin, c):
+    * emits the `hc` cumsum CTE plus one CTE per requested percentile
+    * `(alias, p)` with column `v`. Mirrored ops (GraftHistogram.scala):
+    * pick = first non-empty bin whose inclusive cumsum (as double)
+    * reaches p·total; estimate = lo + (bin + (p·total − cumBefore)/c)
+    * · ((hi−lo)/bins). */
+  private[graft] def quantileCtes(keys: Seq[String], countsRel: String,
+      ps: Seq[(String, String)], lo: String, hi: String, bins: Int): String = {
+    val k = keys.mkString(", ")
+    val hcK = keys.map("hc." + _).mkString(", ")
+    val ordinals = (1 to keys.size).mkString(", ")
+    val hc =
+      s"""hc AS (
+         |  SELECT $k, bin, c,
+         |         sum(c) OVER (PARTITION BY $k ORDER BY bin) AS cum,
+         |         sum(c) OVER (PARTITION BY $k) AS total
+         |  FROM $countsRel
+         |)""".stripMargin
+    val es = ps.map { case (alias, p) =>
+      s"""$alias AS (
+         |  SELECT $hcK,
+         |         $lo + (CAST(hc.bin AS DOUBLE)
+         |           + (CAST($p AS DOUBLE) * CAST(hc.total AS DOUBLE)
+         |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+         |           * (($hi - $lo) / $bins.0) AS v
+         |  FROM hc
+         |  JOIN (SELECT $k, min(bin) AS bin FROM hc
+         |        WHERE c > 0 AND CAST(cum AS DOUBLE)
+         |              >= CAST($p AS DOUBLE) * CAST(total AS DOUBLE)
+         |        GROUP BY $ordinals) pick USING ($k, bin)
+         |)""".stripMargin
+    }
+    (hc +: es).mkString(", ")
+  }
+
   private def percentileSql(dim: String): String =
     modelCtes +
       s""", hb AS (
         |  SELECT $dim,
-        |         CAST(least(1023, greatest(0,
-        |           floor(((CAST(total_price AS DOUBLE) - 0.0) / (600000.0 - 0.0)) * 1024.0)
-        |         )) AS BIGINT) AS bin
+        |         ${binSql("CAST(total_price AS DOUBLE)", "0.0", "600000.0", 1024)} AS bin
         |  FROM stg_orders
-        |), hc AS (
-        |  SELECT $dim, bin, c,
-        |         sum(c) OVER (PARTITION BY $dim ORDER BY bin) AS cum,
-        |         sum(c) OVER (PARTITION BY $dim) AS total
-        |  FROM (SELECT $dim, bin, count(*) AS c FROM hb GROUP BY 1, 2)
-        |), e50 AS (
-        |  SELECT hc.$dim,
-        |         0.0 + (CAST(hc.bin AS DOUBLE)
-        |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
-        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
-        |           * ((600000.0 - 0.0) / 1024.0) AS v
-        |  FROM hc
-        |  JOIN (SELECT $dim, min(bin) AS bin FROM hc
-        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
-        |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
-        |        GROUP BY 1) pick USING ($dim, bin)
-        |), e95 AS (
-        |  SELECT hc.$dim,
-        |         0.0 + (CAST(hc.bin AS DOUBLE)
-        |           + (CAST(0.95 AS DOUBLE) * CAST(hc.total AS DOUBLE)
-        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
-        |           * ((600000.0 - 0.0) / 1024.0) AS v
-        |  FROM hc
-        |  JOIN (SELECT $dim, min(bin) AS bin FROM hc
-        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
-        |              >= CAST(0.95 AS DOUBLE) * CAST(total AS DOUBLE)
-        |        GROUP BY 1) pick USING ($dim, bin)
-        |)
+        |), """.stripMargin +
+      quantileCtes(Seq(dim),
+        s"(SELECT $dim, bin, count(*) AS c FROM hb GROUP BY 1, 2)",
+        Seq("e50" -> "0.5", "e95" -> "0.95"), "0.0", "600000.0", 1024) +
+      s"""
         |SELECT g.$dim, e50.v AS p50_order_value, e95.v AS p95_order_value,
         |       g.order_count
         |FROM (SELECT $dim, count(*) AS order_count FROM stg_orders GROUP BY 1) g

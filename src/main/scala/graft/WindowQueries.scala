@@ -195,11 +195,9 @@ object WindowQueries {
 
   val trailingPercentileSql: String =
     Queries.modelCtes +
-      """, hb AS (
+      s""", hb AS (
         |  SELECT order_date,
-        |         CAST(least(255, greatest(0,
-        |           floor(((CAST(total_price AS DOUBLE) - 0.0) / (600000.0 - 0.0)) * 256.0)
-        |         )) AS BIGINT) AS bin
+        |         ${Queries.binSql("CAST(total_price AS DOUBLE)", "0.0", "600000.0", 256)} AS bin
         |  FROM stg_orders
         |), db AS (
         |  SELECT order_date, bin, count(*) AS c FROM hb GROUP BY 1, 2
@@ -209,23 +207,10 @@ object WindowQueries {
         |  JOIN db b ON b.order_date BETWEEN d.order_date - INTERVAL 29 DAY
         |                               AND d.order_date
         |  GROUP BY 1, 2
-        |), hc AS (
-        |  SELECT order_date, bin, c,
-        |         sum(c) OVER (PARTITION BY order_date ORDER BY bin) AS cum,
-        |         sum(c) OVER (PARTITION BY order_date) AS total
-        |  FROM th
-        |), e AS (
-        |  SELECT hc.order_date,
-        |         0.0 + (CAST(hc.bin AS DOUBLE)
-        |           + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
-        |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
-        |           * ((600000.0 - 0.0) / 256.0) AS v
-        |  FROM hc
-        |  JOIN (SELECT order_date, min(bin) AS bin FROM hc
-        |        WHERE c > 0 AND CAST(cum AS DOUBLE)
-        |              >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)
-        |        GROUP BY 1) pick USING (order_date, bin)
-        |)
+        |), """.stripMargin +
+      Queries.quantileCtes(Seq("order_date"), "th",
+        Seq("e" -> "0.5"), "0.0", "600000.0", 256) +
+      """
         |SELECT order_date, v AS trailing_30d_p50_value
         |FROM e ORDER BY order_date""".stripMargin
 

@@ -301,10 +301,22 @@ case class GraftHistQuantile(hist: Expression, p: Expression,
           TypeCheckResult.TypeCheckFailure(
             "graft_hist_quantile p/lo/hi must be numeric literals")
         else {
+          // same bound invariants as graft_hist_agg — the two halves of
+          // the sketch contract must reject the same degenerate inputs
+          // (a swapped lo/hi would silently invert every estimate, and
+          // a non-finite bound would emit an invalid codegen literal)
           val pv = GraftHistogram.foldedDouble(p)
+          val lv = GraftHistogram.foldedDouble(lo)
+          val hv = GraftHistogram.foldedDouble(hi)
           if (pv < 0d || pv > 1d)
             TypeCheckResult.TypeCheckFailure(
               s"graft_hist_quantile p must be in [0, 1], got $pv")
+          else if (!java.lang.Double.isFinite(lv) || !java.lang.Double.isFinite(hv))
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_hist_quantile lo/hi must be finite, got [$lv, $hv]")
+          else if (!(hv > lv))
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_hist_quantile needs hi > lo, got [$lv, $hv]")
           else TypeCheckResult.TypeCheckSuccess
         }
       case dt => TypeCheckResult.TypeCheckFailure(

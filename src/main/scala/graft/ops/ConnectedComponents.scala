@@ -148,8 +148,18 @@ object ConnectedComponents {
     // `persisted` carries a trustworthy __changed frontier column only
     // after the first full window has run
     var frontierReady = false
+    // frontier rounds do NOT pointer-jump, so on chain-shaped graphs
+    // they advance one hop per round — O(diameter), where full rounds
+    // are O(log diameter). Guard: stay in frontier mode only while the
+    // frontier is at least HALVING per round (hub-graph tails do:
+    // measured 130 → 16 → 2 → 1 → 0), else fall back to a full jumping
+    // round. A chain's flat frontier trips the guard immediately, so
+    // the worst case stays the old all-jumping bound, and total
+    // frontier rounds are bounded by log2(deltaThreshold) per descent.
+    var prevChanged = Long.MaxValue
     while (changed > 0 && iter < maxIter) {
-     if (frontierReady && changed <= deltaThreshold) {
+     val beforeRound = changed
+     if (frontierReady && changed <= deltaThreshold && changed <= prevChanged / 2) {
       // ---- frontier (delta) round — the Pregel active-vertex tail ----
       // Monotone label propagation has a long sparse tail: after the
       // bulk windows, `changed` collapses (measured 24 → 3 → 0 at
@@ -250,6 +260,7 @@ object ConnectedComponents {
       iter += steps
       frontierReady = true
      }
+     prevChanged = beforeRound
     }
     lastRounds = iter
     sym.unpersist(false)

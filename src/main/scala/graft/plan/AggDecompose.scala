@@ -60,9 +60,21 @@ object AggDecompose {
         post: Column => Column = identity): UnresolvedAttribute = {
       val nm = AggDecompose.partialName(agg)
       // content-addressed names make equal partials IDENTICAL across
-      // measures (and within one), so dedup is just name-distinct
-      if (!partials.exists(_.name == nm))
-        partials += PartialAgg(nm, agg.as(nm), reagg, post)
+      // measures (and within one), so dedup is just name-distinct —
+      // but a same-name hit must BE the same aggregate (the same loud
+      // collision guard as distinctPartials; a silent 32-bit collision
+      // would bind this partial to another's column)
+      partials.find(_.name == nm) match {
+        case Some(existing) =>
+          require(colExpr(agg).semanticEquals(
+              colExpr(existing.agg) match {
+                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+                case e => e
+              }),
+            s"partial name collision: '$nm' names two different aggregates")
+        case None =>
+          partials += PartialAgg(nm, agg.as(nm), reagg, post)
+      }
       UnresolvedAttribute(Seq(nm))
     }
 

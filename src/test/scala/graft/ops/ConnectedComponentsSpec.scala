@@ -23,6 +23,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comp(6L) == 6L && comp(7L) == 7L) // singletons keep own label
   }
 
+  test("deep chain converges well under maxIter (frontier mode must not linearize)") {
+    // 120-node path, diameter 119: frontier rounds advance one hop per
+    // round, so an unguarded frontier tail would need ~119 rounds and
+    // throw at maxIter=50. The halving guard falls back to full
+    // jumping rounds (O(log diameter)) when the frontier stops
+    // shrinking — this converges AND stays well under the limit.
+    val n = 120
+    val comp = components((0 until n - 1).map(i => (i.toLong, i + 1L)), n.toLong)
+    assert((0 until n).forall(i => comp(i.toLong) == 0L))
+    assert(ConnectedComponents.lastRounds < 30,
+      s"expected O(log diameter) rounds, took ${ConnectedComponents.lastRounds}")
+  }
+
   test("two stars merged by a bridge") {
     // star A: 1<-{2,3}, star B: 4<-{5,6}; bridge 3-6 merges all into 1
     val comp = components(Seq((1L, 2L), (1L, 3L), (4L, 5L), (4L, 6L), (3L, 6L)), 7L)
