@@ -105,6 +105,19 @@ class GraftHistogramSpec extends SparkSpec {
     assert(results(0).values.forall(d => d >= 0.0 && d <= 1.0))
   }
 
+  test("windowed percentile at coarser grain resolves semiadditively (last)") {
+    // query grain {} is coarser than the order grain {order_date}: the
+    // semiadditive 'last' rule must return the frame value at the max
+    // date — i.e. the trailing-30d p50 as of the latest order date
+    val cat = graft.SparkEntry.catalog(spark, sfDir)
+    val v = cat.get("mv_orders_dist")
+    val global = v.query(Seq(), Seq("trailing_30d_p50_value")).collect()
+    assert(global.length == 1)
+    val perDate = v.query(Seq("order_date"), Seq("trailing_30d_p50_value"))
+      .orderBy(col("order_date").desc).limit(1).collect()
+    assert(global(0).getDouble(0) == perDate(0).getDouble(1))
+  }
+
   test("analysis-time failures: bad value type, non-literal bins, p out of range") {
     val df = Seq(("a", 1.0)).toDF("s", "x")
     intercept[Exception] {
