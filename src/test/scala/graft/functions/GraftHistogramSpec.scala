@@ -118,6 +118,32 @@ class GraftHistogramSpec extends SparkSpec {
     assert(global(0).getDouble(0) == perDate(0).getDouble(1))
   }
 
+  test("property: estimate within one bin width of the exact order statistic") {
+    // the bound is structural, not statistical: the picked bin contains
+    // the target-rank element, and the interpolated estimate stays
+    // inside that bin — so |est − exact| ≤ (hi−lo)/bins for any data
+    // within the declared domain. Fixed-seed sweep over sizes, domains,
+    // bin counts and percentiles.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val lo = rnd.nextInt(1000).toDouble
+      val hi = lo + 1 + rnd.nextInt(100000).toDouble
+      val bins = Seq(8, 64, 256, 1024)(rnd.nextInt(4))
+      val n = 1 + rnd.nextInt(5000)
+      val p = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)(rnd.nextInt(7))
+      val w = (hi - lo) / bins
+      val xs = Array.fill(n)(lo + rnd.nextDouble() * (hi - lo))
+      val h = new Array[Long](bins)
+      xs.foreach(x => h(GraftHistogram.binOf(x, lo, hi, bins)) += 1L)
+      val est = GraftHistogram.quantile(new GenericArrayData(h), p, lo, hi)
+      val sorted = xs.sorted
+      val rank = math.max(1, math.ceil(p * n).toInt)
+      val exact = sorted(rank - 1)
+      assert(math.abs(est - exact) <= w + 1e-9,
+        s"n=$n bins=$bins p=$p: est $est vs exact $exact (width $w)")
+    }
+  }
+
   test("analysis-time failures: bad value type, non-literal bins, p out of range") {
     val df = Seq(("a", 1.0)).toDF("s", "x")
     intercept[Exception] {
