@@ -87,10 +87,16 @@ object RoutingBench {
     // fine at 256, hostile at 10k); a posexplode of an R-element
     // array is a constant-size plan for any R and shuffles nothing
     val orders = graft.model.Tables.load(spark, baseDir, "orders")
+    // repartition before the write: the explode multiplies rows WITHOUT
+    // adding tasks, so without it one task writes one huge file whose
+    // couple of row groups cap the unrouted scan's read parallelism —
+    // that would inflate the measured routing speedup by degrading the
+    // baseline, not by making routing faster
     orders
       .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("__k"))
       .withColumn("o_orderkey", col("o_orderkey") + col("__k") * lit(1000000000L))
       .drop("__k")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     // Files.list holds a directory fd until closed (ADVICE r7)
