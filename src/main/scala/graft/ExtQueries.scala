@@ -120,6 +120,100 @@ object ExtQueries {
       |SELECT f.source, st.t AS doc_count, 0.5 * f.sm AS length_drift_tvd
       |FROM folded f JOIN st USING (source) ORDER BY f.source""".stripMargin
 
+  /** One-pass data-profile card over the documents corpus — the
+    * Deequ-style table summary a pipeline materializes per snapshot:
+    * per column, null count, HLL approx-distinct, and (numeric) the
+    * histogram median, ALL computed in a single aggregation pass (one
+    * corpus scan emits one wide row of sketch results; the per-column
+    * unpivot explodes a 5-element array of structs driver-free). At
+    * 100 TB profiling cost is the scan — composing every statistic
+    * into one Aggregate is the difference between 1 pass and
+    * |columns| passes. Oracled: HLL estimates re-derived per column
+    * with the q_mv_approx register chain, the median with the shared
+    * quantile derivation — all hash-exact. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        expr(s"graft_hll_estimate(graft_hll_agg(cast($c as string)))")
+          .as(s"${c}__distinct")) } ++
+      Seq(expr("graft_hist_quantile(graft_hist_agg(n_chars, 0.0, 1024.0, 256), 0.5, 0.0, 1024.0)")
+        .as("n_chars__p50"))
+    val wide = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val p50 = if (c == "n_chars") col("n_chars__p50")
+        else lit(null).cast("double")
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("approx_distinct"), p50.as("p50"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("col_name")
+  }
+
+  /** DuckDB scalar-subquery re-derivation of the engine HLL estimate
+    * for one value expression (the q_mv_approx chain, global grain). */
+  private def hllEstimateSql(valExpr: String): String = {
+    val h = fold61(s"CAST(${fold61(valExpr)} AS VARCHAR)")
+    s"""(WITH hv AS (SELECT $h AS h FROM documents WHERE ($valExpr) IS NOT NULL),
+       |  regs AS (SELECT h % 4096 AS bucket,
+       |           max(CASE WHEN (h >> 12) = 0 THEN 50
+       |                    ELSE length(bin((h >> 12) & -(h >> 12))) END) AS reg
+       |           FROM hv GROUP BY 1),
+       |  grid AS (SELECT b.bucket, coalesce(r.reg, 0) AS reg
+       |           FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+       |           LEFT JOIN regs r USING (bucket)),
+       |  folded AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)),
+       |               (acc, x) -> acc + x) AS s,
+       |             sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+       |             FROM grid)
+       |  SELECT CAST(round(CASE
+       |           WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s <= 2.5 * 4096.0
+       |                AND zeros > 0
+       |           THEN 4096.0 * ln(4096.0 / zeros)
+       |           ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s END) AS BIGINT)
+       |  FROM folded)""".stripMargin
+  }
+
+  val profileSql: String = {
+    // fold61 is char-based, so the text column carries the same ASCII
+    // guard the dedup oracles use (error() beats a mystery mismatch)
+    val textGuarded = "CASE WHEN text ~ '[^\\x00-\\x7F]' " +
+      "THEN error('non-ASCII doc in profile oracle') ELSE text END"
+    val exprs = Seq(
+      "doc_id" -> "CAST(doc_id AS VARCHAR)",
+      "text" -> textGuarded,
+      "lang" -> "lang",
+      "source" -> "source",
+      "n_chars" -> "CAST(n_chars AS VARCHAR)")
+    val p50 =
+      s"""(WITH hb AS (SELECT ${Queries.binSql("CAST(n_chars AS DOUBLE)", "0.0", "1024.0", 256)} AS bin
+         |             FROM documents WHERE n_chars IS NOT NULL),
+         |  hc AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+         |                sum(c) OVER () AS total
+         |         FROM (SELECT bin, count(*) AS c FROM hb GROUP BY 1)),
+         |  pick AS (SELECT min(bin) AS bin FROM hc
+         |           WHERE c > 0 AND CAST(cum AS DOUBLE)
+         |                 >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
+         |  SELECT 0.0 + (CAST(hc.bin AS DOUBLE)
+         |    + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
+         |       - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
+         |    * ((1024.0 - 0.0) / 256.0)
+         |  FROM hc JOIN pick USING (bin))""".stripMargin
+    val branches = exprs.map { case (name, ve) =>
+      val p50Sql = if (name == "n_chars") p50 else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$name' AS col_name,
+         |       (SELECT count(*) FROM documents) AS n_rows,
+         |       (SELECT count(*) FROM documents WHERE $name IS NULL) AS n_nulls,
+         |       ${hllEstimateSql(ve)} AS approx_distinct,
+         |       $p50Sql AS p50""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Language ID over documents (accuracy on real multilingual samples
     * is spec-tested; the marker-scoring contract itself is oracled —
     * the same marker sets + argmax fold re-expressed in DuckDB SQL). */
@@ -1787,7 +1881,8 @@ object ExtQueries {
     "q_mixture_sample"    -> (mixtureSample _),
     "q_quality_topk"      -> (qualityTopK _),
     "q_length_quantiles"  -> (lengthQuantiles _),
-    "q_drift"             -> (drift _))
+    "q_drift"             -> (drift _),
+    "q_profile"           -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -1806,6 +1901,7 @@ object ExtQueries {
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_drift"             -> driftSql,
+    "q_profile"           -> profileSql,
     "q_stream_window"     -> streamWindowSql,
     "q_stream_percentile" -> streamPercentileSql,
     "q_stream_dedup"      -> streamDedupSql,

@@ -35,24 +35,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine-owned HLL (graft.functions.GraftHll) — registered so
     // measure exprs written in SQL (spec YAML, combiner templates)
     // resolve; the analyzer wraps the AggregateFunctions itself
-    def fn(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    def fn(name: String, arity: Int = -1)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft.functions.GraftHll", name),
-        builder))
-    fn("graft_hll_agg")(args => graft.functions.GraftHllAgg(args.head))
-    fn("graft_hll_merge")(args => graft.functions.GraftHllMerge(args.head))
-    fn("graft_hll_estimate")(args => graft.functions.GraftHllEstimate(args.head))
+        args => {
+          // loud arity error instead of the builder's raw index crash
+          if (arity >= 0 && args.length != arity)
+            throw new IllegalArgumentException(
+              s"$name expects $arity arguments, got ${args.length}")
+          builder(args)
+        }))
+    fn("graft_hll_agg", 1)(args => graft.functions.GraftHllAgg(args.head))
+    fn("graft_hll_merge", 1)(args => graft.functions.GraftHllMerge(args.head))
+    fn("graft_hll_estimate", 1)(args => graft.functions.GraftHllEstimate(args.head))
     // engine-owned bounded-range histogram (graft.functions.GraftHistogram)
     // — the routable approx-percentile sketch
-    fn("graft_hist_agg")(args =>
+    fn("graft_hist_agg", 4)(args =>
       graft.functions.GraftHistAgg(args(0), args(1), args(2), args(3)))
-    fn("graft_hist_merge")(args => graft.functions.GraftHistMerge(args.head))
-    fn("graft_hist_quantile")(args =>
+    fn("graft_hist_merge", 1)(args => graft.functions.GraftHistMerge(args.head))
+    fn("graft_hist_quantile", 4)(args =>
       graft.functions.GraftHistQuantile(args(0), args(1), args(2), args(3)))
-    fn("graft_hist_tvd")(args =>
+    fn("graft_hist_tvd", 2)(args =>
       graft.functions.GraftHistTvd(args(0), args(1)))
     // measure-level sugar: graft_percentile_bounded(x, p, lo, hi, bins)
     // = quantile over the histogram of x — ONE call a spec author
@@ -60,7 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // mergeable re-agg + the scalar estimate for routing. The inner
     // aggregate is wrapped explicitly because the analyzer only
     // auto-wraps the top-level function result.
-    fn("graft_percentile_bounded") { args =>
+    fn("graft_percentile_bounded", 5) { args =>
       graft.functions.GraftHistQuantile(
         graft.functions.GraftHistAgg(args(0), args(2), args(3), args(4))
           .toAggregateExpression(),
