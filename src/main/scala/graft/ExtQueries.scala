@@ -154,29 +154,10 @@ object ExtQueries {
   }
 
   /** DuckDB scalar-subquery re-derivation of the engine HLL estimate
-    * for one value expression (the q_mv_approx chain, global grain). */
-  private def hllEstimateSql(valExpr: String): String = {
-    val h = fold61(s"CAST(${fold61(valExpr)} AS VARCHAR)")
-    s"""(WITH hv AS (SELECT $h AS h FROM documents WHERE ($valExpr) IS NOT NULL),
-       |  regs AS (SELECT h % 4096 AS bucket,
-       |           max(CASE WHEN (h >> 12) = 0 THEN 50
-       |                    ELSE length(bin((h >> 12) & -(h >> 12))) END) AS reg
-       |           FROM hv GROUP BY 1),
-       |  grid AS (SELECT b.bucket, coalesce(r.reg, 0) AS reg
-       |           FROM (SELECT unnest(range(0, 4096)) AS bucket) b
-       |           LEFT JOIN regs r USING (bucket)),
-       |  folded AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |               list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)),
-       |               (acc, x) -> acc + x) AS s,
-       |             sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
-       |             FROM grid)
-       |  SELECT CAST(round(CASE
-       |           WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s <= 2.5 * 4096.0
-       |                AND zeros > 0
-       |           THEN 4096.0 * ln(4096.0 / zeros)
-       |           ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s END) AS BIGINT)
-       |  FROM folded)""".stripMargin
-  }
+    * for one value expression — the shared register chain
+    * ([[Queries.hllChainSql]]) at its global (keyless) grain. */
+  private def hllEstimateSql(valExpr: String): String =
+    s"(WITH ${Queries.hllChainSql(Seq(), "documents", valExpr)} SELECT approx FROM hll)"
 
   val profileSql: String = {
     // fold61 is char-based, so the text column carries the same ASCII
@@ -189,20 +170,14 @@ object ExtQueries {
       "lang" -> "lang",
       "source" -> "source",
       "n_chars" -> "CAST(n_chars AS VARCHAR)")
+    // the shared quantile generator at its global (keyless) grain
     val p50 =
       s"""(WITH hb AS (SELECT ${Queries.binSql("CAST(n_chars AS DOUBLE)", "0.0", "1024.0", 256)} AS bin
          |             FROM documents WHERE n_chars IS NOT NULL),
-         |  hc AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
-         |                sum(c) OVER () AS total
-         |         FROM (SELECT bin, count(*) AS c FROM hb GROUP BY 1)),
-         |  pick AS (SELECT min(bin) AS bin FROM hc
-         |           WHERE c > 0 AND CAST(cum AS DOUBLE)
-         |                 >= CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))
-         |  SELECT 0.0 + (CAST(hc.bin AS DOUBLE)
-         |    + (CAST(0.5 AS DOUBLE) * CAST(hc.total AS DOUBLE)
-         |       - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
-         |    * ((1024.0 - 0.0) / 256.0)
-         |  FROM hc JOIN pick USING (bin))""".stripMargin
+         |${Queries.quantileCtes(Seq(),
+             "(SELECT bin, count(*) AS c FROM hb GROUP BY 1)",
+             Seq("e" -> "0.5"), "0.0", "1024.0", 256)}
+         |SELECT v FROM e)""".stripMargin
     val branches = exprs.map { case (name, ve) =>
       val p50Sql = if (name == "n_chars") p50 else "CAST(NULL AS DOUBLE)"
       s"""SELECT '$name' AS col_name,

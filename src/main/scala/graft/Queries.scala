@@ -204,52 +204,73 @@ object Queries {
         Seq("approx_unique_customers", "unique_customers"))
       .orderBy("order_priority")
 
-  /** DuckDB re-expression of the engine HLL (see GraftHll scaladoc):
-    * h = double PolyHash61 fold (the second over the first's decimal
-    * digits), bucket = h mod 4096, rho = trailing-zeros(h >> 12) + 1
-    * via `length(bin(w & -w))` (EXACT integer math — no floating log),
-    * registers = per-bucket max over a dense 4096-bucket grid,
-    * estimate folded IN BUCKET ORDER with the same
-    * alpha/small-range-correction literals. */
-  val mvOrdersApproxSql: String = {
-    val h = ExtQueries.fold61(
-      s"CAST(${ExtQueries.fold61("CAST(customer_id AS VARCHAR)")} AS VARCHAR)")
-    modelCtes +
-      s""", h AS (
-        |  SELECT order_priority, $h AS h FROM stg_orders
-        |), regs AS (
-        |  SELECT order_priority, h % 4096 AS bucket,
-        |         max(CASE WHEN (h >> 12) = 0 THEN 50
-        |                  ELSE length(bin((h >> 12) & -(h >> 12))) END) AS reg
-        |  FROM h GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT g.order_priority, b.bucket, coalesce(r.reg, 0) AS reg
-        |  FROM (SELECT DISTINCT order_priority FROM stg_orders) g
-        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS bucket) b
-        |  LEFT JOIN regs r ON r.order_priority = g.order_priority AND r.bucket = b.bucket
-        |), folded AS (
-        |  SELECT order_priority,
-        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)),
-        |           (acc, x) -> acc + x) AS s,
-        |         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
-        |  FROM grid GROUP BY 1
-        |), est AS (
-        |  SELECT order_priority,
-        |         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s AS raw,
-        |         zeros
-        |  FROM folded
-        |)
-        |SELECT e.order_priority,
-        |       CAST(round(CASE WHEN e.raw <= 2.5 * 4096.0 AND e.zeros > 0
-        |                       THEN 4096.0 * ln(4096.0 / e.zeros)
-        |                       ELSE e.raw END) AS BIGINT) AS approx_unique_customers,
+  /** Shared DuckDB re-expression of the engine HLL (see GraftHll
+    * scaladoc): h = double PolyHash61 fold (the second over the
+    * first's decimal digits), bucket = h mod 4096, rho =
+    * trailing-zeros(h >> 12) + 1 via `length(bin(w & -w))` (EXACT
+    * integer math — no floating log), registers = per-bucket max over
+    * a dense 4096-bucket grid, estimate folded IN BUCKET ORDER with
+    * the same alpha/small-range-correction literals. Emits CTEs
+    * `hll_h … hll` where `hll` has columns keys* + `approx` (BIGINT);
+    * `keys` may be empty for a corpus-global estimate (q_profile).
+    * ONE generator serves every HLL oracle — the register-chain
+    * mirroring lives in exactly one place, like quantileCtes. */
+  private[graft] def hllChainSql(keys: Seq[String], srcRel: String,
+      valExpr: String): String = {
+    val h = ExtQueries.fold61(s"CAST(${ExtQueries.fold61(valExpr)} AS VARCHAR)")
+    val k = keys.mkString(", ")
+    val kComma = if (keys.isEmpty) "" else s"$k, "
+    val gKeys = if (keys.isEmpty) "" else keys.map("g." + _).mkString("", ", ", ", ")
+    val regsGroup = s"GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
+    val foldGroup = if (keys.isEmpty) "" else s" GROUP BY ${(1 to keys.size).mkString(", ")}"
+    val gridFrom =
+      if (keys.isEmpty) "(SELECT unnest(range(0, 4096)) AS bucket) b"
+      else s"(SELECT DISTINCT $k FROM $srcRel) g\n" +
+        "  CROSS JOIN (SELECT unnest(range(0, 4096)) AS bucket) b"
+    val joinCond =
+      (keys.map(kk => s"r.$kk = g.$kk") :+ "r.bucket = b.bucket").mkString(" AND ")
+    s"""hll_h AS (
+       |  SELECT $kComma$h AS h FROM $srcRel WHERE ($valExpr) IS NOT NULL
+       |), hll_regs AS (
+       |  SELECT $kComma h % 4096 AS bucket,
+       |         max(CASE WHEN (h >> 12) = 0 THEN 50
+       |                  ELSE length(bin((h >> 12) & -(h >> 12))) END) AS reg
+       |  FROM hll_h $regsGroup
+       |), hll_grid AS (
+       |  SELECT ${gKeys}b.bucket, coalesce(r.reg, 0) AS reg
+       |  FROM $gridFrom
+       |  LEFT JOIN hll_regs r ON $joinCond
+       |), hll_folded AS (
+       |  SELECT $kComma
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)),
+       |           (acc, x) -> acc + x) AS s,
+       |         sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+       |  FROM hll_grid$foldGroup
+       |), hll_est AS (
+       |  SELECT $kComma
+       |         (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / s AS raw,
+       |         zeros
+       |  FROM hll_folded
+       |), hll AS (
+       |  SELECT $kComma
+       |         CAST(round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+       |                         THEN 4096.0 * ln(4096.0 / zeros)
+       |                         ELSE raw END) AS BIGINT) AS approx
+       |  FROM hll_est
+       |)""".stripMargin
+  }
+
+  val mvOrdersApproxSql: String =
+    modelCtes + ", " +
+      hllChainSql(Seq("order_priority"), "stg_orders", "CAST(customer_id AS VARCHAR)") +
+      """
+        |SELECT h.order_priority, h.approx AS approx_unique_customers,
         |       u.unique_customers
-        |FROM est e
+        |FROM hll h
         |JOIN (SELECT order_priority, count(DISTINCT customer_id) AS unique_customers
         |      FROM stg_orders GROUP BY 1) u USING (order_priority)
-        |ORDER BY e.order_priority""".stripMargin
-  }
+        |ORDER BY h.order_priority""".stripMargin
 
   /** Approx-percentile measures (GraftHistogram — the routable
     * counterpart of exact percentile/median): on-the-fly at the
@@ -290,28 +311,34 @@ object Queries {
     * · ((hi−lo)/bins). */
   private[graft] def quantileCtes(keys: Seq[String], countsRel: String,
       ps: Seq[(String, String)], lo: String, hi: String, bins: Int): String = {
+    // keys may be empty: the global grain drops PARTITION BY / GROUP BY
+    // and joins on bin alone (used by q_profile's corpus-wide median)
     val k = keys.mkString(", ")
-    val hcK = keys.map("hc." + _).mkString(", ")
-    val ordinals = (1 to keys.size).mkString(", ")
+    val kComma = if (keys.isEmpty) "" else s"$k, "
+    val hcKComma = if (keys.isEmpty) "" else keys.map("hc." + _).mkString("", ", ", ",")
+    val partition = if (keys.isEmpty) "" else s"PARTITION BY $k "
+    val pickGroup =
+      if (keys.isEmpty) "" else s"\n        GROUP BY ${(1 to keys.size).mkString(", ")}"
+    val usingCols = (keys :+ "bin").mkString(", ")
     val hc =
       s"""hc AS (
-         |  SELECT $k, bin, c,
-         |         sum(c) OVER (PARTITION BY $k ORDER BY bin) AS cum,
-         |         sum(c) OVER (PARTITION BY $k) AS total
+         |  SELECT ${kComma}bin, c,
+         |         sum(c) OVER (${partition}ORDER BY bin) AS cum,
+         |         sum(c) OVER (${partition.trim}) AS total
          |  FROM $countsRel
          |)""".stripMargin
     val es = ps.map { case (alias, p) =>
       s"""$alias AS (
-         |  SELECT $hcK,
+         |  SELECT $hcKComma
          |         $lo + (CAST(hc.bin AS DOUBLE)
          |           + (CAST($p AS DOUBLE) * CAST(hc.total AS DOUBLE)
          |              - CAST(hc.cum - hc.c AS DOUBLE)) / CAST(hc.c AS DOUBLE))
          |           * (($hi - $lo) / $bins.0) AS v
          |  FROM hc
-         |  JOIN (SELECT $k, min(bin) AS bin FROM hc
+         |  JOIN (SELECT ${kComma}min(bin) AS bin FROM hc
          |        WHERE c > 0 AND CAST(cum AS DOUBLE)
-         |              >= CAST($p AS DOUBLE) * CAST(total AS DOUBLE)
-         |        GROUP BY $ordinals) pick USING ($k, bin)
+         |              >= CAST($p AS DOUBLE) * CAST(total AS DOUBLE)$pickGroup) pick
+         |    USING ($usingCols)
          |)""".stripMargin
     }
     (hc +: es).mkString(", ")

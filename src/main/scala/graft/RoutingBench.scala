@@ -92,11 +92,14 @@ object RoutingBench {
     // couple of row groups cap the unrouted scan's read parallelism —
     // that would inflate the measured routing speedup by degrading the
     // baseline, not by making routing faster
+    // (sequence's default step is -1 when start > stop, so replicas <= 0
+    // would silently write TWO shifted copies instead of failing)
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
     orders
+      .repartition(32) // before the explode: shuffles N base rows, not R*N
       .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("__k"))
       .withColumn("o_orderkey", col("o_orderkey") + col("__k") * lit(1000000000L))
       .drop("__k")
-      .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     // Files.list holds a directory fd until closed (ADVICE r7)

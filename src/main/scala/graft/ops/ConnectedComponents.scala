@@ -158,7 +158,11 @@ object ConnectedComponents {
     // frontier rounds are bounded by log2(deltaThreshold) per descent.
     var prevChanged = Long.MaxValue
     while (changed > 0 && iter < maxIter) {
-     val beforeRound = changed
+     // iter == 0 means `changed` is still the loop-entry sentinel, not a
+     // measured count — recording it would make the halving guard
+     // compare the first window's count against 1 and veto the frontier
+     // round the guard exists to allow
+     val beforeRound = if (iter == 0) Long.MaxValue else changed
      if (frontierReady && changed <= deltaThreshold && changed <= prevChanged / 2) {
       // ---- frontier (delta) round — the Pregel active-vertex tail ----
       // Monotone label propagation has a long sparse tail: after the

@@ -66,12 +66,8 @@ object AggDecompose {
       // would bind this partial to another's column)
       partials.find(_.name == nm) match {
         case Some(existing) =>
-          require(colExpr(agg).semanticEquals(
-              colExpr(existing.agg) match {
-                case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
-                case e => e
-              }),
-            s"partial name collision: '$nm' names two different aggregates")
+          AggDecompose.requireSameAggregate(nm, colExpr(agg),
+            AggDecompose.unaliased(existing.agg))
         case None =>
           partials += PartialAgg(nm, agg.as(nm), reagg, post)
       }
@@ -184,22 +180,26 @@ object AggDecompose {
     * into an error instead of silently serving one measure from
     * another's partial. */
   def distinctPartials(ps: Seq[PartialAgg]): Seq[PartialAgg] = {
-    // compare under the alias: Alias exprIds are instance-unique and not
-    // normalized by semanticEquals, but the name was hashed pre-alias
-    def unaliased(p: PartialAgg): Expression = colExpr(p.agg) match {
-      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
-      case e => e
-    }
     ps.groupBy(_.name).values.filter(_.size > 1).foreach { g =>
-      val e0 = unaliased(g.head)
-      g.tail.foreach { p =>
-        require(unaliased(p).semanticEquals(e0),
-          s"partial name collision: '${p.name}' names two different aggregates")
-      }
+      val e0 = unaliased(g.head.agg)
+      g.tail.foreach(p => requireSameAggregate(p.name, unaliased(p.agg), e0))
     }
     val seen = scala.collection.mutable.Set[String]()
     ps.filter(p => seen.add(p.name))
   }
+
+  /** Compare under the alias: Alias exprIds are instance-unique and not
+    * normalized by semanticEquals, but partial names are hashed
+    * pre-alias — shared by both collision guards ([[distinctPartials]]
+    * and the within-measure check in the decomposer). */
+  private def unaliased(c: Column): Expression = colExpr(c) match {
+    case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+    case e => e
+  }
+
+  private def requireSameAggregate(name: String, a: Expression, b: Expression): Unit =
+    require(a.semanticEquals(b),
+      s"partial name collision: '$name' names two different aggregates")
 
   private val aggNames = Set(
     "sum", "count", "min", "max", "avg", "mean", "count_if",
