@@ -42,6 +42,14 @@ object ConnectedComponents {
     * (ScaleBench); not part of the operator contract. */
   @volatile private[graft] var lastRounds: Int = 0
 
+  /** How many of those rounds ran in frontier (delta) mode — guards
+    * the guard: a policy regression that silently stops frontier mode
+    * from ever engaging (it happened — the halving guard once compared
+    * against the loop-entry sentinel) is invisible to correctness
+    * tests, so ConnectedComponentsSpec asserts engagement on a graph
+    * where it is deterministic. */
+  @volatile private[graft] var lastFrontierRounds: Int = 0
+
   /** Star edges from shared keys: within each group of rows sharing a
     * non-null key value, link every member to the group's min id —
     * |group|−1 edges per group, never the m² all-pairs blowup.
@@ -144,6 +152,7 @@ object ConnectedComponents {
     // is what stops the 2^rounds tree.
     var labels = persisted.toDF("id", "component")
     var iter = 0
+    var frontierRounds = 0
     var changed = 1L
     // `persisted` carries a trustworthy __changed frontier column only
     // after the first full window has run
@@ -206,6 +215,7 @@ object ConnectedComponents {
       // ~0.05 s of planning, and it keeps every round's plan bounded
       labels = org.apache.spark.sql.GraftBridge.flatten(upd)
       iter += 1
+      frontierRounds += 1
      } else {
       // first window runs `checkEvery` rounds back-to-back (the bulk of
       // propagation — hub-min init + neighbor rounds); later windows
@@ -267,6 +277,7 @@ object ConnectedComponents {
      prevChanged = beforeRound
     }
     lastRounds = iter
+    lastFrontierRounds = frontierRounds
     sym.unpersist(false)
     if (changed != 0L) {
       persisted.unpersist(false) // failure path must not leak the iterate

@@ -36,6 +36,23 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected O(log diameter) rounds, took ${ConnectedComponents.lastRounds}")
   }
 
+  test("frontier mode deterministically engages on a small shrinking tail") {
+    // edges (1,2),(1,3),(3,4),(4,5) with checkEvery=1: hub-min init
+    // leaves 4→3, 5→4; the first full round (neighbor-min + jump)
+    // fixes both (changed=2), and the confirmation round runs in
+    // frontier mode (2 ≤ MaxValue/2). Guards the guard: a policy
+    // regression that silently stops frontier mode from engaging
+    // (e.g. seeding the halving check from the loop-entry sentinel)
+    // is invisible to pure correctness tests.
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(nodes, edges, checkEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(ConnectedComponents.lastFrontierRounds >= 1,
+      s"frontier mode never engaged (rounds=${ConnectedComponents.lastRounds})")
+  }
+
   test("two stars merged by a bridge") {
     // star A: 1<-{2,3}, star B: 4<-{5,6}; bridge 3-6 merges all into 1
     val comp = components(Seq((1L, 2L), (1L, 3L), (4L, 5L), (4L, 6L), (3L, 6L)), 7L)
