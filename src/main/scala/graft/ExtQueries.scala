@@ -189,6 +189,54 @@ object ExtQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Robust length-outlier filter — the CCNet/Gopher-style quality
+    * gate: per language, Tukey fences (quartiles ± 1.5·IQR) derived
+    * from the bounded histogram, then every doc flagged against its
+    * language's fences. Quartiles from the sketch, not a sort: the
+    * per-language stats are one aggregation over the corpus (|langs|
+    * bin arrays), the flagging a broadcast join — no global sort, no
+    * second scan shape that a percentile-rank filter would need at
+    * 100 TB. Oracled bit-exactly: one quantileCtes call emits all
+    * three quartile derivations, and the fence arithmetic is mirrored
+    * op for op (pure +,−,×, no libm). */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stats = docs.groupBy("lang")
+      .agg(expr("graft_hist_agg(n_chars, 0.0, 1024.0, 256)").as("h"))
+      .select(col("lang"),
+        expr("graft_hist_quantile(h, 0.25, 0.0, 1024.0)").as("q1"),
+        expr("graft_hist_quantile(h, 0.5, 0.0, 1024.0)").as("med"),
+        expr("graft_hist_quantile(h, 0.75, 0.0, 1024.0)").as("q3"))
+    val x = col("n_chars").cast("double")
+    val upper = col("q3") + (col("q3") - col("q1")) * lit(1.5)
+    val lower = col("q1") - (col("q3") - col("q1")) * lit(1.5)
+    docs.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        (x > upper || x < lower).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  val outliersSql: String = {
+    val counts = "(SELECT lang, bin, count(*) AS c FROM hb GROUP BY 1, 2)"
+    s"""WITH hb AS (
+       |  SELECT lang, ${Queries.binSql("CAST(n_chars AS DOUBLE)", "0.0", "1024.0", 256)} AS bin
+       |  FROM documents
+       |), """.stripMargin +
+      Queries.quantileCtes(Seq("lang"), counts,
+        Seq("e25" -> "0.25", "e50" -> "0.5", "e75" -> "0.75"),
+        "0.0", "1024.0", 256) +
+      """
+        |SELECT d.doc_id, d.lang, d.n_chars, e50.v AS med,
+        |       (CAST(d.n_chars AS DOUBLE) > e75.v + (e75.v - e25.v) * CAST(1.5 AS DOUBLE)
+        |        OR CAST(d.n_chars AS DOUBLE) < e25.v - (e75.v - e25.v) * CAST(1.5 AS DOUBLE))
+        |         AS is_outlier
+        |FROM documents d
+        |JOIN e25 USING (lang)
+        |JOIN e50 USING (lang)
+        |JOIN e75 USING (lang)
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Language ID over documents (accuracy on real multilingual samples
     * is spec-tested; the marker-scoring contract itself is oracled —
     * the same marker sets + argmax fold re-expressed in DuckDB SQL). */
@@ -1857,7 +1905,8 @@ object ExtQueries {
     "q_quality_topk"      -> (qualityTopK _),
     "q_length_quantiles"  -> (lengthQuantiles _),
     "q_drift"             -> (drift _),
-    "q_profile"           -> (profile _))
+    "q_profile"           -> (profile _),
+    "q_outliers"          -> (outliers _))
 
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
@@ -1877,6 +1926,7 @@ object ExtQueries {
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_drift"             -> driftSql,
     "q_profile"           -> profileSql,
+    "q_outliers"          -> outliersSql,
     "q_stream_window"     -> streamWindowSql,
     "q_stream_percentile" -> streamPercentileSql,
     "q_stream_dedup"      -> streamDedupSql,
