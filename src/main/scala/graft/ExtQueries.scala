@@ -130,7 +130,15 @@ object ExtQueries {
     * into one Aggregate is the difference between 1 pass and
     * |columns| passes. Oracled: HLL estimates re-derived per column
     * with the q_mv_approx register chain, the median with the shared
-    * quantile derivation — all hash-exact. */
+    * quantile derivation — all hash-exact. The numeric column also
+    * reports the histogram's CLAMPED count (r9): values outside the
+    * declared `[lo, hi)` domain whose position the sketch destroyed.
+    * Nonzero here means the domain declaration is wrong and every
+    * percentile over this column is suspect — the profile card is
+    * where that mis-declaration becomes visible instead of silent.
+    * (The two graft_hist_agg calls are ONE sketch at runtime: Spark's
+    * physical aggregation deduplicates identical aggregate
+    * expressions.) */
   def profile(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
@@ -140,14 +148,18 @@ object ExtQueries {
         expr(s"graft_hll_estimate(graft_hll_agg(cast($c as string)))")
           .as(s"${c}__distinct")) } ++
       Seq(expr("graft_hist_quantile(graft_hist_agg(n_chars, 0.0, 1024.0, 256), 0.5, 0.0, 1024.0)")
-        .as("n_chars__p50"))
+        .as("n_chars__p50"),
+        expr("graft_hist_clamped(graft_hist_agg(n_chars, 0.0, 1024.0, 256))")
+          .as("n_chars__clamped"))
     val wide = docs.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
-      val p50 = if (c == "n_chars") col("n_chars__p50")
-        else lit(null).cast("double")
+      val numeric = c == "n_chars"
+      val p50 = if (numeric) col("n_chars__p50") else lit(null).cast("double")
+      val clamped = if (numeric) col("n_chars__clamped") else lit(null).cast("long")
       struct(lit(c).as("col_name"), col("n_rows"),
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("approx_distinct"), p50.as("p50"))
+        col(s"${c}__distinct").as("approx_distinct"), p50.as("p50"),
+        clamped.as("n_clamped"))
     }
     wide.select(explode(array(rows: _*)).as("r")).select("r.*")
       .orderBy("col_name")
@@ -178,13 +190,21 @@ object ExtQueries {
              "(SELECT bin, count(*) AS c FROM hb GROUP BY 1)",
              Seq("e" -> "0.5"), "0.0", "1024.0", 256)}
          |SELECT v FROM e)""".stripMargin
+    // graft_hist_clamped mirror: out-of-domain ⟺ the UNclamped bin
+    // index falls outside [0, bins−1] (GraftHistogram.rawBin)
+    val clamped =
+      """(SELECT count(*) FROM documents WHERE n_chars IS NOT NULL
+        |  AND (floor(((CAST(n_chars AS DOUBLE) - 0.0) / (1024.0 - 0.0)) * 256.0) < 0
+        |       OR floor(((CAST(n_chars AS DOUBLE) - 0.0) / (1024.0 - 0.0)) * 256.0) > 255))""".stripMargin
     val branches = exprs.map { case (name, ve) =>
       val p50Sql = if (name == "n_chars") p50 else "CAST(NULL AS DOUBLE)"
+      val clampedSql = if (name == "n_chars") clamped else "CAST(NULL AS BIGINT)"
       s"""SELECT '$name' AS col_name,
          |       (SELECT count(*) FROM documents) AS n_rows,
          |       (SELECT count(*) FROM documents WHERE $name IS NULL) AS n_nulls,
          |       ${hllEstimateSql(ve)} AS approx_distinct,
-         |       $p50Sql AS p50""".stripMargin
+         |       $p50Sql AS p50,
+         |       $clampedSql AS n_clamped""".stripMargin
     }
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }

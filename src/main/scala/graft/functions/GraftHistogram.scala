@@ -42,8 +42,17 @@ import org.apache.spark.sql.types._
   * bits on both engines (no libm calls at all, unlike HLL's final
   * `ln`).
   *
-  * Storage: `bins` longs per (group × measure). At the default 1024
-  * bins that is 8 KB per rollup row — same order as an HLL sketch.
+  * Storage: `bins + 1` longs per (group × measure) — the bin counts
+  * plus ONE trailing slot holding the CLAMPED count (r9): how many
+  * updates fell outside the declared `[lo, hi)` domain and were
+  * folded into an edge bin. Clamping is silent by design (the sketch
+  * stays total over any input), but a mis-declared domain degrades
+  * every estimate with no signal — the trailing slot IS the signal,
+  * merging by the same element-wise add as the bins and surfaced via
+  * `graft_hist_clamped` (the profile card reads it per column). All
+  * consumers (`quantile`, `tvd`) treat an n-element array as n−1 bins
+  * + 1 clamped slot; at the default 1024 bins the partial is 8 KB +
+  * 8 bytes per rollup row — same order as an HLL sketch.
   * Two percentile measures over the same column currently store two
   * identical partials (AggDecompose decomposes measures
   * independently); sharing them is a known optimization, not a
@@ -67,9 +76,15 @@ object GraftHistogram {
   private[functions] def foldedDouble(e: Expression): Double =
     toDouble(e.eval(InternalRow.empty))
 
+  /** Unclamped bin index as the double the clamp compares against —
+    * out-of-domain ⟺ `rawBin < 0 || rawBin > bins−1`, the exact
+    * predicate the profile oracle mirrors in SQL. */
+  private[functions] def rawBin(x: Double, lo: Double, hi: Double, bins: Int): Double =
+    math.floor(((x - lo) / (hi - lo)) * bins)
+
   private[functions] def binOf(x: Double, lo: Double, hi: Double, bins: Int): Int = {
     // mirrored in SQL: least(bins-1, greatest(0, floor(((x-lo)/(hi-lo))*bins)))
-    val b = math.floor(((x - lo) / (hi - lo)) * bins)
+    val b = rawBin(x, lo, hi, bins)
     if (b < 0d) 0 else if (b > (bins - 1).toDouble) bins - 1 else b.toInt
   }
 
@@ -82,10 +97,12 @@ object GraftHistogram {
   }
 
   /** Interpolated quantile from bin counts; null on an empty histogram.
-    * Shared by interpreted eval and generated code; the oracle SQL
-    * replicates every double op in order. */
+    * The array's trailing element is the clamped-count slot, not a bin
+    * — every consumer derives `bins = numElements − 1`. Shared by
+    * interpreted eval and generated code; the oracle SQL replicates
+    * every double op in order. */
   def quantile(h: ArrayData, p: Double, lo: Double, hi: Double): java.lang.Double = {
-    val bins = h.numElements()
+    val bins = h.numElements() - 1
     var total = 0L
     var i = 0
     while (i < bins) { total += h.getLong(i); i += 1 }
@@ -119,9 +136,9 @@ object GraftHistogram {
     * in [0, 1] with a direct reading (max probability mass that
     * disagrees). Null if either histogram is empty. */
   def tvd(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = a.numElements()
-    require(n == b.numElements(),
-      s"graft_hist_tvd: incompatible bin counts $n vs ${b.numElements()}")
+    require(a.numElements() == b.numElements(),
+      s"graft_hist_tvd: incompatible bin counts ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements() - 1 // trailing clamped slot is not a bin
     var t1 = 0L; var t2 = 0L
     var i = 0
     while (i < n) { t1 += a.getLong(i); t2 += b.getLong(i); i += 1 }
@@ -153,6 +170,11 @@ object GraftHistogram {
     val spark = org.apache.spark.sql.SparkSession.active
     def e(c: Column) = GraftBridge.expression(spark, c)
     GraftBridge.column(GraftHistQuantile(e(hist), e(p), e(lo), e(hi)))
+  }
+
+  def clampedCol(hist: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    GraftBridge.column(GraftHistClamped(GraftBridge.expression(spark, hist)))
   }
 
   private[functions] def packLongs(a: Array[Long]): Array[Byte] = {
@@ -206,13 +228,19 @@ case class GraftHistAgg(child: Expression, lo: Expression, hi: Expression,
   @transient private lazy val hiV = GraftHistogram.foldedDouble(hi)
   @transient private lazy val binsV = GraftHistogram.foldedDouble(bins).toInt
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](binsV)
+  // bins counts + the trailing clamped-count slot
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](binsV + 1)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val x = GraftHistogram.toDouble(v)
-      if (!x.isNaN) buf(GraftHistogram.binOf(x, loV, hiV, binsV)) += 1L
+      if (!x.isNaN) {
+        val raw = GraftHistogram.rawBin(x, loV, hiV, binsV)
+        if (raw < 0d) { buf(binsV) += 1L; buf(0) += 1L }
+        else if (raw > (binsV - 1).toDouble) { buf(binsV) += 1L; buf(binsV - 1) += 1L }
+        else buf(raw.toInt) += 1L
+      }
     }
     buf
   }
@@ -359,6 +387,48 @@ case class GraftHistQuantile(hist: Expression, p: Expression,
       newChildren: IndexedSeq[Expression]): GraftHistQuantile =
     copy(hist = newChildren(0), p = newChildren(1), lo = newChildren(2),
       hi = newChildren(3))
+}
+
+/** Scalar: the histogram's clamped count — how many aggregated values
+  * fell outside the declared `[lo, hi)` domain and were folded into an
+  * edge bin (the trailing buffer slot; see the companion scaladoc). A
+  * healthy measure reads 0; a mis-declared domain reads the exact mass
+  * whose position information was destroyed — THE domain-quality
+  * signal the profile card surfaces per column, and the alarm to
+  * re-derive `[lo, hi)` before trusting any percentile. Null on a null
+  * (zero-input merge) histogram. */
+case class GraftHistClamped(child: Expression)
+    extends Expression with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+
+  override def eval(input: InternalRow): Any = {
+    val h = child.eval(input)
+    if (h == null) null
+    else {
+      val a = h.asInstanceOf[ArrayData]
+      a.getLong(a.numElements() - 1)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${hGen.code}
+      boolean ${ev.isNull} = ${hGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = ${hGen.value}.getLong(${hGen.value}.numElements() - 1);
+      }""")
+  }
+
+  override def prettyName: String = "graft_hist_clamped"
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHistClamped =
+    copy(child = newChild)
 }
 
 /** Scalar: total-variation drift between two histograms (see

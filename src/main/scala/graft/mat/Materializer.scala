@@ -35,11 +35,14 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
   private def path(v: MetricView, mvName: String) = s"${viewDir(v)}/$mvName"
   private def hashFile(v: MetricView) = Paths.get(s"${viewDir(v)}/_spec_hash")
 
-  /** Stored build marker: spec hash + the partial NAMING scheme version.
-    * Naming is the cross-session column-resolution key, so a naming
-    * change must invalidate caches built under the old scheme even
-    * though the spec (and its user-visible spec_hash) is unchanged. */
-  private def storedHash(v: MetricView) = v.spec.materializationHash + "#p2"
+  /** Stored build marker: spec hash + the partial SCHEME version —
+    * naming (the cross-session column-resolution key) AND physical
+    * layout. A change to either must invalidate caches built under the
+    * old scheme even though the spec (and its user-visible spec_hash)
+    * is unchanged. p2 = content-addressed names (r8); p3 = histogram
+    * partials carry the trailing clamped-count slot (r9) — a p2 rollup
+    * read under p3 would misparse 256 bins as 255 + a bogus clamp. */
+  private def storedHash(v: MetricView) = v.spec.materializationHash + "#p3"
 
   def isBuilt(v: MetricView): Boolean =
     Files.exists(hashFile(v)) &&

@@ -61,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftHistQuantile(args(0), args(1), args(2), args(3)))
     fn("graft_hist_tvd", 2)(args =>
       graft.functions.GraftHistTvd(args(0), args(1)))
+    fn("graft_hist_clamped", 1)(args =>
+      graft.functions.GraftHistClamped(args.head))
     // measure-level sugar: graft_percentile_bounded(x, p, lo, hi, bins)
     // = quantile over the histogram of x — ONE call a spec author
     // writes; AggDecompose splits it into the storable partial + the

@@ -21,14 +21,18 @@ class GraftHistogramSpec extends SparkSpec {
   }
 
   test("quantile interpolation on a known histogram") {
-    val h = new GenericArrayData(Array(2L, 0L, 3L)) // lo=0 hi=3 -> width 1
+    // 3 bins + the trailing clamped slot; lo=0 hi=3 -> width 1
+    val h = new GenericArrayData(Array(2L, 0L, 3L, 0L))
     def q(p: Double) = GraftHistogram.quantile(h, p, 0.0, 3.0)
     assert(q(0.0) == 0.0) // lower edge of first occupied bin
     assert(q(0.4) == 1.0) // target 2.0 lands exactly at bin 0's top edge
     // target 2.5 -> bin 2 (bin 1 empty, skipped), frac = 0.5/3
     assert(math.abs(q(0.5) - (2.0 + 0.5 / 3.0)) < 1e-15)
     assert(q(1.0) == 3.0) // upper edge of last occupied bin
-    assert(GraftHistogram.quantile(new GenericArrayData(Array(0L, 0L)), 0.5, 0.0, 1.0) == null)
+    assert(GraftHistogram.quantile(new GenericArrayData(Array(0L, 0L, 0L)), 0.5, 0.0, 1.0) == null)
+    // a nonzero clamped slot is metadata, not mass: same estimates
+    val hc = new GenericArrayData(Array(2L, 0L, 3L, 7L))
+    assert(GraftHistogram.quantile(hc, 1.0, 0.0, 3.0) == q(1.0))
   }
 
   test("estimate within one bin width of the exact percentile") {
@@ -59,7 +63,7 @@ class GraftHistogramSpec extends SparkSpec {
       .select(expr("graft_hist_merge(h)").as("h"))
       .head().getSeq[Long](0)
     assert(whole == merged)
-    assert(whole.sum == df.count())
+    assert(whole.init.sum == df.count()) // bins hold every row; last slot is the clamped count
   }
 
   test("quantile scalar: generated code == interpreted, both paths") {
@@ -78,7 +82,8 @@ class GraftHistogramSpec extends SparkSpec {
   }
 
   test("tvd: identical -> 0, disjoint -> 1, known mixture, empty -> null, mismatch throws") {
-    def g(xs: Long*) = new GenericArrayData(xs.toArray)
+    // last element is the clamped slot — excluded from the distribution
+    def g(xs: Long*) = new GenericArrayData(xs.toArray :+ 0L)
     assert(GraftHistogram.tvd(g(3, 1, 0), g(6, 2, 0)) == 0.0) // same distribution
     assert(GraftHistogram.tvd(g(5, 0), g(0, 7)) == 1.0)       // disjoint support
     // p = (.5,.5), q = (.75,.25) -> tvd = .5*(|.25|+|.25|) = .25
@@ -87,6 +92,10 @@ class GraftHistogramSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftHistogram.tvd(g(1, 2), g(1, 2, 3))
     }
+    // clamped metadata does not perturb the distance
+    assert(GraftHistogram.tvd(
+      new GenericArrayData(Array(2L, 2L, 9L)),
+      new GenericArrayData(Array(3L, 1L, 0L))) == 0.25)
   }
 
   test("tvd scalar: generated code == interpreted, both paths") {
@@ -133,7 +142,7 @@ class GraftHistogramSpec extends SparkSpec {
       val p = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)(rnd.nextInt(7))
       val w = (hi - lo) / bins
       val xs = Array.fill(n)(lo + rnd.nextDouble() * (hi - lo))
-      val h = new Array[Long](bins)
+      val h = new Array[Long](bins + 1)
       xs.foreach(x => h(GraftHistogram.binOf(x, lo, hi, bins)) += 1L)
       val est = GraftHistogram.quantile(new GenericArrayData(h), p, lo, hi)
       val sorted = xs.sorted
@@ -142,6 +151,42 @@ class GraftHistogramSpec extends SparkSpec {
       assert(math.abs(est - exact) <= w + 1e-9,
         s"n=$n bins=$bins p=$p: est $est vs exact $exact (width $w)")
     }
+  }
+
+  test("clamped count: out-of-domain mass is counted, estimates unchanged") {
+    // domain [0, 100): -3 (below lo), 110 and 100 (at/above hi) clamp to
+    // edge bins AND tick the trailing slot; in-domain values do not
+    val df = Seq(5.0, 15.0, 25.0, 35.0, -3.0, 110.0, 100.0).toDF("x")
+    val h = df.select(expr("graft_hist_agg(x, 0.0, 100.0, 10)").as("h"))
+    val r = h.select(
+      expr("graft_hist_clamped(h)").as("c"),
+      expr("graft_hist_quantile(h, 0.5, 0.0, 100.0)").as("q")).head()
+    assert(r.getLong(0) == 3L)
+    // estimate identical to the same mass pre-clamped into the domain by
+    // hand — the slot is pure metadata, the edge-fold behavior unchanged
+    val preClamped = Seq(5.0, 15.0, 25.0, 35.0, 0.0, 99.99, 99.99).toDF("x")
+      .select(expr("graft_hist_quantile(graft_hist_agg(x, 0.0, 100.0, 10), 0.5, 0.0, 100.0)"))
+      .head().getDouble(0)
+    assert(r.getDouble(1) == preClamped)
+    // fully in-domain data reads 0 — the healthy-measure signal
+    val clean = Seq(5.0, 15.0).toDF("x")
+      .select(expr("graft_hist_clamped(graft_hist_agg(x, 0.0, 100.0, 10))"))
+      .head().getLong(0)
+    assert(clean == 0L)
+    // clamped slot merges by add across partials, like the bins
+    val merged = Seq((0, -5.0), (1, 200.0), (0, 50.0), (1, 60.0)).toDF("p", "x")
+      .groupBy("p").agg(expr("graft_hist_agg(x, 0.0, 100.0, 10)").as("h"))
+      .select(expr("graft_hist_clamped(graft_hist_merge(h))"))
+      .head().getLong(0)
+    assert(merged == 2L)
+    // codegen == interpreted for the clamped scalar (parity contract all
+    // seven custom expressions carry)
+    val both = Seq("true", "false").map { codegen =>
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try h.select(expr("graft_hist_clamped(h)")).head().getLong(0)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assert(both(0) == both(1))
   }
 
   test("analysis-time failures: bad value type, non-literal bins, p out of range") {
