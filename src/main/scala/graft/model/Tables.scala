@@ -26,10 +26,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by our session
-    * builders). Sub-microsecond parts are zero in the fixtures, so the
-    * long→timestamp conversion is lossless. */
+  /** events.ts arrives in whatever physical type the fixture generator
+    * used — TIMESTAMP(NANOS) (read as long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by our session
+    * builders) or, since the r9 fixtures, TIMESTAMP(MICROS) without a
+    * timezone (read as TIMESTAMP_NTZ). Both normalize to TIMESTAMP:
+    * watermarks and `unix_micros` require an instant type, and the
+    * session timezone is pinned UTC so the NTZ→instant cast is the
+    * identity on wall-clock values — exactly DuckDB's naive read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
@@ -39,6 +43,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }
