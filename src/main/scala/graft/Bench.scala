@@ -71,7 +71,10 @@ object Bench {
       // the manifest to reuse — the operator did not get slower, the
       // number stopped benefiting from warm repeats (runs arrays show
       // the single entry).
-      "q_dedup_clusters", "q_dedup_manifest")
+      "q_dedup_clusters", "q_dedup_manifest",
+      // same staging shape (r9): first run = corpus writeState +
+      // delta applyDelta + staging; repeats replay the label parquet
+      "q_dedup_clusters_incremental")
     // NOT singleRun, on purpose (r8): q_dedup_incremental and
     // q_ann_ivf_indexed stage their OFFLINE artifact (corpus band
     // index / IVF model + cell layout) on run 1, and later runs

@@ -911,7 +911,7 @@ object ExtQueries {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     IncrementalDedup.deltaPairs(s, stageIncIndex(s, dir),
-        docs, docs.filter(col("doc_id") % 10 === 7))
+        docs.filter(col("doc_id") % 10 === 7))
       .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(20)
   }
@@ -1257,6 +1257,16 @@ object ExtQueries {
     * (min reachable label over the symmetric edge set). */
   private val stagedClusters = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The cluster graph's structural keys: first-3-words and
+    * last-3-words of each document (shared by the batch and the
+    * incremental cluster queries — key identity is (column, value)). */
+  private[graft] def clusterKeyed(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_join(slice(words, 1, 3), " ").as("k1"),
+      array_join(slice(reverse(words), 1, 3), " ").as("k2"))
+  }
+
   /** Cluster labels staged once per (JVM, dir) — the minhash-pairs
     * staging pattern: q_dedup_clusters' FIRST run pays the full
     * connected-components compute + staging (the honest pipeline
@@ -1270,10 +1280,7 @@ object ExtQueries {
         try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => java.nio.file.Files.deleteIfExists(q))
         catch { case _: Throwable => () }))
-      val words = split(col("text"), " ")
-      val keyed = Tables.documents(s, d).select(col("doc_id"),
-        array_join(slice(words, 1, 3), " ").as("k1"),
-        array_join(slice(reverse(words), 1, 3), " ").as("k2"))
+      val keyed = clusterKeyed(s, d)
       val edges = ConnectedComponents.keyEdges(keyed, "doc_id", Seq("k1", "k2"))
       // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
       // already pre-pays the first propagation round, so the bulk
@@ -1299,6 +1306,47 @@ object ExtQueries {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("doc_id")
+
+  private val stagedIncClusters = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental cluster maintenance end-to-end (r9): docs with
+    * `doc_id % 10 = 7` play the freshly-arrived delta (the
+    * [[dedupIncremental]] split), the rest the already-labeled corpus.
+    * The offline job ([[IncrementalClusters.writeState]]) batch-labels
+    * the corpus once; the delta then folds in via
+    * [[IncrementalClusters.applyDelta]] — O(delta + touched clusters),
+    * never a corpus CC recompute. Staged once per (JVM, dir) like the
+    * batch variant; repeat runs replay the label parquet.
+    *
+    * Oracled with the SAME recursive-CTE fixpoint as q_dedup_clusters:
+    * the equivalence contract IS that writeState(corpus) ∘
+    * applyDelta(delta) equals batch CC over corpus ∪ delta = all
+    * documents, so the hash gate proves incremental == batch. */
+  private def incClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedIncClusters.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Throwable => () }))
+      val keyed = clusterKeyed(s, d)
+      IncrementalClusters.writeState(
+        keyed.filter(col("doc_id") % 10 =!= 7), "doc_id", Seq("k1", "k2"), p.toString)
+      IncrementalClusters.applyDelta(s, p.toString,
+        keyed.filter(col("doc_id") % 10 === 7), "doc_id", Seq("k1", "k2"))
+      p.toString
+    })
+    IncrementalClusters.readLabels(s, path)
+  }
+
+  def dedupClustersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val wComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    incClusterLabels(s, dir)
+      .repartition(col("component"))
+      .select(col("doc_id"), col("component"),
+        count(lit(1)).over(wComp).as("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   /** Canonicalization manifest — the terminal dedup step a training
     * pipeline materializes: per duplicate cluster keep the
@@ -1908,6 +1956,7 @@ object ExtQueries {
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
+    "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
@@ -1954,6 +2003,9 @@ object ExtQueries {
     "q_pack"              -> packSequencesSql,
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
+    // incremental fold must reproduce the batch fixpoint exactly —
+    // same oracle, so the hash gate proves the equivalence contract
+    "q_dedup_clusters_incremental" -> dedupClustersSql,
     "q_dedup_manifest"    -> dedupManifestSql,
     "q_dedup_minhash"     -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

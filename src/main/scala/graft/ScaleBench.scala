@@ -114,9 +114,10 @@ object ScaleBench {
     // The delta is pinned to the BASE corpus's `% 10 = 7` docs at both
     // scales; only the indexed corpus grows. Index build is untimed —
     // it is the offline job the per-batch cost amortizes. Expect a
-    // ratio ≪ R: the corpus-proportional work left is two SCANS (the
+    // ratio ≪ R: the corpus-proportional work left is ONE scan (the
     // 3-fixed-width-column index streamed through a broadcast
-    // semi-join, and the verify stage's (id, text) column read) — no
+    // semi-join) — the verify stage's text read is bucket-pruned since
+    // r9 (was the dominant residual behind r8's 1.85× ratio) — no
     // corpus re-hash, no corpus shuffle.
     def incProbe(dir: String): Double = {
       val idx = java.nio.file.Files.createTempDirectory("graft_scale_inc").toString
@@ -127,7 +128,7 @@ object ScaleBench {
         .filter(col("doc_id") % 10 === 7)
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        graft.ops.IncrementalDedup.deltaPairs(spark, idx, docs, delta)
+        graft.ops.IncrementalDedup.deltaPairs(spark, idx, delta)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
@@ -135,11 +136,42 @@ object ScaleBench {
     val incBase = incProbe(baseDir)
     val incScaled = incProbe(scaleDir)
 
+    // FIXED-DELTA incremental-CLUSTERS probe (r9): the same
+    // decade-invariance claim for LABEL MAINTENANCE — "a day's arrivals
+    // re-label the same against a 10× corpus". The offline writeState
+    // (batch CC) is untimed; each timed run folds the SAME base-corpus
+    // delta into a FRESH COPY of the persisted labels (applyDelta
+    // mutates state in place, so runs must not compound). The
+    // corpus-proportional residuals are the two slim streamed scans
+    // (key index + label store, both broadcast-joined, never shuffled).
+    def incClusterProbe(dir: String): Double = {
+      val st = java.nio.file.Files.createTempDirectory("graft_scale_inccc").toString
+      graft.ops.IncrementalClusters.writeState(
+        ExtQueries.clusterKeyed(spark, dir).filter(col("doc_id") % 10 =!= 7),
+        "doc_id", Seq("k1", "k2"), st)
+      val delta = ExtQueries.clusterKeyed(spark, baseDir)
+        .filter(col("doc_id") % 10 === 7)
+      (1 to runs).map { _ =>
+        val run = java.nio.file.Files.createTempDirectory("graft_scale_inccc_run").toString
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(st), new java.io.File(run))
+        val t0 = System.nanoTime()
+        graft.ops.IncrementalClusters.applyDelta(spark, run, delta, "doc_id", Seq("k1", "k2"))
+        val t = (System.nanoTime() - t0) / 1e9
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+        t
+      }.min
+    }
+    val incCcBase = incClusterProbe(baseDir)
+    val incCcBaseTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
+    val incCcScaled = incClusterProbe(scaleDir)
+    val incCcScaledTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
+
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}}}""")
     spark.stop()
   }
 

@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   * or text shuffle.
   *
   * Per-delta-batch cost, by stage (the "O(delta)" claim covers hash
-  * and SHUFFLE work; two corpus-proportional SCANS remain — the slim
-  * index stream and the verify stage's (id, text) column read — both
-  * scan-bound and cheap relative to the re-hash they replace, which is
-  * what the fixed-delta sweep measures: 1.85× cost for 100× corpus,
-  * BENCH_SCALE_r08):
+  * and SHUFFLE work; ONE corpus-proportional SCAN remains — the slim
+  * 3-fixed-width-column index stream. The verify stage's text read is
+  * partition-pruned since r9; it was the second residual and the
+  * larger one — 1.85× fixed-delta cost for a 100× corpus in
+  * BENCH_SCALE_r08 was dominated by that (id, text) column read):
   *  - delta signatures: per-row, shuffle-free, O(delta);
   *  - bucket census: the delta's bucket set aggregates O(delta)
   *    rows, then a BROADCAST of that (tiny) set prunes the corpus
@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
   *    surviving buckets, again broadcast on the delta side — buckets
   *    containing no delta doc never produce work;
   *  - verify: exact Jaccard over shingles of candidate ids only —
-  *    shingles are BUILT for candidates only; the semi-join that
-  *    prunes to candidates still reads the (id, text) columns of the
-  *    full doc table (no id predicate reaches the scan).
+  *    shingles are BUILT for candidates only, and since r9 the corpus
+  *    text read is PRUNED TO STORAGE too: the index keeps the corpus
+  *    docs partitioned by `pmod(doc_id, dBuckets)`, the candidate ids'
+  *    bucket values become a literal partition predicate (static
+  *    pruning, the IvfIndex probe pattern), and only directories
+  *    holding a candidate are opened. Delta text never touches the
+  *    store — it comes straight from the delta frame. (At 100 TB the
+  *    id-bucketed doc store is not a second copy of the corpus: it IS
+  *    the canonical layout a continuously-fed pipeline keeps its docs
+  *    in — the offline index job owns writing it here.)
   *
   * EQUIVALENCE CONTRACT (spec-gated, and the reason the DuckDB oracle
   * can hash-gate this operator): the output equals the batch pipeline
@@ -46,12 +53,17 @@ object IncrementalDedup {
     * plus its per-bucket occupancy census (band, bucket, n) — the
     * one-time O(corpus) cost every later delta batch amortizes. The
     * census is written so delta batches never re-aggregate the index;
-    * both tables are ids-only (text never leaves the corpus store). */
+    * both tables are ids-only. Since r9 the index also owns the
+    * id-bucketed doc store (`docs/`, partitioned by
+    * `dbucket = pmod(id, dBuckets)`) the verify stage prunes against —
+    * see the class doc for why this is the canonical corpus layout,
+    * not a copy. */
   def writeIndex(corpus: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      salt: String = ""): Unit = {
+      salt: String = "", dBuckets: Int = 64): Unit = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(dBuckets > 0)
     val banded = Persists.cache(
       MinHashLSH.bandBuckets(
         MinHashLSH.sigTable(corpus, textCol, idCol, k, w, seed, salt), k, bands, salt)
@@ -61,6 +73,14 @@ object IncrementalDedup {
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/census")
     banded.unpersist()
+    Bucketing.writePartitioned(
+      corpus.select(col(idCol), col(textCol),
+        pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket")),
+      s"$path/docs", Seq("dbucket"))
+    // layout properties are NOT hash-family params: a probe reads them
+    // from the artifact instead of having to re-supply them
+    java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("layout"),
+      s"dBuckets=$dBuckets".getBytes("UTF-8"))
     // record the hash-family parameters the index was built with:
     // probing with a different family yields silently-empty matches,
     // not an error — the IndexStore shape-header principle. The salt
@@ -90,21 +110,20 @@ object IncrementalDedup {
 
   /** Near-dup candidate pairs INVOLVING the delta, verified with exact
     * Jaccard. Output (a_id, b_id, jaccard), a_id < b_id — the batch
-    * pipeline's shape, restricted to delta-involving pairs.
+    * pipeline's shape, restricted to delta-involving pairs. Corpus
+    * text comes from the index's bucket-partitioned doc store (pruned
+    * to candidate buckets); delta text from `delta` itself — no full
+    * corpus-table scan anywhere in the probe (r9).
     *
-    * @param allDocs corpus ∪ delta documents (text lookup for the
-    *                verify stage only: a candidate-ids semi-join, so
-    *                shingles are built for candidates only — the scan
-    *                itself still reads the (id, text) columns)
-    * @param delta   the newly-arrived docs; ids must be disjoint from
-    *                the index's
+    * @param delta the newly-arrived docs; ids must be disjoint from
+    *              the index's
     */
   def deltaPairs(spark: SparkSession, indexPath: String,
-      allDocs: DataFrame, delta: DataFrame,
+      delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 1000, salt: String = ""): DataFrame =
-    deltaPairsGuarded(spark, indexPath, allDocs, delta, textCol, idCol,
+    deltaPairsGuarded(spark, indexPath, delta, textCol, idCol,
       k, bands, w, seed, maxBucketSize, salt).pairs
 
   /** [[deltaPairs]] plus the quarantine list — the adversarial posture
@@ -124,7 +143,7 @@ object IncrementalDedup {
     * bucket key and the corpus index pays one shuffle — still never a
     * re-hash. */
   def deltaPairsGuarded(spark: SparkSession, indexPath: String,
-      allDocs: DataFrame, delta: DataFrame,
+      delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 1000, salt: String = "",
@@ -190,7 +209,26 @@ object IncrementalDedup {
 
     val candIds = pairs.select(col("a_id").as("__id"))
       .union(pairs.select(col("b_id").as("__id"))).distinct()
-    val sh = MinHashLSH.shingleLookup(allDocs, textCol, idCol, candIds, w)
+    // verify-stage text: corpus candidates come from the index's
+    // id-bucketed doc store behind a LITERAL partition predicate —
+    // only directories holding a candidate id are opened. The collect
+    // is metadata-scale (≤ dBuckets distinct bucket values; pairs is
+    // cached, so this doesn't recompute the pipeline). Delta ids in
+    // candBuckets at most open directories that also hold corpus
+    // candidates — never rows that survive the semi-join below.
+    val layoutFile = java.nio.file.Paths.get(indexPath).resolve("layout")
+    require(java.nio.file.Files.exists(layoutFile),
+      s"no layout file at $indexPath — rebuild the index with writeIndex (r9 layout)")
+    val dBuckets = new String(java.nio.file.Files.readAllBytes(layoutFile), "UTF-8")
+      .trim.stripPrefix("dBuckets=").toInt
+    val candBuckets = candIds
+      .select(pmod(col("__id").cast("long"), lit(dBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusCand = spark.read.parquet(s"$indexPath/docs")
+      .filter(col("dbucket").isin(candBuckets: _*))
+      .select(col(idCol), col(textCol))
+    val verifyDocs = corpusCand.unionByName(delta.select(col(idCol), col(textCol)))
+    val sh = MinHashLSH.shingleLookup(verifyDocs, textCol, idCol, candIds, w)
     val verified = pairs
       .join(sh.select(col("__id").as("a_id"), col("__sh").as("a_sh")), "a_id")
       .join(sh.select(col("__id").as("b_id"), col("__sh").as("b_sh")), "b_id")

@@ -47,7 +47,7 @@ class IncrementalDedupSpec extends SparkSpec {
 
     val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup").toString
     IncrementalDedup.writeIndex(corpus, idx)
-    val got = rows(IncrementalDedup.deltaPairs(spark, idx, union, delta))
+    val got = rows(IncrementalDedup.deltaPairs(spark, idx, delta))
     assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
@@ -69,7 +69,7 @@ class IncrementalDedupSpec extends SparkSpec {
 
     val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-cap").toString
     IncrementalDedup.writeIndex(c2, idx)
-    val got = rows(IncrementalDedup.deltaPairs(spark, idx, union, d2, maxBucketSize = 5))
+    val got = rows(IncrementalDedup.deltaPairs(spark, idx, d2, maxBucketSize = 5))
     assert(got == expected, s"missing: ${expected -- got}; extra: ${got -- expected}")
   }
 
@@ -79,15 +79,15 @@ class IncrementalDedupSpec extends SparkSpec {
     val union = corpus.unionByName(delta)
     // a mismatched family would SILENTLY match nothing — must throw
     val ex = intercept[IllegalArgumentException] {
-      IncrementalDedup.deltaPairs(spark, idx, union, delta, bands = 32, k = 64)
+      IncrementalDedup.deltaPairs(spark, idx, delta, bands = 32, k = 64)
     }
     assert(ex.getMessage.contains("built with"))
     intercept[IllegalArgumentException] { // salted probe of unsalted index
-      IncrementalDedup.deltaPairs(spark, idx, union, delta, salt = "s3cr3t")
+      IncrementalDedup.deltaPairs(spark, idx, delta, salt = "s3cr3t")
     }
     // backfill-sized deltas disable the broadcast hints: same rows
-    val bcast = rows(IncrementalDedup.deltaPairs(spark, idx, union, delta))
-    val shuffled = rows(IncrementalDedup.deltaPairsGuarded(spark, idx, union, delta,
+    val bcast = rows(IncrementalDedup.deltaPairs(spark, idx, delta))
+    val shuffled = rows(IncrementalDedup.deltaPairsGuarded(spark, idx, delta,
       broadcastDelta = false).pairs)
     assert(bcast == shuffled)
   }
@@ -106,7 +106,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-q").toString
     IncrementalDedup.writeIndex(c2, idx)
     val guarded = IncrementalDedup.deltaPairsGuarded(spark, idx,
-      c2.unionByName(d2), d2, maxBucketSize = 5)
+      d2, maxBucketSize = 5)
     val quarantined = guarded.quarantined.collect().map(_.getLong(0)).toSet
     assert((400L until 404L).toSet.subsetOf(quarantined),
       s"flooded delta docs missing from quarantine: ${(400L until 404L).toSet -- quarantined}")
@@ -117,7 +117,37 @@ class IncrementalDedupSpec extends SparkSpec {
     val idx2 = java.nio.file.Files.createTempDirectory("graft-inc-dedup-q2").toString
     IncrementalDedup.writeIndex(corpus, idx2)
     assert(IncrementalDedup.deltaPairsGuarded(spark, idx2,
-      corpus.unionByName(delta), delta).quarantined.count() == 0)
+      delta).quarantined.count() == 0)
+  }
+
+  test("verify-stage text read is partition-pruned to candidate buckets (r9)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val idx = java.nio.file.Files.createTempDirectory("graft-inc-dedup-prune").toString
+    // 16 doc buckets over corpus ids 0..39 → every bucket directory
+    // exists, but only buckets holding a candidate id may be read
+    IncrementalDedup.writeIndex(corpus, idx, dBuckets = 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static-plan convention
+    try {
+      val df = IncrementalDedup.deltaPairs(spark, idx, delta)
+      val candBuckets = df.collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .map(id => (id % 16).toInt).toSet
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths.exists(
+          _.toString.endsWith("/docs")) => s
+      }.head
+      // the candidate-bucket isin is a STATIC partition filter — the
+      // whole point is that un-candidate bucket directories are never
+      // opened, provable before execution (the IvfIndex probe gate)
+      val staticFilters = scan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+      assert(staticFilters.nonEmpty,
+        "candidate-bucket predicate must reach the docs scan as a static PartitionFilter:\n" + scan)
+      val selected = scan.relation.location.listFiles(staticFilters, Nil).size
+      val total = scan.relation.location.listFiles(Nil, Nil).size
+      assert(selected <= candBuckets.size && selected < total,
+        s"expected ≤${candBuckets.size} of $total doc-bucket dirs read, got $selected")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("the corpus index streams through broadcast joins — never shuffled, never re-hashed") {
@@ -129,8 +159,7 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.writeIndex(corpus, idx)
     spark.conf.set("spark.sql.adaptive.enabled", "false") // static-plan convention
     try {
-      val df = IncrementalDedup.deltaPairs(spark, idx,
-        corpus.unionByName(delta), delta)
+      val df = IncrementalDedup.deltaPairs(spark, idx, delta)
       // the pair stage is Persists-cached, so the index scan lives
       // inside an InMemoryRelation — expand cached plans when walking
       def expand(p: SparkPlan): Seq[SparkPlan] =
