@@ -56,28 +56,57 @@ object ExtQueries {
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   /** Corpus distribution-drift monitor: per-source total-variation
-    * distance of the document-length distribution against the whole
-    * corpus — the check a training-data pipeline runs per crawl
-    * snapshot to catch a source whose content shifted. ONE scan of the
-    * corpus: per-source bounded-range histograms (GraftHistogram), the
-    * global reference re-aggregated from those partials with
-    * graft_hist_merge (never a second pass), then the bit-exact TVD
-    * scalar (GraftHistTvd — no logs, unlike KL/PSI, so the oracle
-    * matches to the last ulp). At 100 TB the per-source rows are
-    * |sources| × bins longs — the monitor's cost IS the one corpus
-    * scan. */
+    * distance of BOTH the document-length distribution (histogram
+    * sketch) and the language mix (exact small-domain counts — the
+    * other thing crawl snapshots break, r9) against the whole corpus —
+    * the check a training-data pipeline runs per crawl snapshot. STILL
+    * one scan of the corpus: the single pass aggregates at
+    * (source, lang) grain — count + histogram partial — and everything
+    * coarser re-aggregates from those mergeable partials
+    * (graft_hist_merge for the sketches, sum for the counts; never a
+    * second pass). Length TVD is the bit-exact GraftHistTvd scalar (no
+    * logs, unlike KL/PSI, so the oracle matches to the last ulp); lang
+    * TVD keeps cross-engine exactness differently — the sum runs in
+    * INTEGER arithmetic (Σ|c·G − g·T| is order-free; decimal(38)/
+    * HUGEINT so 100 TB-scale products can't overflow) and floating
+    * point enters only in the final single division. At 100 TB the
+    * post-scan rows are |sources|·|langs| × bins longs — the monitor's
+    * cost IS the one corpus scan. */
   def drift(s: SparkSession, dir: String): DataFrame = {
-    // cached: referenced twice (global merge + the join below) and
-    // self-joined subplans are not deduped — without the cache the
-    // corpus would scan twice. |sources| rows of bins longs, tiny.
-    val perSource = graft.ops.Persists.cache(Tables.documents(s, dir)
-      .groupBy("source")
-      .agg(count(lit(1)).as("doc_count"),
+    // cached: referenced three times (per-source rollup, global lang
+    // counts, global total) and self-joined subplans are not deduped —
+    // without the cache the corpus would scan repeatedly.
+    // |sources|·|langs| rows of bins longs, tiny.
+    val byLang = graft.ops.Persists.cache(Tables.documents(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"),
         expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h")))
-    val global = perSource.agg(expr("graft_hist_merge(h)").as("g"))
-    perSource.crossJoin(broadcast(global))
+    val perSource = graft.ops.Persists.cache(byLang
+      .groupBy("source")
+      .agg(sum("c").as("doc_count"), expr("graft_hist_merge(h)").as("h")))
+    val globalHist = perSource.agg(expr("graft_hist_merge(h)").as("g"),
+      sum("doc_count").as("gt"))
+    val globalLang = byLang.groupBy("lang").agg(sum("c").as("gc"))
+    // dense (source, lang) grid: a lang ABSENT from a source still
+    // contributes |0 − p_global(lang)| to that source's TVD. The grid
+    // is metadata-scale (distinct sources × distinct langs).
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val langNum = perSource.select(col("source"), col("doc_count"))
+      .crossJoin(broadcast(globalLang))
+      .join(byLang.select(col("source"), col("lang"), col("c")),
+        Seq("source", "lang"), "left")
+      .crossJoin(broadcast(globalHist.select(col("gt"))))
+      .groupBy("source")
+      .agg(sum(abs(dec(coalesce(col("c"), lit(0L))) * dec(col("gt"))
+        - dec(col("gc")) * dec(col("doc_count")))).as("num"),
+        first("doc_count").as("doc_count"), first("gt").as("gt"))
+    perSource.crossJoin(broadcast(globalHist.select(col("g"))))
+      .join(langNum.select(col("source"), col("num"), col("gt")), "source")
       .select(col("source"), col("doc_count"),
-        expr("graft_hist_tvd(h, g)").as("length_drift_tvd"))
+        expr("graft_hist_tvd(h, g)").as("length_drift_tvd"),
+        (lit(0.5) * (col("num").cast("double") /
+          (col("doc_count").cast("double") * col("gt").cast("double"))))
+          .as("lang_drift_tvd"))
       .orderBy("source")
   }
 
@@ -116,9 +145,31 @@ object ExtQueries {
       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |           list(d ORDER BY bin)), (acc, x) -> acc + x) AS sm
       |  FROM diffs GROUP BY 1
+      |), lc AS (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+      |), lgl AS (
+      |  SELECT lang, sum(c) AS gc FROM lc GROUP BY 1
+      |), lnum AS (
+      |  -- integer TVD numerator: order-free HUGEINT sum, mirroring the
+      |  -- engine's decimal(38) arithmetic; the dense grid charges langs
+      |  -- absent from a source with |0 - p_global|
+      |  SELECT g.source,
+      |         sum(abs(CAST(coalesce(lc.c, 0) AS HUGEINT) * CAST(gt.t AS HUGEINT)
+      |                 - CAST(lgl.gc AS HUGEINT) * CAST(st.t AS HUGEINT))) AS num
+      |  FROM (SELECT s.source, l.lang
+      |        FROM (SELECT DISTINCT source FROM documents) s
+      |        CROSS JOIN (SELECT DISTINCT lang FROM documents) l) g
+      |  JOIN st ON st.source = g.source
+      |  CROSS JOIN gt
+      |  JOIN lgl ON lgl.lang = g.lang
+      |  LEFT JOIN lc ON lc.source = g.source AND lc.lang = g.lang
+      |  GROUP BY 1
       |)
-      |SELECT f.source, st.t AS doc_count, 0.5 * f.sm AS length_drift_tvd
-      |FROM folded f JOIN st USING (source) ORDER BY f.source""".stripMargin
+      |SELECT f.source, st.t AS doc_count, 0.5 * f.sm AS length_drift_tvd,
+      |       0.5 * (CAST(ln.num AS DOUBLE)
+      |              / (CAST(st.t AS DOUBLE) * CAST(gt.t AS DOUBLE))) AS lang_drift_tvd
+      |FROM folded f JOIN st USING (source) JOIN lnum ln ON ln.source = f.source
+      |CROSS JOIN gt ORDER BY f.source""".stripMargin
 
   /** One-pass data-profile card over the documents corpus — the
     * Deequ-style table summary a pipeline materializes per snapshot:
