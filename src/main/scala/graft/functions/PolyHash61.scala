@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the kernel within ~reach of xxhash64's multiply-rotate core on the
   * short strings (shingles, bucket keys) the hot paths feed it.
   */
-case class PolyHash61(child: Expression)
+case class PolyHash61(child: Expression, saltState: Long = 0L)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -33,12 +33,12 @@ case class PolyHash61(child: Expression)
   override def prettyName: String = "poly_hash61"
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash61.compute(input.asInstanceOf[UTF8String].getBytes)
+    PolyHash61.compute(input.asInstanceOf[UTF8String].getBytes, saltState)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = PolyHash61.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, input =>
-      s"${ev.value} = $cls.compute($input.getBytes());")
+      s"${ev.value} = $cls.compute($input.getBytes(), ${saltState}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash61 =
@@ -77,9 +77,17 @@ object PolyHash61 {
     * transforms, staging parquet and the bucket shuffle, not the hash
     * kernel. Kept because it is free, exact, and strictly no worse.
     */
-  def compute(bytes: Array[Byte]): Long = {
+  def compute(bytes: Array[Byte]): Long = compute(bytes, 0L)
+
+  /** `saltState` is the initial Horner state (r9 — the
+    * [[ShinglePolyHashes]] salted-fold contract): folding from
+    * `PolyHash61.compute((salt + " ").getBytes)` equals hashing the
+    * string `salt + " " + input`. 0 = the unsalted, oracle-able
+    * default. The blocked fold is unaffected — it is the same
+    * polynomial from a different start state. */
+  def compute(bytes: Array[Byte], saltState: Long): Long = {
     val n = bytes.length
-    var h = 0L
+    var h = saltState
     var i = 0
     val n4 = n - 3
     while (i < n4) {
@@ -110,8 +118,10 @@ object PolyHash61 {
     h
   }
 
-  def apply(text: Column): Column = {
+  def apply(text: Column): Column = apply(text, 0L)
+
+  def apply(text: Column, saltState: Long): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    GraftBridge.column(PolyHash61(GraftBridge.expression(spark, text)))
+    GraftBridge.column(PolyHash61(GraftBridge.expression(spark, text), saltState))
   }
 }

@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * minhash). Native expression with doGenCode: per-char interpreted
   * HOFs would be quadratic-ish and interpreter-bound.
   */
-case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
+// saltState deliberately has NO default: the case-class apply would
+// otherwise clash with the defaulted Column apply overloads below
+case class WinnowingFingerprints(child: Expression, k: Int, window: Int,
+    saltState: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 2 && window >= 1)
@@ -34,7 +37,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    new GenericArrayData(WinnowingFingerprints.compute(bytes, k, window))
+    new GenericArrayData(WinnowingFingerprints.compute(bytes, k, window, saltState))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -42,7 +45,7 @@ case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
     nullSafeCodeGen(ctx, ev, input => {
       s"""
          |${ev.value} = new ${classOf[GenericArrayData].getName}(
-         |  $cls.compute($input.getBytes(), $k, $window));
+         |  $cls.compute($input.getBytes(), $k, $window, ${saltState}L));
        """.stripMargin
     })
   }
@@ -59,7 +62,24 @@ object WinnowingFingerprints {
   /** Rolling k-gram hashes + winnowing; shared by interpreted eval and
     * generated code (the kernel is branchy enough that a single JIT'd
     * static method beats inlined codegen anyway). */
-  def compute(bytes: Array[Byte], k: Int, window: Int): Array[Long] = {
+  def compute(bytes: Array[Byte], k: Int, window: Int): Array[Long] =
+    compute(bytes, k, window, 0L)
+
+  /** `saltState` (r9): the salted-fold contract — each salted gram hash
+    * equals the Horner fold of the gram bytes STARTED from `saltState`,
+    * i.e. hashing `salt + " " + gram` (the [[ShinglePolyHashes]]
+    * contract, WinnowingFingerprintsSpec-asserted). The fold is affine
+    * in its start state over Z/2^61 (wraparound multiplication is exact
+    * there — the [[PolyHash61]] modulus argument), so
+    * `fold(s0, gram) = s0·B^k + fold(0, gram)`: the rolling recurrence
+    * stays UNSALTED and one constant add re-keys each gram. Salting
+    * re-keys which grams win the window minima — exactly the point:
+    * a closed-form collision/minima construction against the unseeded
+    * hash needs the fold's start state, and a per-run secret denies it.
+    * Recall is unaffected (identical gram bytes hash identically under
+    * the same salt, and winnowing's shared-print guarantee holds for
+    * ANY hash). 0 = the unsalted, oracle-able default. */
+  def compute(bytes: Array[Byte], k: Int, window: Int, saltState: Long): Array[Long] = {
     val n = bytes.length
     if (n < k) return Array.empty[Long]
     val m = n - k + 1
@@ -68,15 +88,17 @@ object WinnowingFingerprints {
     var bk = 1L
     var i = 0
     while (i < k - 1) { bk = (bk * B) & Mask; i += 1 }
+    // saltState·B^k — the constant that shifts fold(0, ·) to fold(s0, ·)
+    val saltShift = if (saltState == 0L) 0L else (saltState * ((bk * B) & Mask)) & Mask
     var h = 0L
     i = 0
     while (i < k) { h = (h * B + (bytes(i) & 0xff)) & Mask; i += 1 }
-    grams(0) = h
+    grams(0) = (h + saltShift) & Mask
     i = 1
     while (i < m) {
       h = ((h - ((bytes(i - 1) & 0xff) * bk & Mask) + (Mask + 1)) & Mask)
       h = (h * B + (bytes(i + k - 1) & 0xff)) & Mask
-      grams(i) = h
+      grams(i) = (h + saltShift) & Mask
       i += 1
     }
     if (m <= window) {
@@ -105,9 +127,12 @@ object WinnowingFingerprints {
     arr
   }
 
-  def apply(text: Column, k: Int = 8, window: Int = 16): Column = {
+  def apply(text: Column, k: Int = 8, window: Int = 16): Column =
+    apply(text, k, window, 0L)
+
+  def apply(text: Column, k: Int, window: Int, saltState: Long): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     GraftBridge.column(
-      WinnowingFingerprints(GraftBridge.expression(spark, text), k, window))
+      WinnowingFingerprints(GraftBridge.expression(spark, text), k, window, saltState))
   }
 }

@@ -30,10 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Production path: native codegen'd expression over token hashes. */
-  def simhash(text: Column): Column =
+  /** Production path: native codegen'd expression over token hashes.
+    * `salt` (r9, VERDICT r8 task 7): a per-run secret re-keys every
+    * token hash via the [[MinHashLSH.saltState]] fold contract
+    * (hashing `salt + " " + token`), denying the closed-form
+    * PolyHash61 collision construction that would let an adversary
+    * steer fingerprint bits. Identical tokens hash identically under
+    * the same salt, so near-dup recall is unchanged (DedupSpec).
+    * "" = the unsalted, oracle-able default. */
+  def simhash(text: Column, salt: String = ""): Column =
     graft.functions.SimHash64(
-      transform(TextOps.tokens(lower(text)), t => graft.functions.PolyHash61(t)))
+      transform(TextOps.tokens(lower(text)),
+        t => graft.functions.PolyHash61(t, MinHashLSH.saltState(salt))))
 
   /** Reference HOF implementation — the semantic spec the native
     * expression is asserted against (SimHash64Spec); interpreted and
@@ -49,17 +57,19 @@ object SimHash {
       lit(0L), (acc: Column, x: Column) => acc.bitwiseOR(x))
   }
 
-  def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+  def fingerprints(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      salt: String = ""): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash(col(textCol), salt).as("simhash"))
 
   /** Pairs with hamming distance ≤ maxHamming (needs maxHamming ≤ 3
     * for the 4-block pigeonhole to be complete). */
   def nearDuplicates(df: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
     require(maxHamming <= 3, "4-block banding guarantees recall only for hamming <= 3")
     // persisted: the block self-join reads it on both sides (see
     // MinHashLSH.candidatePairs)
-    val fp = Persists.cache(fingerprints(df, textCol, idCol))
+    val fp = Persists.cache(fingerprints(df, textCol, idCol, salt))
     // bit-aware 16/15/15/15 blocks over the 61 live bits (see scaladoc)
     val blockDefs = Seq((0, 16), (16, 15), (31, 15), (46, 15))
     val blocked = fp.select(col("doc_id"), col("simhash"),

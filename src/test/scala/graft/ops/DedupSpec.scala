@@ -153,4 +153,67 @@ class DedupSpec extends SparkSpec {
       assert(r.getInt(2) == expect || r.getLong(2) == expect)
     }
   }
+
+  test("salted simhash: re-keyed fingerprints, banding still complete (adversarial posture, r9)") {
+    val salt = MinHashLSH.secretSalt()
+    val unsalted = SimHash.fingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SimHash.fingerprints(corpus, salt = salt).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the salt must actually re-key (a no-op salt would leave the
+    // closed-form collision construction available)...
+    assert(unsalted.exists { case (id, f) => salted(id) != f },
+      "salt had no effect on simhash fingerprints")
+    // ...while keeping every fingerprint inside the 61 live bits the
+    // bit-aware banding covers (a salted hash escaping to bits 61-63
+    // would silently break the pigeonhole completeness argument)
+    salted.values.foreach(f => assert((f >>> 61) == 0L,
+      f"salted fingerprint uses bits 61-63: $f%016x"))
+    // banding completeness holds for WHATEVER family the salt lands us
+    // in: the pairing must equal the salted-fingerprint ground truth
+    val truth = (for {
+      a <- salted.keys; b <- salted.keys if a < b
+      if java.lang.Long.bitCount(salted(a) ^ salted(b)) <= 3
+    } yield (a, b)).toSet
+    val found = SimHash.nearDuplicates(corpus, maxHamming = 3, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"missed: ${truth -- found}; phantom: ${found -- truth}")
+    // and the unsalted (oracle) path is untouched by the new parameter
+    assert(SimHash.fingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == unsalted)
+  }
+
+  test("salted winnowing: re-keyed prints, shared-print recall intact (adversarial posture, r9)") {
+    import graft.functions.WinnowingFingerprints
+    val salt = MinHashLSH.secretSalt()
+    val saltState = graft.functions.PolyHash61.compute((salt + " ").getBytes("UTF-8"))
+    def prints(st: Long): Map[Long, Set[Long]] = corpus
+      .select(col("doc_id"), WinnowingFingerprints(col("text"), 8, 16, st).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val unsalted = prints(0L)
+    val salted = prints(saltState)
+    assert(unsalted.exists { case (id, s) => salted(id) != s },
+      "salt had no effect on winnowing fingerprints")
+    // the guarantee "any match of length >= w+k-1 shares a print" holds
+    // for ANY hash family: each planted near-dup (one word dropped from
+    // 60) shares long verbatim runs with its base, so the salted print
+    // sets must still overlap
+    (0 until 10).foreach { i =>
+      assert(salted(i.toLong).intersect(salted(100L + i)).nonEmpty,
+        s"salted winnowing lost recall on planted pair ($i, ${100 + i})")
+    }
+    // salted gram hash == Horner fold of the gram STARTED from the salt
+    // state == hash of "salt + ' ' + gram" (the ShinglePolyHashes
+    // contract), spot-asserted on a literal doc
+    val doc = "abcdefghijklmnop"
+    val got = Seq(doc).toDF("text")
+      .select(WinnowingFingerprints(col("text"), 8, 16, saltState))
+      .collect().head.getSeq[Long](0).toSet
+    val expected = (0 to doc.length - 8).map { i =>
+      graft.functions.PolyHash61.compute(
+        (salt + " " + doc.substring(i, i + 8)).getBytes("UTF-8"))
+    }.min // doc shorter than one window: global min survives
+    assert(got == Set(expected))
+  }
 }
