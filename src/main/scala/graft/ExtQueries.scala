@@ -1668,34 +1668,36 @@ object ExtQueries {
     * payload bytes (Java `Arrays.hashCode` fold), so even this query is
     * oracled: DuckDB recomputes the same 32-bit fold over the UTF-8
     * bytes (fixture text is ASCII, so code points == bytes). */
+  /** Real header-parse path (r9): the blobs carry synthesized VALID
+    * PNG/JPEG files (id-derived dims), decode reads width/height/
+    * channels/format from the actual IHDR/SOF bytes, and the oracle
+    * re-derives the same metadata from the synthesis recipe — hash
+    * equality proves parse ∘ synth = id across every row. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    val blobs = Multimodal.blobTable(Tables.documents(s, dir))
+    val blobs = Multimodal.synthImageBlobs(Tables.documents(s, dir))
     Multimodal.decode(blobs).toDF()
       .select(col("media_id"), col("meta.width"), col("meta.height"),
-        col("meta.format"), size(col("features")).as("feature_dim"))
+        col("meta.channels"), col("meta.format"),
+        size(col("features")).as("feature_dim"))
       .orderBy("media_id")
   }
 
-  /** DuckDB re-expression of Multimodal.decode's stub codec:
-    * h = fold(bytes, 1, (h,b) -> 31*h + b) in wraparound int32 (Java
-    * Arrays.hashCode), width = 64 + floorMod(h, 960), height =
-    * 64 + floorMod(h >> 10, 960). */
+  /** The synthesis recipe in SQL (Multimodal.synthDims/synthPng/
+    * synthJpeg): even ids PNG with color type cycling {gray,
+    * truecolor, truecolor+alpha} → channels {1,3,4}; odd ids JPEG with
+    * 1 component when id≡1 (mod 4), else 3. doc_id ≥ 0, so `%` is
+    * floorMod. */
   val multimodalDecodeSql: String =
-    """WITH b AS (
-      |  SELECT doc_id AS media_id,
-      |         list_reduce(
-      |           list_prepend(CAST(1 AS BIGINT),
-      |             list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
-      |           (a, x) -> ((31*a + x + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648
-      |         ) AS h
-      |  FROM documents
-      |)
-      |SELECT media_id,
-      |       CAST(64 + ((h % 960) + 960) % 960 AS INT) AS width,
-      |       CAST(64 + ((CAST(floor(h / 1024.0) AS BIGINT) % 960) + 960) % 960 AS INT) AS height,
-      |       'stub' AS format,
+    """SELECT doc_id AS media_id,
+      |       CAST(16 + (doc_id * 31) % 1000 AS INT) AS width,
+      |       CAST(16 + (doc_id * 17) % 1000 AS INT) AS height,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |              CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+      |            ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END
+      |       END AS INT) AS channels,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
       |       8 AS feature_dim
-      |FROM b ORDER BY media_id""".stripMargin
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** Sequence packing manifest: docs packed into 512-token training
     * sequences per source shard (concat-and-chunk assignment — see

@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (builder brief).
   *
   * The Spark-side machinery — schema, partition-preserving batched
-  * iteration, output shapes — is real and tested. The codec calls
-  * themselves are STUBS (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic fake metadata/pixels from the
-  * bytes, at exactly the seam where a real implementation would call
-  * libjpeg/ffmpeg. In production each `mapPartitions` body would wrap
-  * the native decoder; nothing about the distributed plan changes.
+  * iteration, output shapes — is real and tested. Since r9 the header
+  * stage of the codec is REAL too: [[parseHeader]] reads width/height/
+  * channels/format straight from PNG IHDR and JPEG SOF marker bytes
+  * (pure public byte-format knowledge — PNG spec §11.2.2, JPEG/JFIF
+  * marker structure), and [[synthImageBlobs]] synthesizes VALID
+  * headers with id-derived dimensions so the DuckDB oracle can
+  * re-derive the same metadata from the synthesis recipe — the hash
+  * gate proves parse ∘ synth = id. PIXEL decode remains a stub (this
+  * container has no image libraries): `decode` falls back to
+  * deterministic fake metadata for unrecognized payloads, at exactly
+  * the seam where a real implementation would call libjpeg/ffmpeg. In
+  * production each `mapPartitions` body would wrap the native decoder;
+  * nothing about the distributed plan changes.
   *
   * Scale shape: decode is a narrow per-partition pass (no shuffle); the
   * batch grouping inside mapPartitions is where a vectorized/native
@@ -37,10 +44,75 @@ object Multimodal {
           col("type_code") + 1))
       .drop("type_code")
 
-  /** STUB decode: deterministic pseudo-decode of the payload. A real
-    * build would replace only the body of the batch loop with a native
-    * codec call. Output schema (struct meta + float features) is the
-    * real contract downstream stages compile against. */
+  // ------------------------------------------------ real header parsing (r9)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** PNG color type → sample channels (PNG spec §6.1). */
+  private def pngChannels(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1) // grayscale
+    case 2 => Some(3) // truecolor
+    case 3 => Some(1) // palette index
+    case 4 => Some(2) // gray + alpha
+    case 6 => Some(4) // truecolor + alpha
+    case _ => None
+  }
+
+  /** Read (width, height, channels, format) from real image bytes —
+    * PNG IHDR (the first chunk, mandated directly after the 8-byte
+    * signature) or the first JPEG SOF marker (scanning over preceding
+    * segments via their big-endian lengths, skipping stand-alone
+    * markers). None for anything unrecognized/truncated — the caller's
+    * stub fallback. Pure byte arithmetic: no codec library. */
+  def parseHeader(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length >= 33 && bytes.take(8).sameElements(PngSig) &&
+        be32(bytes, 8) == 13 &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      if (w <= 0 || h <= 0) None
+      else pngChannels(bytes(25) & 0xff).map(MediaMeta(w, h, _, "png"))
+    } else if (bytes.length >= 4 &&
+        (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8) {
+      var i = 2
+      while (i + 1 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xFF) return None // not a marker: corrupt
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xFF) i += 1 // fill byte padding before a marker
+        else if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // a SOFn frame header: [len u16][precision u8][h u16][w u16][ncomp u8]
+          if (i + 9 >= bytes.length) return None
+          val h = be16(bytes, i + 5)
+          val w = be16(bytes, i + 7)
+          val ncomp = bytes(i + 9) & 0xff
+          return if (w > 0 && h > 0 && ncomp > 0) Some(MediaMeta(w, h, ncomp, "jpeg"))
+            else None
+        } else if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7)) {
+          i += 2 // stand-alone marker, no length field
+        } else {
+          if (i + 3 >= bytes.length) return None
+          i += 2 + be16(bytes, i + 2) // skip the segment by its length
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode: REAL header parse ([[parseHeader]]) for metadata; the
+    * pixel/feature stage stays a deterministic stub behind the same
+    * batch-loop seam a native codec would fill. Unrecognized payloads
+    * keep the legacy stub metadata ("stub" format) so arbitrary binary
+    * columns still flow. Output schema (struct meta + float features)
+    * is the real contract downstream stages compile against. */
   def decode(blobs: DataFrame, batchSize: Int = 64, featureDim: Int = 8): Dataset[Decoded] = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -50,17 +122,80 @@ object Multimodal {
           // === stub codec boundary: real impl decodes `batch` natively ===
           batch.iterator.map { case (id, bytes) =>
             val h = java.util.Arrays.hashCode(bytes)
-            val w = 64 + math.floorMod(h, 960)
-            val ht = 64 + math.floorMod(h >> 10, 960)
             val features = Array.tabulate(featureDim) { d =>
               val slice = if (bytes.isEmpty) 0
                 else bytes(math.floorMod(h + d * 31, bytes.length)).toInt
               (slice / 128.0f)
             }
-            Decoded(id, MediaMeta(w, ht, 3, "stub"), features)
+            val meta = parseHeader(bytes).getOrElse {
+              val w = 64 + math.floorMod(h, 960)
+              val ht = 64 + math.floorMod(h >> 10, 960)
+              MediaMeta(w, ht, 3, "stub")
+            }
+            Decoded(id, meta, features)
           }
         }
       }
+  }
+
+  // ------------------------------------------- valid-header synthesis (r9)
+
+  /** Id-derived synthetic dimensions — the recipe the DuckDB oracle
+    * re-derives: parse(synth(id)) must reproduce exactly these. */
+  def synthDims(id: Long): (Int, Int) =
+    (16 + math.floorMod(id * 31, 1000L).toInt,
+      16 + math.floorMod(id * 17, 1000L).toInt)
+
+  private def be16a(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def be32a(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** A valid PNG prefix: signature + IHDR chunk with id-derived dims
+    * and a color type cycling gray/truecolor/truecolor-alpha. (The
+    * IHDR CRC is zeroed — dimension parsing never checks it; a pixel
+    * decoder would.) */
+  private[ops] def synthPng(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val colorType = Array(0, 2, 6)(math.floorMod(id, 3L).toInt)
+    PngSig ++ be32a(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32a(w) ++ be32a(h) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      be32a(0) ++ payload
+  }
+
+  /** A valid JPEG prefix: SOI, a COM segment (forces the parser to
+    * scan-and-skip by segment length), then SOF0 or SOF2 with
+    * id-derived dims and 1 or 3 components. */
+  private[ops] def synthJpeg(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val ncomp = if (math.floorMod(id, 4L) == 1L) 1 else 3
+    val sof = if (math.floorMod(id, 8L) < 4L) 0xC0 else 0xC2
+    val com = Array(0xFF.toByte, 0xFE.toByte) ++ be16a(4) ++
+      Array('g'.toByte, 'f'.toByte)
+    val comps = (0 until ncomp).flatMap(c =>
+      Seq((c + 1).toByte, 0x11.toByte, 0.toByte)).toArray
+    Array(0xFF.toByte, 0xD8.toByte) ++ com ++
+      Array(0xFF.toByte, sof.toByte) ++ be16a(8 + 3 * ncomp) ++
+      Array(8.toByte) ++ be16a(h) ++ be16a(w) ++ Array(ncomp.toByte) ++
+      comps ++ payload
+  }
+
+  /** Blob table whose payloads carry REAL synthesized image headers:
+    * even ids are PNG, odd ids JPEG, dims/channels derived from the id
+    * ([[synthDims]]) — so decode exercises genuine header parsing and
+    * the oracle re-derives the metadata from the recipe. The doc text
+    * rides along after the header as the opaque "pixel" payload. */
+  def synthImageBlobs(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val bytes = if (id % 2 == 0) synthPng(id, payload) else synthJpeg(id, payload)
+        (id, bytes, if (id % 2 == 0) "image/png" else "image/jpeg")
+      })
+      .toDF("media_id", "content", "media_type")
   }
 
   /** STUB frame sampling for video payloads: every `stride`-th fixed-

@@ -45,4 +45,48 @@ class MultimodalSpec extends SparkSpec {
     assert(r.map(_.media_id).sorted.toSeq ==
       d.collect().map(_.media_id).sorted.toSeq)
   }
+
+  test("real header parse: PNG IHDR and JPEG SOF dims round-trip the synthesis recipe (r9)") {
+    val synth = Multimodal.synthImageBlobs(Tables.documents(spark, sfDir))
+    val got = Multimodal.decode(synth).collect().map(d => d.media_id -> d.meta).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, m) =>
+      val (w, h) = Multimodal.synthDims(id)
+      assert(m.width == w && m.height == h,
+        s"id $id: parsed ${m.width}x${m.height}, synthesized ${w}x$h")
+      if (id % 2 == 0) {
+        assert(m.format == "png")
+        assert(m.channels == Array(1, 3, 4)(math.floorMod(id, 3L).toInt))
+      } else {
+        assert(m.format == "jpeg")
+        assert(m.channels == (if (math.floorMod(id, 4L) == 1L) 1 else 3))
+      }
+    }
+    // both SOF0 and SOF2 variants and the segment-skip path must have
+    // been exercised (ids mod 8 spread ensures both marker branches)
+    assert(got.keys.exists(id => id % 2 == 1 && math.floorMod(id, 8L) < 4) &&
+      got.keys.exists(id => id % 2 == 1 && math.floorMod(id, 8L) >= 4))
+  }
+
+  test("parseHeader: JPEG fill-byte padding, truncation, and corruption handling (r9)") {
+    import Multimodal.{parseHeader, MediaMeta}
+    // hand-built JPEG: SOI, FF-fill padding, then SOF0 120x80, 3 comps
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xC0, 0x00, 0x11,
+      0x08, 0x00, 0x50, 0x00, 0x78, 0x03,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00).map(_.toByte)
+    assert(parseHeader(jpeg).contains(MediaMeta(120, 80, 3, "jpeg")))
+    // truncated before the SOF payload: no phantom metadata
+    assert(parseHeader(jpeg.take(7)).isEmpty)
+    // non-marker garbage where a marker must be: corrupt, not parsed
+    assert(parseHeader(Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)).isEmpty)
+    // PNG with a bad color type is rejected rather than mis-channeled
+    val (w, h) = Multimodal.synthDims(4L)
+    val png = Multimodal.synthPng(4L, Array.emptyByteArray)
+    assert(parseHeader(png).contains(
+      MediaMeta(w, h, Array(1, 3, 4)(math.floorMod(4L, 3L).toInt), "png")))
+    val badColor = png.clone(); badColor(25) = 7.toByte
+    assert(parseHeader(badColor).isEmpty)
+    // arbitrary text payload: stub fallback territory
+    assert(parseHeader("just some text".getBytes).isEmpty)
+  }
 }
