@@ -82,11 +82,17 @@ object IncrementalClusters {
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
     val edges = ConnectedComponents.keyEdges(corpus, idCol, keyCols)
+    // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
+    // pre-pays the first propagation round (the clusterLabels rule)
     val labels = ConnectedComponents.run(
-      corpus.select(col(idCol).cast("long").as("id")), edges)
+      corpus.select(col(idCol).cast("long").as("id")), edges, checkEvery = 1)
+    // repartition by the partition column first: a default-partitioned
+    // frame writes |tasks|×|buckets| tiny files (measured 12 s of a
+    // 19 s writeState at sf0.1); clustered, each bucket dir gets one
     Bucketing.writePartitioned(
       labels.select(col("id").as("doc_id"), col("component"),
-        pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket")),
+        pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket"))
+        .repartition(col("cbucket")),
       s"$path/labels", Seq("cbucket"))
     keyRows(corpus, idCol, keyCols)
       .groupBy("kidx", "k").agg(min("doc_id").as("min_id"))
@@ -116,19 +122,26 @@ object IncrementalClusters {
 
   /** Fold one delta batch into the persisted label store. Delta ids
     * must be disjoint from the corpus's (the [[IncrementalDedup]]
-    * contract). Updates `labels/` in place via dynamic partition
-    * overwrite — per-partition commit atomicity, the standard in-place
-    * Hive/Spark contract ([[Bucketing.writePartitioned]]); a
-    * transactional table format layers whole-snapshot atomicity on top
-    * in a production deployment. */
+    * contract). Updates `labels/` in place: one partitioned write to a
+    * scratch dir, then per-directory renames swap the touched buckets —
+    * per-partition commit atomicity, the same contract as dynamic
+    * partition overwrite; a transactional table format layers
+    * whole-snapshot atomicity on top in a production deployment. */
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    val t0 = System.nanoTime()
+    def mark(l: String): Unit = if (dbg)
+      println(f"[inccc] $l at ${(System.nanoTime() - t0) / 1e9}%.2f s")
     requireParams(path, nBuckets, keyCols)
 
     // 1. delta keys + per-key delta min (for keys the corpus has never
-    // seen, the delta's own min is the star root). Cached: the edge
-    // derivation and the delta-id set both read it; slim rows.
-    val dk = Persists.cache(keyRows(delta, idCol, keyCols))
+    // seen, the delta's own min is the star root). Cached across the
+    // SEVERAL actions this fold runs (micro-CC's internal rounds, the
+    // touched-bucket collect, the rewrite write, the key append) —
+    // cacheFor over-counts deliberately; surplus registrations are
+    // epoch-swept. Slim rows.
+    val dk = Persists.cacheFor(keyRows(delta, idCol, keyCols), actions = 6)
     val wk = Window.partitionBy("kidx", "k")
     val dmin = dk.select(col("kidx"), col("k"), col("doc_id"),
       min("doc_id").over(wk).as("dmin"))
@@ -145,12 +158,12 @@ object IncrementalClusters {
     // delta min). Exactly the edges batch keyEdges adds for the union's
     // key groups beyond the corpus-internal ones already contracted
     // into the persisted labels.
-    val edges = Persists.cache(
+    val edges = Persists.cacheFor(
       dmin.join(broadcast(hit), Seq("kidx", "k"), "left")
         .select(coalesce(col("min_id"), col("dmin")).as("src"),
           col("doc_id").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct(), actions = 6)
 
     // 3. endpoint labels: only edge endpoints can be corpus docs (every
     // dst is a delta doc; srcs are stored corpus mins or delta mins).
@@ -158,9 +171,9 @@ object IncrementalClusters {
     // set — rows out are bounded by |edges|.
     val labels = readLabels(spark, path)
     val srcIds = edges.select(col("src").as("doc_id")).distinct()
-    val srcLab = Persists.cache(
+    val srcLab = Persists.cacheFor(
       labels.join(broadcast(srcIds), Seq("doc_id"))
-        .select(col("doc_id"), col("component")))
+        .select(col("doc_id"), col("component")), actions = 6)
 
     // 4. micro-graph CC over labels: corpus endpoints collapse to their
     // component label (contraction preserves connectivity), delta ids
@@ -174,7 +187,14 @@ object IncrementalClusters {
       .union(lEdges.select(col("dst").as("id")))
       .union(deltaIds.select(col("doc_id").as("id")))
       .distinct()
-    val micro = Persists.cache(ConnectedComponents.run(nodes, lEdges))
+    mark("pre-micro-cc")
+    // checkEvery=1: the micro graph is hub-contracted stars (corpus
+    // components collapse to one node), so hub-min init usually IS the
+    // fixpoint — measured changed=0 after init at sf0.1, where the
+    // default bundling paid a second ~5 s bulk round for nothing
+    val micro = Persists.cacheFor(
+      ConnectedComponents.run(nodes, lEdges, checkEvery = 1), actions = 4)
+    mark("post-micro-cc")
 
     // old corpus label → merged label, where it actually changed
     val remap = micro
@@ -197,6 +217,7 @@ object IncrementalClusters {
       .union(remap.select(bkt(col("new_component")).as("b")))
       .union(deltaLab.select(bkt(col("component")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    mark("touched-collect")
     lastTouchedBuckets = touched.size
     if (touched.isEmpty) { // empty delta: nothing to fold
       Seq(dk, edges, srcLab, micro).foreach(_.unpersist())
@@ -214,26 +235,33 @@ object IncrementalClusters {
       .unionByName(deltaLab)
       .withColumn("cbucket", bkt(col("component")))
 
-    // stage before the overwrite (the IncrementalMaterializer rule:
-    // Spark refuses a write whose plan reads the destination), then
-    // dynamic overwrite replaces only the directories present in the
-    // staged frame
-    val stage = s"$path/labels._stage"
-    rewritten.write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    Bucketing.writePartitioned(staged, s"$path/labels",
-      Seq("cbucket"), dynamicOverwrite = true)
-    // a touched bucket whose every component merged into other buckets
-    // produces ZERO output rows — dynamic overwrite would leave its old
-    // directory (and stale labels) behind; delete such emptied buckets
-    // explicitly. outBuckets collect is ≤ |touched| values.
-    val outBuckets = staged.select("cbucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    touched.filterNot(outBuckets).foreach { b =>
+    // ONE Spark write job: the rewritten rows land directory-shaped in
+    // a scratch dir (repartition by cbucket → one file per touched
+    // bucket, not |tasks|×|buckets| tiny files), then plain filesystem
+    // renames swap the touched buckets in. This replaces the previous
+    // stage-write + read-back + dynamic-overwrite pair (a second full
+    // Spark job existed only because Spark refuses a write whose plan
+    // reads the destination) AND the emptied-bucket collect: a touched
+    // bucket with no output directory simply stays deleted. Atomicity
+    // is per-directory rename — the same per-partition commit contract
+    // the dynamic overwrite gave; a transactional table format layers
+    // whole-snapshot atomicity on top in production.
+    val stage = new java.io.File(s"$path/labels._stage")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    rewritten.repartition(col("cbucket"))
+      .write.partitionBy("cbucket").parquet(stage.toString)
+    mark("stage-write")
+    val outDirs = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cbucket="))
+    touched.foreach { b =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$path/labels/cbucket=$b"))
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    outDirs.foreach { d =>
+      java.nio.file.Files.move(d.toPath,
+        java.nio.file.Paths.get(s"$path/labels/${d.getName}"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
 
     // 6. keys introduced by THIS delta enter the index, so later folds
     // can connect through them (sequential-fold composition, spec test
@@ -241,11 +269,18 @@ object IncrementalClusters {
     // is in `labels/` as of this fold. Cache+count materializes the
     // rows BEFORE the append so the append's plan never reads the
     // directory it writes. O(delta) rows, append-only.
-    val newKeys = Persists.cache(
+    // cacheFor(2): the count is itself an action — a single
+    // registration would release the cache there and the append would
+    // re-read keys/ mid-write (the self-read hazard the cache exists
+    // to prevent)
+    val newKeys = Persists.cacheFor(
       dk.groupBy("kidx", "k").agg(min("doc_id").as("min_id"))
-        .join(broadcast(hit.select("kidx", "k")), Seq("kidx", "k"), "left_anti"))
+        .join(broadcast(hit.select("kidx", "k")), Seq("kidx", "k"), "left_anti"),
+      actions = 2)
+    mark("renames")
     if (newKeys.count() > 0)
       newKeys.write.mode("append").parquet(s"$path/keys")
+    mark("key-append")
     Seq(dk, edges, srcLab, micro, newKeys).foreach(_.unpersist())
   }
 }

@@ -199,13 +199,17 @@ object IncrementalDedup {
     // a_id < b_id (delta⟷corpus AND delta⟷delta pairs both arise).
     val dSlim = dBanded.join(bc(okBuckets), Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("doc_id").as("d_id"))
-    val pairs = Persists.cache(
+    // cacheFor(2): the candidate-bucket collect below is an action that
+    // consumes this plan — a single registration would release the
+    // cache there and make the caller's terminal action recompute the
+    // whole pipeline
+    val pairs = Persists.cacheFor(
       members.select(col("band"), col("bucket"), col("doc_id").as("o_id"))
         .join(bc(dSlim), Seq("band", "bucket"))
         .filter(col("d_id") =!= col("o_id"))
         .select(least(col("d_id"), col("o_id")).as("a_id"),
           greatest(col("d_id"), col("o_id")).as("b_id"))
-        .dropDuplicates("a_id", "b_id"))
+        .dropDuplicates("a_id", "b_id"), actions = 2)
 
     val candIds = pairs.select(col("a_id").as("__id"))
       .union(pairs.select(col("b_id").as("__id"))).distinct()
