@@ -36,9 +36,46 @@ final class MetricView(
   private[graft] def owner: MetricViewCatalog = catalog
   private val paths = Expander.joinPaths(spec.joins).map(_._1)
 
-  /** Measure expr rewritten into (flat) source terms. */
-  private[graft] def measureExpr(exprSql: String): Expression =
-    Expander.rewriteExpr(Expander.parse(spark, exprSql), paths)
+  /** Observed-range domain for auto-domained percentile measures (r9,
+    * VERDICT r8 stretch 9): `graft_percentile_auto(x, q, bins)`
+    * rewrites to `graft_percentile_bounded(x, q, lo, hi, bins)` with
+    * `[lo, hi) = [floor(min x), floor(max x) + 1)` derived from the
+    * view's row-level relation — the profile card's min/max stat,
+    * computed inline at first use (one metadata-scale 1-row action)
+    * and cached per input expression, so rollup build and direct
+    * evaluation bake the SAME literals: routed == direct by
+    * construction, and the clamping risk of a mis-DECLARED domain is
+    * designed out. Integer-snapped bounds keep the literals stable;
+    * data drifting outside a previously-built rollup's domain still
+    * surfaces via the histogram's clamped-count slot. */
+  private val autoDomains = new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  private def autoDomain(inputSql: String): (Double, Double) =
+    autoDomains.computeIfAbsent(inputSql, { _ =>
+      val rows = Expander.rowLevel(spark, spec, catalog.resolve, Seq(inputSql))
+      val c = GraftBridge.column(Expander.rewriteExpr(Expander.parse(spark, inputSql), paths))
+      val r = rows.agg(floor(min(c)).cast("double").as("lo"),
+        (floor(max(c)) + lit(1)).cast("double").as("hi")).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 1.0)
+      else (r.getDouble(0), r.getDouble(1))
+    })
+
+  /** Measure expr rewritten into (flat) source terms; auto-domained
+    * percentiles resolve to bounded ones first (see [[autoDomain]]). */
+  private[graft] def measureExpr(exprSql: String): Expression = {
+    val parsed = Expander.parse(spark, exprSql).transformUp {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("graft_percentile_auto") &&
+            f.arguments.length == 3 =>
+        val (lo, hi) = autoDomain(f.arguments.head.sql)
+        f.copy(nameParts = Seq("graft_percentile_bounded"),
+          arguments = Seq(f.arguments(0), f.arguments(1),
+            org.apache.spark.sql.catalyst.expressions.Literal(lo),
+            org.apache.spark.sql.catalyst.expressions.Literal(hi),
+            f.arguments(2)))
+    }
+    Expander.rewriteExpr(parsed, paths)
+  }
 
   private[graft] def decomposed(m: Measure): Option[graft.plan.Decomposed] =
     AggDecompose(spark, measureExpr(m.expr), m.name)

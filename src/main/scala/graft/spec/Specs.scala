@@ -252,6 +252,8 @@ object Specs {
       |    expr: graft_percentile_bounded(total_price, 0.5, 0.0, 600000.0, 1024)
       |  - name: p95_order_value
       |    expr: graft_percentile_bounded(total_price, 0.95, 0.0, 600000.0, 1024)
+      |  - name: p50_order_value_auto
+      |    expr: graft_percentile_auto(total_price, 0.5, 1024)
       |  - name: trailing_30d_p50_value
       |    expr: graft_percentile_bounded(total_price, 0.5, 0.0, 600000.0, 256)
       |    window:
@@ -270,6 +272,7 @@ object Specs {
       |        - order_count
       |        - p50_order_value
       |        - p95_order_value
+      |        - p50_order_value_auto
       |""".stripMargin
 
   val all: Map[String, String] = Map(

@@ -102,6 +102,36 @@ class RoutingSpec extends SparkSpec {
     assert(g.collect().map(_.toSeq).toSet == gd.collect().map(_.toSeq).toSet)
   }
 
+  test("auto-domained percentile measure routes correctly (profile-derived [lo, hi), r9)") {
+    // graft_percentile_auto(total_price, 0.5, 1024) declares NO domain:
+    // [lo, hi) derives from the observed min/max at measure resolution,
+    // and the same literals are baked into the rollup build and the
+    // direct evaluation — so the measure routes AND routed == direct.
+    val q = mat.get("mv_orders_dist")
+      .query(Seq("order_status"), Seq("p50_order_value_auto"))
+    val p = scans(q)
+    assert(p.contains("dist_by_status"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_dist")
+      .query(Seq("order_status"), Seq("p50_order_value_auto"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // the auto domain covers the data: nothing clamps, and the median
+    // lands within one bin width of the declared-domain (wider-bin)
+    // variant's — both approximate the same order statistic
+    val rows = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val declared = mat.get("mv_orders_dist")
+      .query(Seq("order_status"), Seq("p50_order_value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // each estimate is within one bin width of the true order statistic
+    // (GraftHistogramSpec property), so the two differ by at most the
+    // SUM of their bin widths: declared 600000/1024 ≈ 586, auto
+    // (observed range)/1024 < 586 — bound 1200 with headroom
+    rows.foreach { case (k, v) =>
+      assert(math.abs(v - declared(k)) <= 1200.0,
+        s"$k: auto $v vs declared ${declared(k)}")
+    }
+  }
+
   test("uncovered measure falls back (avg not in any rollup) but stays correct") {
     val q = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("avg_order_value"))
