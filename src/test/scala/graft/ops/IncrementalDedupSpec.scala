@@ -132,7 +132,16 @@ class IncrementalDedupSpec extends SparkSpec {
       val candBuckets = df.collect()
         .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
         .map(id => (id % 16).toInt).toSet
-      val scan = df.queryExecution.executedPlan.collect {
+      // the verify stage's shingle table is Persists-cached, so the
+      // docs scan may sit under an InMemoryRelation depending on
+      // (async) release timing — expand cached plans when walking
+      def expand(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children.flatMap(expand) ++ (p match {
+          case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            expand(t.relation.cachedPlan)
+          case _ => Nil
+        }))
+      val scan = expand(df.queryExecution.executedPlan).collect {
         case s: FileSourceScanExec if s.relation.location.rootPaths.exists(
           _.toString.endsWith("/docs")) => s
       }.head

@@ -184,12 +184,14 @@ class StreamingSpec extends SparkSpec {
     val mv = v.spec.materialization.get.materializedViews.find(_.isAggregated).get
     val incremental = graft.mat.VersionedTable
       .read(s, s"$work/${v.name}/${mv.name}").collect().map(_.toSeq).toSet
-    // p50 and p95 share ONE content-addressed histogram column — the
-    // stored schema is (status, count partial, one bin array)
+    // p50 and p95 share ONE content-addressed histogram column; the
+    // auto-domained p50 (r9) derives different [lo, hi) literals so it
+    // stores its own — the schema is (status, count partial, declared
+    // bin array, auto bin array), and crucially NOT four partials
     val partialCols = graft.plan.AggDecompose.distinctPartials(
       mv.measures.flatMap(m => v.decomposed(v.spec.measure(m)).get.partials)).map(_.agg)
-    assert(partialCols.size == 2,
-      s"expected count + ONE shared histogram partial, got ${partialCols.size}")
+    assert(partialCols.size == 3,
+      s"expected count + shared declared histogram + auto histogram, got ${partialCols.size}")
     val full = src.groupBy("order_status")
       .agg(partialCols.head, partialCols.tail: _*)
       .collect().map(_.toSeq).toSet
