@@ -293,6 +293,16 @@ object Queries {
         Seq("p50_order_value", "p95_order_value", "order_count"))
       .orderBy("order_status")
 
+  /** Auto-domained percentile (r9): graft_percentile_auto declares no
+    * [lo, hi) — the view derives [floor(min), floor(max)+1) from its
+    * row-level relation at measure resolution. The oracle re-derives
+    * the SAME domain with scalar subqueries, so the hash gate proves
+    * the auto-derivation end-to-end, not just the spec case. */
+  def mvOrdersPercentileAuto(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_dist")
+      .query(Seq("order_priority"), Seq("p50_order_value_auto", "order_count"))
+      .orderBy("order_priority")
+
   /** Shared DuckDB re-expression of GraftHistogram's binning: the
     * clamped `floor(((x−lo)/(hi−lo))·bins)` with every double op in
     * the engine's order. ONE generator serves all four percentile
@@ -364,6 +374,31 @@ object Queries {
 
   val mvOrdersPercentileSql: String = percentileSql("order_priority")
   val routedPercentileSql: String = percentileSql("order_status")
+
+  /** The auto-domain derivation in SQL: [lo, hi) from scalar
+    * subqueries over the same relation the engine profiles. */
+  val mvOrdersPercentileAutoSql: String = {
+    val lo = "(SELECT lo FROM dom)"
+    val hi = "(SELECT hi FROM dom)"
+    modelCtes +
+      s""", dom AS (
+        |  SELECT floor(min(CAST(total_price AS DOUBLE))) AS lo,
+        |         floor(max(CAST(total_price AS DOUBLE))) + 1 AS hi
+        |  FROM stg_orders
+        |), hb AS (
+        |  SELECT order_priority,
+        |         ${binSql("CAST(total_price AS DOUBLE)", lo, hi, 1024)} AS bin
+        |  FROM stg_orders
+        |), """.stripMargin +
+      quantileCtes(Seq("order_priority"),
+        "(SELECT order_priority, bin, count(*) AS c FROM hb GROUP BY 1, 2)",
+        Seq("e50" -> "0.5"), lo, hi, 1024) +
+      s"""
+        |SELECT g.order_priority, e50.v AS p50_order_value_auto, g.order_count
+        |FROM (SELECT order_priority, count(*) AS order_count FROM stg_orders GROUP BY 1) g
+        |JOIN e50 USING (order_priority)
+        |ORDER BY g.order_priority""".stripMargin
+  }
 
   /** A7/A8/F4/F5: mv_customer_metrics — count_if + scalar-derived
     * measure with datediff/nullif. */
@@ -542,6 +577,7 @@ object Queries {
     "q_mv_distinct"           -> (mvOrdersDistinct _),
     "q_mv_approx"             -> (mvOrdersApprox _),
     "q_mv_percentile"         -> (mvOrdersPercentile _),
+    "q_mv_percentile_auto"    -> (mvOrdersPercentileAuto _),
     "q_routed_percentile"     -> (routedPercentile _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
@@ -561,6 +597,7 @@ object Queries {
     "q_mv_customer"           -> mvCustomerMetricsSql,
     "q_mv_approx"             -> mvOrdersApproxSql,
     "q_mv_percentile"         -> mvOrdersPercentileSql,
+    "q_mv_percentile_auto"    -> mvOrdersPercentileAutoSql,
     "q_routed_percentile"     -> routedPercentileSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_sql_measure"           -> sqlMeasureSql,
