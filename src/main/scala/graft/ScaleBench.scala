@@ -136,6 +136,31 @@ object ScaleBench {
     val incBase = incProbe(baseDir)
     val incScaled = incProbe(scaleDir)
 
+    // SMALL-DELTA incremental-dedup probe (r9): the big-delta probe
+    // above (10% of the base corpus) produces candidates spanning
+    // every doc bucket, so the r9 verify-stage pruning cannot engage
+    // there — its ratio measures the slim index stream plus a full
+    // store read. This probe is the "day's arrivals" geometry the
+    // pruning is FOR: ~1% of the base corpus, candidate ids covering
+    // few buckets, so the verify read opens a handful of directories
+    // of a corpus 100× bigger.
+    def incSmallProbe(dir: String): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_scale_inc_sm").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.IncrementalDedup.writeIndex(
+        docs.filter(col("doc_id") % 10 =!= 7), idx)
+      val delta = graft.model.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") % 100 === 7)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.IncrementalDedup.deltaPairs(spark, idx, delta)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incSmBase = incSmallProbe(baseDir)
+    val incSmScaled = incSmallProbe(scaleDir)
+
     // FIXED-DELTA incremental-CLUSTERS probe (r9): the same
     // decade-invariance claim for LABEL MAINTENANCE — "a day's arrivals
     // re-label the same against a 10× corpus". The offline writeState
@@ -171,7 +196,7 @@ object ScaleBench {
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}}}""")
     spark.stop()
   }
 

@@ -61,7 +61,7 @@ object IncrementalDedup {
   def writeIndex(corpus: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      salt: String = "", dBuckets: Int = 64): Unit = {
+      salt: String = "", dBuckets: Int = 256): Unit = {
     require(k % bands == 0, "k must be divisible by bands")
     require(dBuckets > 0)
     val banded = Persists.cache(
@@ -73,9 +73,14 @@ object IncrementalDedup {
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/census")
     banded.unpersist()
+    // repartition by the partition column first: a default-partitioned
+    // frame writes |tasks|×|buckets| tiny files whose listing/open cost
+    // then taxes EVERY probe's verify read (the IncrementalClusters
+    // writeState lesson)
     Bucketing.writePartitioned(
       corpus.select(col(idCol), col(textCol),
-        pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket")),
+        pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket"))
+        .repartition(col("dbucket")),
       s"$path/docs", Seq("dbucket"))
     // layout properties are NOT hash-family params: a probe reads them
     // from the artifact instead of having to re-supply them
