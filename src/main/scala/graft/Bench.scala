@@ -74,7 +74,8 @@ object Bench {
       "q_dedup_clusters", "q_dedup_manifest",
       // same staging shape (r9): first run = corpus writeState +
       // delta applyDelta + staging; repeats replay the label parquet
-      "q_dedup_clusters_incremental")
+      // (the manifest variant is a window over the same staged store)
+      "q_dedup_clusters_incremental", "q_dedup_manifest_incremental")
     // NOT singleRun, on purpose (r8): q_dedup_incremental and
     // q_ann_ivf_indexed stage their OFFLINE artifact (corpus band
     // index / IVF model + cell layout) on run 1, and later runs
@@ -85,7 +86,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     ordered.foreach { case (name, _) => times(name) = Vector.empty }
-    for (r <- 1 to runs; (name, fn) <- ordered if r == 1 || !singleRun(name)) {
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -96,6 +97,17 @@ object Bench {
         lastErr(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
+    for (r <- 1 to runs; (name, fn) <- ordered if r == 1 || !singleRun(name))
+      timeOne(name, fn)
+    // sub-second queries are the most contention-sensitive — their r8
+    // drift (+10-40% across untouched code paths) tracked host load,
+    // not code. Any repeatable query whose min landed under 1s gets
+    // extra interleaved sweeps up to min-of-5, so a spike shorter than
+    // a sweep can't set the recorded number (VERDICT r8 task 4).
+    val subSecond = ordered.filter { case (n, _) =>
+      !singleRun(n) && times(n).nonEmpty && times(n).min < 1.0 }
+    for (r <- runs + 1 to 5; (name, fn) <- subSecond if times(name).size < 5)
+      timeOne(name, fn)
     val results = times.toSeq.map { case (k, ts) =>
       (k, if (ts.isEmpty) -1.0 else ts.min)
     }

@@ -1380,9 +1380,15 @@ object ExtQueries {
         try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => java.nio.file.Files.deleteIfExists(q))
         catch { case _: Throwable => () }))
-      val keyed = clusterKeyed(s, d)
+      // quality rides INTO the store (computed once per doc at ingest,
+      // r9) so canonicalization is a view over the slim store — the
+      // incremental manifest below never re-touches document text
+      val quality = TextOps.textStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality_score"))
+      val keyed = clusterKeyed(s, d).join(quality, "doc_id")
       IncrementalClusters.writeState(
-        keyed.filter(col("doc_id") % 10 =!= 7), "doc_id", Seq("k1", "k2"), p.toString)
+        keyed.filter(col("doc_id") % 10 =!= 7), "doc_id", Seq("k1", "k2"),
+        p.toString, carryCols = Seq("quality_score"))
       IncrementalClusters.applyDelta(s, p.toString,
         keyed.filter(col("doc_id") % 10 === 7), "doc_id", Seq("k1", "k2"))
       p.toString
@@ -1396,6 +1402,27 @@ object ExtQueries {
       .repartition(col("component"))
       .select(col("doc_id"), col("component"),
         count(lit(1)).over(wComp).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonicalization over the INCREMENTALLY-maintained store (r9):
+    * the label store carries each doc's ingest-time quality score, so
+    * choosing the per-cluster survivor is one window over slim stored
+    * columns — no text re-scan, no quality recompute, composing with
+    * applyDelta into a fully O(delta) continuous pipeline. Oracled by
+    * the SAME batch-manifest SQL: incremental labels == batch CC
+    * (proven by q_dedup_clusters_incremental) and quality is a pure
+    * per-doc function, so the manifests must be identical. */
+  def dedupManifestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ranked = incClusterLabels(s, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")
+          .orderBy(desc("quality_score"), asc("doc_id"))))
+    val keep = ranked.filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"))
+    ranked.join(keep, "component")
+      .select(col("doc_id"), col("component"), col("quality_score"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
       .orderBy("doc_id")
   }
 
@@ -2010,6 +2037,7 @@ object ExtQueries {
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
+    "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
@@ -2059,6 +2087,8 @@ object ExtQueries {
     // incremental fold must reproduce the batch fixpoint exactly —
     // same oracle, so the hash gate proves the equivalence contract
     "q_dedup_clusters_incremental" -> dedupClustersSql,
+    // store-carried quality must reproduce the batch manifest exactly
+    "q_dedup_manifest_incremental" -> dedupManifestSql,
     "q_dedup_manifest"    -> dedupManifestSql,
     "q_dedup_minhash"     -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

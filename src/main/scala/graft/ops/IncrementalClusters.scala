@@ -77,21 +77,36 @@ object IncrementalClusters {
 
   /** Offline state build: batch CC over the corpus's keyed graph →
     * bucket-partitioned label store + per-key star-root index. The
-    * one-time O(corpus) cost every later delta batch amortizes. */
+    * one-time O(corpus) cost every later delta batch amortizes.
+    *
+    * `carryCols` (r9): per-doc columns copied INTO the label store
+    * (e.g. a quality score computed once at ingest) so downstream
+    * cluster-level derivations — canonicalization being the one that
+    * matters — are views over the slim store and never re-touch
+    * document text. [[applyDelta]] carries the same columns from the
+    * delta frame (their presence is checked against the store schema).
+    */
   def writeState(corpus: DataFrame, idCol: String, keyCols: Seq[String],
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64, carryCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0)
     val edges = ConnectedComponents.keyEdges(corpus, idCol, keyCols)
     // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
     // pre-pays the first propagation round (the clusterLabels rule)
     val labels = ConnectedComponents.run(
       corpus.select(col(idCol).cast("long").as("id")), edges, checkEvery = 1)
+    // carried columns ride along via one build-time join (offline cost)
+    val withCarry =
+      if (carryCols.isEmpty) labels
+      else labels.join(
+        corpus.select((col(idCol).cast("long").as("id") +: carryCols.map(col)): _*),
+        Seq("id"), "left")
     // repartition by the partition column first: a default-partitioned
     // frame writes |tasks|×|buckets| tiny files (measured 12 s of a
     // 19 s writeState at sf0.1); clustered, each bucket dir gets one
     Bucketing.writePartitioned(
-      labels.select(col("id").as("doc_id"), col("component"),
-        pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket"))
+      withCarry.select((col("id").as("doc_id") +: col("component") +:
+          carryCols.map(col) :+
+          pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket")): _*)
         .repartition(col("cbucket")),
       s"$path/labels", Seq("cbucket"))
     keyRows(corpus, idCol, keyCols)
@@ -101,12 +116,20 @@ object IncrementalClusters {
       s"nBuckets=$nBuckets keyCols=${keyCols.mkString(",")}".getBytes("UTF-8"))
   }
 
-  /** The current label table (doc_id, component, cbucket). */
-  def readLabels(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/labels")
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("component").cast("long").as("component"),
-        col("cbucket").cast("int").as("cbucket"))
+  /** The current label table (doc_id, component, carried…, cbucket). */
+  def readLabels(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/labels")
+    val carried = raw.columns.filterNot(Set("doc_id", "component", "cbucket"))
+    raw.select((col("doc_id").cast("long").as("doc_id") +:
+      col("component").cast("long").as("component") +:
+      carried.map(col).toSeq :+
+      col("cbucket").cast("int").as("cbucket")): _*)
+  }
+
+  /** Carried column names of the store at `path` (schema-derived). */
+  private def carriedCols(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"$path/labels").columns
+      .filterNot(Set("doc_id", "component", "cbucket")).toSeq
 
   private def requireParams(path: String, nBuckets: Int, keyCols: Seq[String]): Unit = {
     val p = java.nio.file.Paths.get(path).resolve("params")
@@ -170,6 +193,11 @@ object IncrementalClusters {
     // The label store streams through a broadcast join on that small id
     // set — rows out are bounded by |edges|.
     val labels = readLabels(spark, path)
+    // carried per-doc columns (schema-derived): the delta must supply
+    // them too, so folded rows stay uniform
+    val carry = carriedCols(spark, path)
+    carry.foreach(c => require(delta.columns.contains(c),
+      s"label store at $path carries column '$c' but the delta lacks it"))
     val srcIds = edges.select(col("src").as("doc_id")).distinct()
     val srcLab = Persists.cacheFor(
       labels.join(broadcast(srcIds), Seq("doc_id"))
@@ -202,11 +230,14 @@ object IncrementalClusters {
       .filter(col("component") =!= col("id"))
       .select(col("id").as("old_component"), col("component").as("new_component"))
     // every delta doc's label (edge-less delta docs are their own
-    // singleton component)
+    // singleton component), with the delta's carried columns riding
+    // along (O(delta) join)
     val deltaLab = deltaIds
       .join(micro.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
+      .join(delta.select((col(idCol).cast("long").as("doc_id") +:
+        carry.map(col)): _*), Seq("doc_id"), "left")
 
     // 5. touched buckets: where a remapped component lived, where a
     // merge target lives, where a delta row lands. Collect is
@@ -230,8 +261,9 @@ object IncrementalClusters {
     val rewritten = old
       .join(broadcast(remap.withColumnRenamed("old_component", "component")),
         Seq("component"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_component"), col("component")).as("component"))
+      .select((col("doc_id") +:
+        coalesce(col("new_component"), col("component")).as("component") +:
+        carry.map(col)): _*)
       .unionByName(deltaLab)
       .withColumn("cbucket", bkt(col("component")))
 

@@ -125,6 +125,27 @@ class IncrementalClustersSpec extends SparkSpec {
       got(103L) == 14L && got(104L) == 14L)
   }
 
+  test("carried columns survive the fold: old rows keep theirs, delta rows bring theirs") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-carry").toString
+    val q = (df: DataFrame) => df.withColumn("quality", col("doc_id") * 0.5)
+    IncrementalClusters.writeState(q(corpusKeyed), "doc_id", Seq("k1", "k2"),
+      path, NB, carryCols = Seq("quality"))
+    IncrementalClusters.applyDelta(spark, path, q(deltaKeyed), "doc_id", Seq("k1", "k2"), NB)
+    val got = IncrementalClusters.readLabels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val all = (corpusKeyed.collect() ++ deltaKeyed.collect()).map(_.getLong(0))
+    assert(got.keySet == all.toSet)
+    all.foreach(id => assert(got(id) == id * 0.5, s"doc $id lost its carried value"))
+    // a delta missing the carried column must fail loudly, not write
+    // rows with silently-null quality
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalClusters.applyDelta(spark, path,
+        Seq((300L, "A", null.asInstanceOf[String])).toDF("doc_id", "k1", "k2"),
+        "doc_id", Seq("k1", "k2"), NB)
+    }
+    assert(ex.getMessage.contains("carries column"))
+  }
+
   test("mismatched bucket-count probe fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-params").toString
     IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
