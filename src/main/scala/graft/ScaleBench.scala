@@ -169,34 +169,44 @@ object ScaleBench {
     // mutates state in place, so runs must not compound). The
     // corpus-proportional residuals are the two slim streamed scans
     // (key index + label store, both broadcast-joined, never shuffled).
-    def incClusterProbe(dir: String): Double = {
+    def incClusterProbe(dir: String, deltaMod: Long, nBuckets: Int): Double = {
       val st = java.nio.file.Files.createTempDirectory("graft_scale_inccc").toString
       graft.ops.IncrementalClusters.writeState(
         ExtQueries.clusterKeyed(spark, dir).filter(col("doc_id") % 10 =!= 7),
-        "doc_id", Seq("k1", "k2"), st)
+        "doc_id", Seq("k1", "k2"), st, nBuckets)
       val delta = ExtQueries.clusterKeyed(spark, baseDir)
-        .filter(col("doc_id") % 10 === 7)
+        .filter(col("doc_id") % deltaMod === 7)
       (1 to runs).map { _ =>
         val run = java.nio.file.Files.createTempDirectory("graft_scale_inccc_run").toString
         org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(st), new java.io.File(run))
         val t0 = System.nanoTime()
-        graft.ops.IncrementalClusters.applyDelta(spark, run, delta, "doc_id", Seq("k1", "k2"))
+        graft.ops.IncrementalClusters.applyDelta(spark, run, delta,
+          "doc_id", Seq("k1", "k2"), nBuckets)
         val t = (System.nanoTime() - t0) / 1e9
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
         t
       }.min
     }
-    val incCcBase = incClusterProbe(baseDir)
+    val incCcBase = incClusterProbe(baseDir, 10L, 64)
     val incCcBaseTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
-    val incCcScaled = incClusterProbe(scaleDir)
+    val incCcScaled = incClusterProbe(scaleDir, 10L, 64)
     val incCcScaledTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
+    // SMALL-DELTA cluster probe: a 10%-of-corpus delta lands in nearly
+    // every one of 64 buckets, so the big probe can't SHOW the
+    // "rewrite is O(touched)" claim. A ~1% delta against a 512-bucket
+    // store records touched ≪ nBuckets — the production geometry where
+    // a day's arrivals rewrite a sliver of the label store.
+    val incCcSmBase = incClusterProbe(baseDir, 100L, 512)
+    val incCcSmBaseTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
+    val incCcSmScaled = incClusterProbe(scaleDir, 100L, 512)
+    val incCcSmScaledTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
 
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}}}""")
     spark.stop()
   }
 
