@@ -77,8 +77,12 @@ object ExtQueries {
     // counts, global total) and self-joined subplans are not deduped —
     // without the cache the corpus would scan repeatedly.
     // |sources|·|langs| rows of bins longs, tiny.
+    // lang normalized null→'' BEFORE grouping: the dense-grid left join
+    // below uses null-unsafe equality, so a NULL lang group would
+    // count as 0 in the numerator while its docs exist (and the oracle
+    // would drop the row entirely) — both engines fold NULL into ''
     val byLang = graft.ops.Persists.cache(Tables.documents(s, dir)
-      .groupBy("source", "lang")
+      .groupBy(col("source"), coalesce(col("lang"), lit("")).as("lang"))
       .agg(count(lit(1)).as("c"),
         expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h")))
     val perSource = graft.ops.Persists.cache(byLang
@@ -146,7 +150,10 @@ object ExtQueries {
       |           list(d ORDER BY bin)), (acc, x) -> acc + x) AS sm
       |  FROM diffs GROUP BY 1
       |), lc AS (
-      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+      |  -- NULL lang folds into '' (mirrors the engine's coalesce — a
+      |  -- null-keyed group would silently drop from the numerator)
+      |  SELECT source, coalesce(lang, '') AS lang, count(*) AS c
+      |  FROM documents GROUP BY 1, 2
       |), lgl AS (
       |  SELECT lang, sum(c) AS gc FROM lc GROUP BY 1
       |), lnum AS (
@@ -158,7 +165,8 @@ object ExtQueries {
       |                 - CAST(lgl.gc AS HUGEINT) * CAST(st.t AS HUGEINT))) AS num
       |  FROM (SELECT s.source, l.lang
       |        FROM (SELECT DISTINCT source FROM documents) s
-      |        CROSS JOIN (SELECT DISTINCT lang FROM documents) l) g
+      |        CROSS JOIN (SELECT DISTINCT coalesce(lang, '') AS lang
+      |                    FROM documents) l) g
       |  JOIN st ON st.source = g.source
       |  CROSS JOIN gt
       |  JOIN lgl ON lgl.lang = g.lang
@@ -834,20 +842,30 @@ object ExtQueries {
     * the bench's per-run arrays. */
   private val stagedPairs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = stagedPairs.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft_minhash_pairs")
-      // per-JVM on purpose (cross-JVM reuse would let a bench record a
-      // previous process's replay as the pipeline cost) — so clean up
-      // on exit instead of accumulating a dir per JVM in /tmp
+  /** The shared per-(JVM, dir) staging idiom: build an artifact once
+    * into a fresh temp dir, replay thereafter. Per-JVM on purpose
+    * (cross-JVM reuse would let a bench record a previous process's
+    * replay as the pipeline cost) — so clean up on exit instead of
+    * accumulating a dir per JVM in /tmp. One definition, four users
+    * (minhash pairs, cluster labels ×2, the inc-dedup index). */
+  private def stagedTempDir(
+      registry: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String, prefix: String)(build: String => Unit): String =
+    registry.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(q => java.nio.file.Files.deleteIfExists(q))
         catch { case _: Throwable => () }))
-      MinHashLSH.candidatePairs(Tables.documents(s, d))
-        .write.mode("overwrite").parquet(p.toString)
+      build(p.toString)
       p.toString
     })
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedPairs, dir, "graft_minhash_pairs") { p =>
+      MinHashLSH.candidatePairs(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(p)
+    }
     s.read.parquet(path)
   }
 
@@ -982,16 +1000,10 @@ object ExtQueries {
     * "offline index job"; same per-JVM temp staging + cleanup as
     * [[minhashPairs]]). */
   private def stageIncIndex(s: SparkSession, dir: String): String =
-    stagedIncIndex.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft_inc_index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        catch { case _: Throwable => () }))
+    stagedTempDir(stagedIncIndex, dir, "graft_inc_index") { p =>
       IncrementalDedup.writeIndex(
-        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7), p.toString)
-      p.toString
-    })
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7), p)
+    }
 
   /** SimHash fingerprints (per-row HOFs, no shuffle). Fully oracled
     * since r7: the per-token hash is PolyHash61 (not xxhash64), so
@@ -1325,13 +1337,8 @@ object ExtQueries {
     * the downstream canonicalization step — replays the parquet
     * instead of re-running the fixpoint. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = stagedClusters.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft_dedup_clusters")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        catch { case _: Throwable => () }))
-      val keyed = clusterKeyed(s, d)
+    val path = stagedTempDir(stagedClusters, dir, "graft_dedup_clusters") { p =>
+      val keyed = clusterKeyed(s, dir)
       val edges = ConnectedComponents.keyEdges(keyed, "doc_id", Seq("k1", "k2"))
       // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
       // already pre-pays the first propagation round, so the bulk
@@ -1349,9 +1356,8 @@ object ExtQueries {
       comp.repartition(col("component"))
         .select(col("id").as("doc_id"), col("component"),
           count(lit(1)).over(wComp).as("cluster_size"))
-        .write.mode("overwrite").parquet(p.toString)
-      p.toString
-    })
+        .write.mode("overwrite").parquet(p)
+    }
     s.read.parquet(path)
   }
 
@@ -1374,25 +1380,19 @@ object ExtQueries {
     * applyDelta(delta) equals batch CC over corpus ∪ delta = all
     * documents, so the hash gate proves incremental == batch. */
   private def incClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = stagedIncClusters.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft_inc_clusters")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        catch { case _: Throwable => () }))
+    val path = stagedTempDir(stagedIncClusters, dir, "graft_inc_clusters") { p =>
       // quality rides INTO the store (computed once per doc at ingest,
       // r9) so canonicalization is a view over the slim store — the
       // incremental manifest below never re-touches document text
-      val quality = TextOps.textStats(Tables.documents(s, d))
+      val quality = TextOps.textStats(Tables.documents(s, dir))
         .select(col("doc_id"), col("quality_score"))
-      val keyed = clusterKeyed(s, d).join(quality, "doc_id")
+      val keyed = clusterKeyed(s, dir).join(quality, "doc_id")
       IncrementalClusters.writeState(
         keyed.filter(col("doc_id") % 10 =!= 7), "doc_id", Seq("k1", "k2"),
-        p.toString, carryCols = Seq("quality_score"))
-      IncrementalClusters.applyDelta(s, p.toString,
+        p, carryCols = Seq("quality_score"))
+      IncrementalClusters.applyDelta(s, p,
         keyed.filter(col("doc_id") % 10 === 7), "doc_id", Seq("k1", "k2"))
-      p.toString
-    })
+    }
     IncrementalClusters.readLabels(s, path)
   }
 
@@ -1413,18 +1413,9 @@ object ExtQueries {
     * the SAME batch-manifest SQL: incremental labels == batch CC
     * (proven by q_dedup_clusters_incremental) and quality is a pure
     * per-doc function, so the manifests must be identical. */
-  def dedupManifestIncremental(s: SparkSession, dir: String): DataFrame = {
-    val ranked = incClusterLabels(s, dir)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("component")
-          .orderBy(desc("quality_score"), asc("doc_id"))))
-    val keep = ranked.filter(col("rk") === 1)
-      .select(col("component"), col("doc_id").as("keep_id"))
-    ranked.join(keep, "component")
-      .select(col("doc_id"), col("component"), col("quality_score"),
-        col("keep_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
-      .orderBy("doc_id")
-  }
+  def dedupManifestIncremental(s: SparkSession, dir: String): DataFrame =
+    manifestFrom(incClusterLabels(s, dir)
+      .select("doc_id", "component", "quality_score"))
 
   /** Canonicalization manifest — the terminal dedup step a training
     * pipeline materializes: per duplicate cluster keep the
@@ -1434,10 +1425,18 @@ object ExtQueries {
     * kept doc. Composes the staged cluster labels with the quality
     * scorer; one tiny window over (component). */
   def dedupManifest(s: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(s, dir)
     val quality = TextOps.textStats(Tables.documents(s, dir))
       .select(col("doc_id"), col("quality_score"))
-    val ranked = labels.join(quality, "doc_id")
+    manifestFrom(clusterLabels(s, dir).join(quality, "doc_id"))
+  }
+
+  /** Shared canonicalization: rank each component's members by
+    * (quality desc, doc_id asc), keep the argmax, emit the manifest
+    * row shape. Input needs (doc_id, component, quality_score). Both
+    * manifest queries share this block — a tie-break change applied to
+    * one would otherwise silently break the other's shared oracle. */
+  private def manifestFrom(labeled: DataFrame): DataFrame = {
+    val ranked = labeled
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("component")
           .orderBy(desc("quality_score"), asc("doc_id"))))

@@ -40,25 +40,28 @@ final class MetricView(
     * VERDICT r8 stretch 9): `graft_percentile_auto(x, q, bins)`
     * rewrites to `graft_percentile_bounded(x, q, lo, hi, bins)` with
     * `[lo, hi) = [floor(min x), floor(max x) + 1)` derived from the
-    * view's row-level relation — the profile card's min/max stat,
-    * computed inline at first use (one metadata-scale 1-row action)
-    * and cached per input expression, so rollup build and direct
-    * evaluation bake the SAME literals: routed == direct by
+    * view's row-level relation — the profile card's min/max stat. The
+    * derivation is ONE min/max pass over that relation (an honest scan,
+    * not metadata — at a 100 TB posture it belongs with the other
+    * offline profile stats), so it is cached JVM-wide keyed by
+    * (spec hash, input expr): the catalog's CREATE-time validation
+    * probe, the retained instance, and any re-instantiation of the
+    * same spec all share one derivation, and rollup build and direct
+    * evaluation bake the SAME literals — routed == direct by
     * construction, and the clamping risk of a mis-DECLARED domain is
     * designed out. Integer-snapped bounds keep the literals stable;
     * data drifting outside a previously-built rollup's domain still
     * surfaces via the histogram's clamped-count slot. */
-  private val autoDomains = new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
-
   private def autoDomain(inputSql: String): (Double, Double) =
-    autoDomains.computeIfAbsent(inputSql, { _ =>
-      val rows = Expander.rowLevel(spark, spec, catalog.resolve, Seq(inputSql))
-      val c = GraftBridge.column(Expander.rewriteExpr(Expander.parse(spark, inputSql), paths))
-      val r = rows.agg(floor(min(c)).cast("double").as("lo"),
-        (floor(max(c)) + lit(1)).cast("double").as("hi")).head()
-      if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 1.0)
-      else (r.getDouble(0), r.getDouble(1))
-    })
+    MetricView.autoDomains.computeIfAbsent(
+      (spec.materializationHash, inputSql), { _ =>
+        val rows = Expander.rowLevel(spark, spec, catalog.resolve, Seq(inputSql))
+        val c = GraftBridge.column(Expander.rewriteExpr(Expander.parse(spark, inputSql), paths))
+        val r = rows.agg(floor(min(c)).cast("double").as("lo"),
+          (floor(max(c)) + lit(1)).cast("double").as("hi")).head()
+        if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 1.0)
+        else (r.getDouble(0), r.getDouble(1))
+      })
 
   /** Measure expr rewritten into (flat) source terms; auto-domained
     * percentiles resolve to bounded ones first (see [[autoDomain]]). */
@@ -204,6 +207,14 @@ final class MetricView(
     val inputCols = measureInputColumns(spec.measures).filterNot(dimNames.contains).map(col)
     rows.select(dimCols ++ inputCols: _*)
   }
+}
+
+object MetricView {
+  /** JVM-wide auto-domain cache keyed by (spec hash, input expr) —
+    * see [[MetricView.autoDomain]]: one observed-range derivation per
+    * distinct spec/input, shared across probe and retained instances. */
+  private[api] val autoDomains =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Double, Double)]()
 }
 
 /** In-memory registry of metric views + lifecycle ops (reference S5-S8:

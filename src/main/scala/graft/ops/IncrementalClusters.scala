@@ -126,10 +126,9 @@ object IncrementalClusters {
       col("cbucket").cast("int").as("cbucket")): _*)
   }
 
-  /** Carried column names of the store at `path` (schema-derived). */
-  private def carriedCols(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(s"$path/labels").columns
-      .filterNot(Set("doc_id", "component", "cbucket")).toSeq
+  /** Carried column names of a label frame (schema-derived). */
+  private def carriedCols(labels: DataFrame): Seq[String] =
+    labels.columns.filterNot(Set("doc_id", "component", "cbucket")).toSeq
 
   private def requireParams(path: String, nBuckets: Int, keyCols: Seq[String]): Unit = {
     val p = java.nio.file.Paths.get(path).resolve("params")
@@ -193,9 +192,10 @@ object IncrementalClusters {
     // The label store streams through a broadcast join on that small id
     // set — rows out are bounded by |edges|.
     val labels = readLabels(spark, path)
-    // carried per-doc columns (schema-derived): the delta must supply
-    // them too, so folded rows stay uniform
-    val carry = carriedCols(spark, path)
+    // carried per-doc columns (schema-derived from the frame already in
+    // scope — no second footer read): the delta must supply them too,
+    // so folded rows stay uniform
+    val carry = carriedCols(labels)
     carry.foreach(c => require(delta.columns.contains(c),
       s"label store at $path carries column '$c' but the delta lacks it"))
     val srcIds = edges.select(col("src").as("doc_id")).distinct()

@@ -146,7 +146,14 @@ object IncrementalDedup {
     * normal ingest cadence. A backfill-sized delta (≫ millions of
     * docs) must pass false: the joins fall back to shuffles on the
     * bucket key and the corpus index pays one shuffle — still never a
-    * re-hash. */
+    * re-hash.
+    *
+    * NOT lazy since r9: turning the candidate ids into a LITERAL
+    * partition predicate (static pruning — the point of the doc-store
+    * layout) requires materializing the pair pipeline at construction
+    * time (it lands in the Persists cache the returned plan reads).
+    * Callers build this frame to execute it, which every current call
+    * site does immediately. */
   def deltaPairsGuarded(spark: SparkSession, indexPath: String,
       delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
