@@ -1417,6 +1417,40 @@ object ExtQueries {
     manifestFrom(incClusterLabels(s, dir)
       .select("doc_id", "component", "quality_score"))
 
+  /** End-to-end curation pass (r9) — the composed query a training-data
+    * pipeline actually runs nightly: keep a doc iff it is its
+    * duplicate-cluster's canonical (quality argmax), clears a quality
+    * floor, is English, and is untouched by benchmark decontamination.
+    * One summary row per source; each dropped doc is charged to its
+    * FIRST failing stage in pipeline order (duplicate → quality → lang
+    * → contamination), so the counts read as a funnel. Every stage is
+    * an already-oracled operator (manifest, textStats, langId,
+    * decontam) — this query hash-gates the COMPOSITION: the oracle
+    * concatenates the same CTE blocks. Benchmark docs (doc_id%50=0,
+    * the decontam eval set) are out of scope, as in q_decontam. */
+  def curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val manifest = dedupManifest(s, dir)
+      .select(col("doc_id"), col("quality_score"), col("is_canonical"))
+    val contam = decontam(s, dir).select(col("doc_id"), col("contaminated"))
+    val stage = when(!col("is_canonical"), "duplicate")
+      .when(col("quality_score") < 0.25, "quality")
+      .when(col("lang_pred") =!= "en", "lang")
+      .when(col("contaminated"), "contam")
+      .otherwise("kept")
+    def n(st: String) = sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st")
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .join(manifest, "doc_id")
+      .join(contam, "doc_id")
+      .withColumn("stage", stage)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), n("kept"), n("duplicate"),
+        n("quality"), n("lang"), n("contam"))
+      .orderBy("source")
+  }
+
   /** Canonicalization manifest — the terminal dedup step a training
     * pipeline materializes: per duplicate cluster keep the
     * highest-quality member (6dp-rounded quality score, min doc_id on
@@ -1478,7 +1512,9 @@ object ExtQueries {
       |       count(*) OVER (PARTITION BY component) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
 
-  val dedupManifestSql: String = clusterCtes +
+  /** Cluster fixpoint + quality + per-cluster argmax CTEs — shared by
+    * the manifest oracles and the curation oracle. */
+  private val manifestCtes: String = clusterCtes +
     """, qstats AS (
       |  SELECT doc_id,
       |         len(tk) AS token_count,
@@ -1501,11 +1537,76 @@ object ExtQueries {
       |  FROM comp c JOIN qual q USING (doc_id)
       |), keep AS (
       |  SELECT component, doc_id AS keep_id FROM ranked WHERE rk = 1
-      |)
+      |)""".stripMargin
+
+  val dedupManifestSql: String = manifestCtes +
+    """
       |SELECT r.doc_id, r.component, r.quality_score, k2.keep_id,
       |       (r.doc_id = k2.keep_id) AS is_canonical
       |FROM ranked r JOIN keep k2 USING (component)
       |ORDER BY r.doc_id""".stripMargin
+
+  /** The curation oracle composes the SAME blocks as the standalone
+    * operators: manifest CTEs (dup canonical + quality), the langId
+    * marker argmax, and the decontam gram join — then charges each doc
+    * to its first failing stage and folds to per-source counts. */
+  val curationSql: String = manifestCtes +
+    """, lt AS (
+      |  SELECT doc_id,
+      |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS tk,
+      |         length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+      |         greatest(length(text), 1) AS tlen
+      |  FROM documents
+      |), ls AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(tk, w -> list_contains(['the','a','of','and','is','to','in','that','it','for'], w))) AS DOUBLE) / (len(tk)+1) AS s_en,
+      |    CAST(len(list_filter(tk, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], w))) AS DOUBLE) / (len(tk)+1) AS s_de,
+      |    CAST(len(list_filter(tk, w -> list_contains(['le','la','les','et','est','un','une','des','que','pour'], w))) AS DOUBLE) / (len(tk)+1) AS s_fr,
+      |    CAST(len(list_filter(tk, w -> list_contains(['el','la','los','las','y','es','un','una','que','por'], w))) AS DOUBLE) / (len(tk)+1) AS s_es,
+      |    CAST(cjk AS DOUBLE) / tlen * 10.0 AS s_zh
+      |  FROM lt
+      |), lp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0.005 THEN 'und'
+      |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      |         ELSE 'zh' END AS lang_pred
+      |  FROM ls
+      |), dw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), dg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+      |  FROM dw, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 2, 1))) AS i) t
+      |), dbench AS (
+      |  SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0
+      |), dhits AS (
+      |  SELECT dg.doc_id, count(*) AS n_hit
+      |  FROM dg JOIN dbench USING (gram)
+      |  WHERE dg.doc_id % 50 <> 0
+      |  GROUP BY 1
+      |), staged AS (
+      |  SELECT d.source,
+      |         CASE WHEN r.doc_id <> kp.keep_id THEN 'duplicate'
+      |              WHEN r.quality_score < 0.25 THEN 'quality'
+      |              WHEN lp.lang_pred <> 'en' THEN 'lang'
+      |              WHEN coalesce(h.n_hit, 0) > 0 THEN 'contam'
+      |              ELSE 'kept' END AS stage
+      |  FROM documents d
+      |  JOIN ranked r ON r.doc_id = d.doc_id
+      |  JOIN keep kp ON kp.component = r.component
+      |  JOIN lp ON lp.doc_id = d.doc_id
+      |  LEFT JOIN dhits h ON h.doc_id = d.doc_id
+      |  WHERE d.doc_id % 50 <> 0
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+      |       CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |       CAST(sum(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+      |       CAST(sum(CASE WHEN stage = 'contam' THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+      |FROM staged GROUP BY source ORDER BY source""".stripMargin
 
   /** IVF ANN (data-adaptive cells; rows-only — recall spec-tested). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -2037,6 +2138,7 @@ object ExtQueries {
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
+    "q_curation"          -> (curation _),
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
@@ -2088,6 +2190,7 @@ object ExtQueries {
     "q_dedup_clusters_incremental" -> dedupClustersSql,
     // store-carried quality must reproduce the batch manifest exactly
     "q_dedup_manifest_incremental" -> dedupManifestSql,
+    "q_curation"          -> curationSql,
     "q_dedup_manifest"    -> dedupManifestSql,
     "q_dedup_minhash"     -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
