@@ -83,7 +83,14 @@ object Bench {
     // per-batch cost, which is the deployed shape: index builds are
     // offline jobs, delta matching / probing is the recurring work.
     val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // name order, EXCEPT staged-artifact dependents run after the
+    // query that owns the staging cost: q_curation reuses
+    // q_dedup_clusters' staged labels, and alphabetically it would run
+    // FIRST — paying the CC staging itself and turning the flagship
+    // cluster query's singleRun number into a ~0.2 s replay
+    val runAfterOwner = Map("q_curation" -> "q_dedup_manifest_zz")
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => runAfterOwner.getOrElse(n, n) }
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     ordered.foreach { case (name, _) => times(name) = Vector.empty }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
