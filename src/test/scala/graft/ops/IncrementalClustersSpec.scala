@@ -114,15 +114,19 @@ class IncrementalClustersSpec extends SparkSpec {
     // batch 2 bridges corpus singleton "E" with batch-1's fresh "Z"
     // cluster: 201 reaches the corpus through k1="E", 202 reaches the
     // PRIOR delta through k1="Z" (exercising the appended key-index
-    // rows), and 201~202 connect through a fresh shared k2="X"
-    val delta2 = Seq((201L, "E", "X"), (202L, "Z", "X")).toDF("doc_id", "k1", "k2")
+    // rows), and 201~202 connect through a fresh shared k2="X". 203
+    // additionally merges TWO delta-born components (batch-1's "Q"
+    // singleton into the "Z"∪"X" cluster) — both endpoints resolved
+    // through keys the index only knows from batch-1 appends.
+    val delta2 = Seq((201L, "E", "X"), (202L, "Z", "X"), (203L, "Q", "X"))
+      .toDF("doc_id", "k1", "k2")
     IncrementalClusters.applyDelta(spark, path, delta2, "doc_id", Seq("k1", "k2"), NB)
     val got = storeLabels(path)
     val expected = batchLabels(
       corpusKeyed.unionByName(deltaKeyed).unionByName(delta2))
     assert(got == expected)
-    assert(got(201L) == 14L && got(202L) == 14L &&
-      got(103L) == 14L && got(104L) == 14L)
+    assert(got(201L) == 14L && got(202L) == 14L && got(203L) == 14L &&
+      got(103L) == 14L && got(104L) == 14L && got(105L) == 14L)
   }
 
   test("carried columns survive the fold: old rows keep theirs, delta rows bring theirs") {
