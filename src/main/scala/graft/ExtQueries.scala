@@ -1790,39 +1790,50 @@ object ExtQueries {
         |GROUP BY CUBE (market_segment, order_status)
         |ORDER BY market_segment ASC NULLS FIRST, order_status ASC NULLS FIRST, gid ASC""".stripMargin
 
-  /** Multimodal plumbing: blob → stub-decode → typed metadata/features.
+  /** Multimodal plumbing: blob → decode → typed metadata/features.
     * The stub codec is a documented deterministic function of the
     * payload bytes (Java `Arrays.hashCode` fold), so even this query is
     * oracled: DuckDB recomputes the same 32-bit fold over the UTF-8
     * bytes (fixture text is ASCII, so code points == bytes). */
-  /** Real header-parse path (r9): the blobs carry synthesized VALID
-    * PNG/JPEG files (id-derived dims), decode reads width/height/
-    * channels/format from the actual IHDR/SOF bytes, and the oracle
-    * re-derives the same metadata from the synthesis recipe — hash
-    * equality proves parse ∘ synth = id across every row. */
+  /** Real header-parse path (r9, +wav r10): the blobs carry
+    * synthesized VALID PNG/JPEG/WAV files (id-derived dims/rates),
+    * decode reads width/height/channels/format/sample_rate from the
+    * actual IHDR/SOF/RIFF-fmt bytes, and the oracle re-derives the
+    * same metadata from the synthesis recipe — hash equality proves
+    * parse ∘ synth = id across every row and all three formats. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    val blobs = Multimodal.synthImageBlobs(Tables.documents(s, dir))
+    val blobs = Multimodal.synthMediaBlobs(Tables.documents(s, dir))
     Multimodal.decode(blobs).toDF()
       .select(col("media_id"), col("meta.width"), col("meta.height"),
-        col("meta.channels"), col("meta.format"),
+        col("meta.channels"), col("meta.format"), col("meta.sample_rate"),
         size(col("features")).as("feature_dim"))
       .orderBy("media_id")
   }
 
-  /** The synthesis recipe in SQL (Multimodal.synthDims/synthPng/
-    * synthJpeg): even ids PNG with color type cycling {gray,
-    * truecolor, truecolor+alpha} → channels {1,3,4}; odd ids JPEG with
-    * 1 component when id≡1 (mod 4), else 3. doc_id ≥ 0, so `%` is
-    * floorMod. */
+  /** The synthesis recipe in SQL (Multimodal.synthDims/synthAudio/
+    * synthPng/synthJpeg/synthWav): ids ≡ 2 (mod 3) WAV with rate
+    * standard-set-indexed by (id//3) mod 6 and 1+id%2 channels; of the
+    * rest, even ids PNG with color type cycling {gray, truecolor,
+    * truecolor+alpha} → channels {1,3,4}; odd ids JPEG with 1 component
+    * when id≡1 (mod 4), else 3. doc_id ≥ 0, so `%` is floorMod. */
   val multimodalDecodeSql: String =
     """SELECT doc_id AS media_id,
-      |       CAST(16 + (doc_id * 31) % 1000 AS INT) AS width,
-      |       CAST(16 + (doc_id * 17) % 1000 AS INT) AS height,
-      |       CAST(CASE WHEN doc_id % 2 = 0 THEN
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+      |            ELSE 16 + (doc_id * 31) % 1000 END AS INT) AS width,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+      |            ELSE 16 + (doc_id * 17) % 1000 END AS INT) AS height,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+      |            WHEN doc_id % 2 = 0 THEN
       |              CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
       |            ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END
       |       END AS INT) AS channels,
-      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CASE WHEN doc_id % 3 = 2 THEN 'wav'
+      |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN
+      |              CASE (doc_id // 3) % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |                   WHEN 2 THEN 16000 WHEN 3 THEN 22050
+      |                   WHEN 4 THEN 44100 ELSE 48000 END
+      |            ELSE 0 END AS INT) AS sample_rate,
       |       8 AS feature_dim
       |FROM documents ORDER BY media_id""".stripMargin
 

@@ -46,26 +46,40 @@ class MultimodalSpec extends SparkSpec {
       d.collect().map(_.media_id).sorted.toSeq)
   }
 
-  test("real header parse: PNG IHDR and JPEG SOF dims round-trip the synthesis recipe (r9)") {
-    val synth = Multimodal.synthImageBlobs(Tables.documents(spark, sfDir))
+  test("real header parse: PNG/JPEG dims and WAV rates round-trip the synthesis recipe (r9/r10)") {
+    val synth = Multimodal.synthMediaBlobs(Tables.documents(spark, sfDir))
     val got = Multimodal.decode(synth).collect().map(d => d.media_id -> d.meta).toMap
     assert(got.nonEmpty)
     got.foreach { case (id, m) =>
-      val (w, h) = Multimodal.synthDims(id)
-      assert(m.width == w && m.height == h,
-        s"id $id: parsed ${m.width}x${m.height}, synthesized ${w}x$h")
-      if (id % 2 == 0) {
-        assert(m.format == "png")
-        assert(m.channels == Array(1, 3, 4)(math.floorMod(id, 3L).toInt))
+      if (math.floorMod(id, 3L) == 2L) {
+        val (rate, ch) = Multimodal.synthAudio(id)
+        assert(m.format == "wav" && m.width == 0 && m.height == 0,
+          s"id $id: expected wav 0x0, got ${m.format} ${m.width}x${m.height}")
+        assert(m.sample_rate == rate && m.channels == ch,
+          s"id $id: parsed ${m.sample_rate}Hz x${m.channels}, synthesized ${rate}Hz x$ch")
       } else {
-        assert(m.format == "jpeg")
-        assert(m.channels == (if (math.floorMod(id, 4L) == 1L) 1 else 3))
+        val (w, h) = Multimodal.synthDims(id)
+        assert(m.width == w && m.height == h,
+          s"id $id: parsed ${m.width}x${m.height}, synthesized ${w}x$h")
+        assert(m.sample_rate == 0)
+        if (id % 2 == 0) {
+          assert(m.format == "png")
+          assert(m.channels == Array(1, 3, 4)(math.floorMod(id, 3L).toInt))
+        } else {
+          assert(m.format == "jpeg")
+          assert(m.channels == (if (math.floorMod(id, 4L) == 1L) 1 else 3))
+        }
       }
     }
     // both SOF0 and SOF2 variants and the segment-skip path must have
-    // been exercised (ids mod 8 spread ensures both marker branches)
-    assert(got.keys.exists(id => id % 2 == 1 && math.floorMod(id, 8L) < 4) &&
-      got.keys.exists(id => id % 2 == 1 && math.floorMod(id, 8L) >= 4))
+    // been exercised (ids mod 8 spread ensures both marker branches),
+    // and all six standard rates plus both channel counts for wav
+    def img(id: Long) = math.floorMod(id, 3L) != 2L
+    assert(got.keys.exists(id => img(id) && id % 2 == 1 && math.floorMod(id, 8L) < 4) &&
+      got.keys.exists(id => img(id) && id % 2 == 1 && math.floorMod(id, 8L) >= 4))
+    val wavs = got.collect { case (id, m) if math.floorMod(id, 3L) == 2L => m }
+    assert(wavs.map(_.sample_rate).toSet.size == 6)
+    assert(wavs.map(_.channels).toSet == Set(1, 2))
   }
 
   test("parseHeader: JPEG fill-byte padding, truncation, and corruption handling (r9)") {
@@ -88,5 +102,34 @@ class MultimodalSpec extends SparkSpec {
     assert(parseHeader(badColor).isEmpty)
     // arbitrary text payload: stub fallback territory
     assert(parseHeader("just some text".getBytes).isEmpty)
+    // JPEG segment length below 2 (the field counts itself) is corrupt:
+    // trusting it would rescan payload bytes as markers (ADVICE r9) —
+    // here a COM segment claiming length 0 is followed by bytes that
+    // would misparse as a SOF0 if the scanner re-entered the payload
+    val zeroLen = Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x50, 0x00, 0x78, 0x03).map(_.toByte)
+    assert(parseHeader(zeroLen).isEmpty)
+  }
+
+  test("parseHeader: WAV RIFF chunk scan, truncation, and corruption handling (r10)") {
+    import Multimodal.{parseHeader, MediaMeta}
+    val wav = Multimodal.synthWav(8L, "payload".getBytes) // id 8: rate idx (8/3)%6=2, ch 1
+    assert(parseHeader(wav).contains(MediaMeta(0, 0, 1, "wav", 16000)))
+    val stereo = Multimodal.synthWav(11L, Array.emptyByteArray) // (11/3)%6=3, ch 2
+    assert(parseHeader(stereo).contains(MediaMeta(0, 0, 2, "wav", 22050)))
+    // truncated mid-fmt: no phantom metadata
+    assert(parseHeader(wav.take(30)).isEmpty)
+    // a RIFF that never reaches a fmt chunk
+    assert(parseHeader(
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII")).isEmpty)
+    // fmt chunk claiming an undersized body is corrupt, not parsed
+    val badFmt = wav.clone()
+    val fmtAt = wav.indexOfSlice("fmt ".getBytes("US-ASCII"))
+    badFmt(fmtAt + 4) = 8.toByte // size 8 < 16
+    assert(parseHeader(badFmt).isEmpty)
+    // zero channels rejected
+    val zeroCh = wav.clone(); zeroCh(fmtAt + 10) = 0.toByte; zeroCh(fmtAt + 11) = 0.toByte
+    assert(parseHeader(zeroCh).isEmpty)
   }
 }
