@@ -44,24 +44,38 @@ final class MetricView(
     * derivation is ONE min/max pass over that relation (an honest scan,
     * not metadata — at a 100 TB posture it belongs with the other
     * offline profile stats), so it is cached JVM-wide keyed by
-    * (spec hash, input expr): the catalog's CREATE-time validation
-    * probe, the retained instance, and any re-instantiation of the
-    * same spec all share one derivation, and rollup build and direct
-    * evaluation bake the SAME literals — routed == direct by
+    * (spec hash, input expr, data identity): the catalog's CREATE-time
+    * validation probe, the retained instance, and any re-instantiation
+    * of the same spec all share one derivation, and rollup build and
+    * direct evaluation bake the SAME literals — routed == direct by
     * construction, and the clamping risk of a mis-DECLARED domain is
     * designed out. Integer-snapped bounds keep the literals stable;
     * data drifting outside a previously-built rollup's domain still
-    * surfaces via the histogram's clamped-count slot. */
-  private def autoDomain(inputSql: String): (Double, Double) =
+    * surfaces via the histogram's clamped-count slot.
+    *
+    * The data identity (ADVICE r9): the spec hash covers only the
+    * spec, so the same spec instantiated over a DIFFERENT data
+    * directory — or re-evaluated after the files changed — must not
+    * silently reuse the first-derived bounds (clamped, oracle-
+    * diverging percentiles). The key therefore also carries a digest
+    * of the row-level relation's leaf file names — a metadata-scale
+    * listing; every parquet rewrite generates fresh part names, so
+    * refreshed data re-derives. Non-file sources digest the empty
+    * list and keep the spec-keyed behavior. */
+  private def autoDomain(inputSql: String): (Double, Double) = {
+    val rows = Expander.rowLevel(spark, spec, catalog.resolve, Seq(inputSql))
+    val dataKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.inputFiles.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     MetricView.autoDomains.computeIfAbsent(
-      (spec.materializationHash, inputSql), { _ =>
-        val rows = Expander.rowLevel(spark, spec, catalog.resolve, Seq(inputSql))
+      (spec.materializationHash, inputSql, dataKey), { _ =>
         val c = GraftBridge.column(Expander.rewriteExpr(Expander.parse(spark, inputSql), paths))
         val r = rows.agg(floor(min(c)).cast("double").as("lo"),
           (floor(max(c)) + lit(1)).cast("double").as("hi")).head()
         if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 1.0)
         else (r.getDouble(0), r.getDouble(1))
       })
+  }
 
   /** Measure expr rewritten into (flat) source terms; auto-domained
     * percentiles resolve to bounded ones first (see [[autoDomain]]). */
@@ -210,11 +224,12 @@ final class MetricView(
 }
 
 object MetricView {
-  /** JVM-wide auto-domain cache keyed by (spec hash, input expr) —
-    * see [[MetricView.autoDomain]]: one observed-range derivation per
-    * distinct spec/input, shared across probe and retained instances. */
+  /** JVM-wide auto-domain cache keyed by (spec hash, input expr, data
+    * identity) — see [[MetricView.autoDomain]]: one observed-range
+    * derivation per distinct spec/input/data, shared across probe and
+    * retained instances. */
   private[api] val autoDomains =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Double, Double)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (Double, Double)]()
 }
 
 /** In-memory registry of metric views + lifecycle ops (reference S5-S8:

@@ -132,6 +132,40 @@ class RoutingSpec extends SparkSpec {
     }
   }
 
+  test("auto-domain cache keys on data identity: same spec over different data re-derives (ADVICE r9)") {
+    // materializationHash covers only the SPEC, so before r10 the
+    // JVM-wide auto-domain cache silently served the first-derived
+    // [lo, hi) to the same spec instantiated over different data —
+    // clamping every value of the second dataset to the first's range.
+    // The leaf-file digest in the key forces a fresh derivation.
+    val yaml =
+      """version: 0.1
+        |source: t
+        |dimensions:
+        |  - name: g
+        |    expr: g
+        |measures:
+        |  - name: p50
+        |    expr: graft_percentile_auto(v, 0.5, 64)
+        |""".stripMargin
+    def tableAt(lo: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-autodom").toString
+      spark.range(lo, lo + 101)
+        .selectExpr("'a' as g", "cast(id as double) as v")
+        .write.mode("overwrite").parquet(s"$d/t.parquet")
+      s"$d/t.parquet"
+    }
+    def p50(path: String): Double = {
+      val cat = new graft.api.MetricViewCatalog(spark, _ => spark.read.parquet(path))
+      cat.createOrReplace("mv_auto_key", yaml)
+      cat.get("mv_auto_key").query(Seq("g"), Seq("p50")).collect().head.getDouble(1)
+    }
+    val pSmall = p50(tableAt(0L)) // domain derives to [0, 101)
+    val pBig = p50(tableAt(100000L)) // must re-derive, not clamp to ~101
+    assert(math.abs(pSmall - 50.0) <= 3.0, s"small-data median $pSmall")
+    assert(math.abs(pBig - 100050.0) <= 3.0, s"big-data median $pBig")
+  }
+
   test("uncovered measure falls back (avg not in any rollup) but stays correct") {
     val q = mat.get("mv_order_metrics")
       .query(Seq("market_segment"), Seq("avg_order_value"))
