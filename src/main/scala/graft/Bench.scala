@@ -83,14 +83,24 @@ object Bench {
     // per-batch cost, which is the deployed shape: index builds are
     // offline jobs, delta matching / probing is the recurring work.
     val lastErr = scala.collection.mutable.LinkedHashMap[String, String]()
-    // name order, EXCEPT staged-artifact dependents run after the
+    // name order, EXCEPT staged-artifact dependents run right after the
     // query that owns the staging cost: q_curation reuses
-    // q_dedup_clusters' staged labels, and alphabetically it would run
-    // FIRST — paying the CC staging itself and turning the flagship
-    // cluster query's singleRun number into a ~0.2 s replay
-    val runAfterOwner = Map("q_curation" -> "q_dedup_manifest_zz")
-    val ordered = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) => runAfterOwner.getOrElse(n, n) }
+    // q_dedup_clusters' staged labels (via the batch manifest), and
+    // alphabetically it would run FIRST — paying the CC staging itself
+    // and turning the flagship cluster query's singleRun number into a
+    // ~0.2 s replay. The dependency is expressed as an explicit
+    // owner name (ADVICE r9: the previous synthetic sort key
+    // "q_dedup_manifest_zz" silently reordered if a future name sorted
+    // into the gap or the owner was renamed — now an unknown owner
+    // fails loudly).
+    val runAfterOwner = Map("q_curation" -> "q_dedup_manifest")
+    runAfterOwner.foreach { case (dep, owner) =>
+      require(SparkEntry.queries.contains(owner) && SparkEntry.queries.contains(dep),
+        s"bench order: unknown query in dependency $dep -> $owner") }
+    val byName = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = byName.filterNot { case (n, _) => runAfterOwner.contains(n) }
+      .flatMap { case e @ (n, _) =>
+        e +: byName.filter { case (d, _) => runAfterOwner.get(d).contains(n) } }
     val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     ordered.foreach { case (name, _) => times(name) = Vector.empty }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -151,8 +161,15 @@ object Bench {
     val routingJson = routing.map(r =>
       f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f}""")
       .getOrElse(""","routing_speedup":-1""")
+    // stage split for staged singleRun queries (VERDICT r9 demerit 3):
+    // a headline number that conflates a one-time state build with the
+    // per-delta fold carries the breakdown alongside
+    val stages = ExtQueries.stageTimings.toSeq.sortBy(_._1).map { case (q, ss) =>
+      "\"" + q + "\":" + ss.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs$routingJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"sf":"$sfDir"}"""
     println(json)
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it
