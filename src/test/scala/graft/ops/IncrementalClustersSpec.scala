@@ -78,33 +78,121 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(got(13L) == 1L && got(1L) == 1L)                        // min moved
   }
 
-  test("untouched bucket partitions keep their files byte-for-byte; emptied buckets are deleted") {
+  test("untouched buckets carry over as hard links (same inode, zero copy); emptied buckets vanish") {
     val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-mtime").toString
     IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
-    def files(): Map[String, (Long, Long)] = {
-      val root = new java.io.File(s"$path/labels")
+    def files(dir: String): Map[String, java.io.File] = {
+      val root = new java.io.File(dir)
       org.apache.commons.io.FileUtils.listFiles(root, null, true)
         .toArray.map(_.asInstanceOf[java.io.File])
         .filter(f => f.getName.endsWith(".parquet"))
-        .map(f => f.getAbsolutePath -> (f.lastModified(), f.length())).toMap
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) -> f).toMap
     }
-    val before = files()
+    val v1 = IncrementalClusters.currentLabelsDir(path)
+    val before = files(v1)
     // component 14 (bucket 6) is untouched by the delta
     val untouchedBefore = before.filter(_._1.contains("cbucket=6"))
     assert(untouchedBefore.nonEmpty, "fixture must place component 14 in bucket 6")
 
     IncrementalClusters.applyDelta(spark, path, deltaKeyed, "doc_id", Seq("k1", "k2"), NB)
-    val after = files()
-    untouchedBefore.foreach { case (f, sig) =>
-      assert(after.get(f).contains(sig), s"untouched bucket file rewritten: $f")
+    val v2 = IncrementalClusters.currentLabelsDir(path)
+    assert(v2 != v1, "fold must produce a NEW snapshot version")
+    val after = files(v2)
+    // untouched bucket files in the new snapshot are the SAME inodes as
+    // the old snapshot's (hard links): byte-identical, mtime-identical,
+    // no data copied — the O(touched) rewrite claim at the file level
+    untouchedBefore.foreach { case (rel, f) =>
+      val now = after.get(rel)
+      assert(now.isDefined, s"untouched bucket file missing from new snapshot: $rel")
+      assert(java.nio.file.Files.isSameFile(f.toPath, now.get.toPath),
+        s"untouched bucket file copied/rewritten instead of linked: $rel")
     }
     // the rewrite touched a strict subset of buckets (the O(touched) claim)
     assert(IncrementalClusters.lastTouchedBuckets > 0 &&
       IncrementalClusters.lastTouchedBuckets < NB)
     // component 13's old home (bucket 5) emptied when it merged into
     // component 1 (bucket 1): stale labels must not survive there
-    assert(!new java.io.File(s"$path/labels/cbucket=5").exists(),
-      "emptied bucket directory must be deleted, not left stale")
+    assert(!new java.io.File(s"$v2/cbucket=5").exists(),
+      "emptied bucket directory must not appear in the new snapshot")
+  }
+
+  test("crash-consistent swap: pinned readers keep the old snapshot; a crashed fold's leftovers recover") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-crash").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    val beforeFold = storeLabels(path)
+    // a reader that resolved the pointer BEFORE the fold: its plan is
+    // pinned to the old snapshot directory
+    val pinned = IncrementalClusters.readLabels(spark, path)
+    // simulate a PREVIOUS fold that crashed after staging: a partial
+    // next-version directory with garbage where the fold will build
+    val v1 = new java.io.File(IncrementalClusters.currentLabelsDir(path))
+    val partial = new java.io.File(v1.getParent, s"v${v1.getName.drop(1).toLong + 1}")
+    java.nio.file.Files.createDirectories(new java.io.File(partial, "cbucket=0").toPath)
+    java.nio.file.Files.write(new java.io.File(partial, "cbucket=0/garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    // the crash never flipped the pointer, so readers still see v1
+    assert(storeLabels(path) == beforeFold)
+    // the next fold rebuilds the partial version from scratch and lands
+    // exactly the batch-CC union
+    IncrementalClusters.applyDelta(spark, path, deltaKeyed, "doc_id", Seq("k1", "k2"), NB)
+    assert(storeLabels(path) == batchLabels(corpusKeyed.unionByName(deltaKeyed)))
+    // the pinned pre-fold reader STILL reads the complete old snapshot
+    // (one superseded version is retained for in-flight readers)
+    assert(pinned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == beforeFold)
+  }
+
+  test("distributed micro-CC path (driver limit 0) folds identically") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-dist").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    IncrementalClusters.applyDelta(spark, path, deltaKeyed, "doc_id", Seq("k1", "k2"), NB,
+      microCcDriverLimit = 0L)
+    assert(!IncrementalClusters.lastMicroCcOnDriver)
+    assert(storeLabels(path) == batchLabels(corpusKeyed.unionByName(deltaKeyed)))
+  }
+
+  test("key-index compaction bounds the file count across many folds; equivalence holds") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-compact").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    def keyFiles(): Int = Option(
+      new java.io.File(IncrementalClusters.currentKeysDir(path)).listFiles())
+      .getOrElse(Array.empty).count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // each fold introduces a fresh key (Fi) and so appends to keys/;
+    // with compactKeysAt=4 the snapshot compacts repeatedly instead of
+    // accumulating one file per fold forever
+    var all = corpusKeyed
+    var maxFiles = 0
+    (0 until 12).foreach { i =>
+      val d = Seq((1000L + i, "A", s"F$i")).toDF("doc_id", "k1", "k2")
+      IncrementalClusters.applyDelta(spark, path, d, "doc_id", Seq("k1", "k2"), NB,
+        compactKeysAt = 4)
+      all = all.unionByName(d)
+      maxFiles = math.max(maxFiles, keyFiles())
+    }
+    assert(maxFiles <= 4 + 2,
+      s"keys snapshot accumulated $maxFiles files — compaction not engaging")
+    assert(storeLabels(path) == batchLabels(all))
+    // all 12 delta docs share k1="A": one cluster with the corpus "A"s
+    val got = storeLabels(path)
+    (0 until 12).foreach(i => assert(got(1000L + i) == 10L))
+  }
+
+  test("delta contract is enforced loudly: duplicate ids in a batch, ids already in the store") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-guard").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    val dup = Seq((301L, "A", null.asInstanceOf[String]),
+      (301L, "B", null.asInstanceOf[String])).toDF("doc_id", "k1", "k2")
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalClusters.applyDelta(spark, path, dup, "doc_id", Seq("k1", "k2"), NB)
+    }
+    assert(e1.getMessage.contains("duplicate ids"))
+    // id 10 is already labeled in the corpus store
+    val overlap = Seq((10L, "A", null.asInstanceOf[String])).toDF("doc_id", "k1", "k2")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalClusters.applyDelta(spark, path, overlap, "doc_id", Seq("k1", "k2"), NB)
+    }
+    assert(e2.getMessage.contains("must be disjoint"))
+    // neither failed attempt mutated the store
+    assert(storeLabels(path) == batchLabels(corpusKeyed))
   }
 
   test("delta batches compose: two sequential folds == batch CC over all three sets") {
