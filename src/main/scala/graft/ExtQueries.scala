@@ -1432,37 +1432,61 @@ object ExtQueries {
     manifestFrom(incClusterLabels(s, dir)
       .select("doc_id", "component", "quality_score"))
 
-  /** End-to-end curation pass (r9) — the composed query a training-data
-    * pipeline actually runs nightly: keep a doc iff it is its
-    * duplicate-cluster's canonical (quality argmax), clears a quality
-    * floor, is English, and is untouched by benchmark decontamination.
-    * One summary row per source; each dropped doc is charged to its
-    * FIRST failing stage in pipeline order (duplicate → quality → lang
-    * → contamination), so the counts read as a funnel. Every stage is
-    * an already-oracled operator (manifest, textStats, langId,
-    * decontam) — this query hash-gates the COMPOSITION: the oracle
-    * concatenates the same CTE blocks. Benchmark docs (doc_id%50=0,
-    * the decontam eval set) are out of scope, as in q_decontam. */
+  /** End-to-end curation pass (r9; repetition + PII stages r10) — the
+    * composed query a training-data pipeline actually runs nightly:
+    * keep a doc iff it is its duplicate-cluster's canonical (quality
+    * argmax), clears a quality floor, is not repetition-degenerate
+    * (the Gopher-style q_repetition flag), is English, is below the
+    * PII-density cap (≥2 of email/phone/IP drops it — over the same
+    * deterministically injected synthetic PII as q_pii, since the
+    * fixture corpus contains none), and is untouched by benchmark
+    * decontamination. One summary row per source; each dropped doc is
+    * charged to its FIRST failing stage in pipeline order (duplicate →
+    * quality → repetition → lang → pii → contamination), so the counts
+    * read as a funnel. Every stage is an already-oracled operator
+    * (manifest, textStats, repetitionStats, langId, Pii, decontam) —
+    * this query hash-gates the COMPOSITION: the oracle concatenates
+    * the same CTE blocks. Lang + PII ride the one narrow corpus pass;
+    * repetition joins its per-doc (id, word) aggregate — the shape
+    * q_repetition already owns (top-word share needs the shuffle;
+    * a per-row HOF recount would be the O(len²) anti-pattern).
+    * Benchmark docs (doc_id%50=0, the decontam eval set) are out of
+    * scope, as in q_decontam. */
   def curation(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val manifest = dedupManifest(s, dir)
       .select(col("doc_id"), col("quality_score"), col("is_canonical"))
     val contam = decontam(s, dir).select(col("doc_id"), col("contaminated"))
+    val rep = TextOps.repetitionStats(docs)
+      .select(col("doc_id"), col("flagged").as("rep_flagged"))
+    // the q_pii injection recipe, verbatim — PII density is then a
+    // per-row regex count inside the same narrow pass as langId
+    val injected = concat_ws(" ",
+      when(col("doc_id") % 10 === 0,
+        concat(lit("contact user"), col("doc_id").cast("string"), lit("@example.com now"))),
+      when(col("doc_id") % 7 === 0, lit("call 555-123-4567")),
+      when(col("doc_id") % 13 === 0, lit("from 10.0.0.1")),
+      col("text"))
     val stage = when(!col("is_canonical"), "duplicate")
       .when(col("quality_score") < 0.25, "quality")
+      .when(col("rep_flagged"), "repetition")
       .when(col("lang_pred") =!= "en", "lang")
+      .when(col("pii_hits") >= 2, "pii")
       .when(col("contaminated"), "contam")
       .otherwise("kept")
     def n(st: String) = sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st")
     docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("source"),
-        TextOps.langId(col("text")).as("lang_pred"))
+        TextOps.langId(col("text")).as("lang_pred"),
+        (graft.ops.Pii.emailCount(injected) + graft.ops.Pii.phoneCount(injected) +
+          graft.ops.Pii.ipCount(injected)).as("pii_hits"))
       .join(manifest, "doc_id")
       .join(contam, "doc_id")
+      .join(rep, "doc_id")
       .withColumn("stage", stage)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), n("kept"), n("duplicate"),
-        n("quality"), n("lang"), n("contam"))
+        n("quality"), n("repetition"), n("lang"), n("pii"), n("contam"))
       .orderBy("source")
   }
 
@@ -1601,17 +1625,50 @@ object ExtQueries {
       |  FROM dg JOIN dbench USING (gram)
       |  WHERE dg.doc_id % 50 <> 0
       |  GROUP BY 1
+      |), rw AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
+      |), rb AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |         round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_ratio
+      |  FROM rw
+      |), rc AS (
+      |  SELECT doc_id, max(cnt) AS top FROM (
+      |    SELECT doc_id, word, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(ws) AS word FROM rw) GROUP BY doc_id, word
+      |  ) GROUP BY doc_id
+      |), rep AS (
+      |  SELECT rb.doc_id,
+      |         (rb.dup_word_ratio > 0.8
+      |          OR round(CAST(rc.top AS DOUBLE) / rb.n_words, 6) > 0.2) AS rep_flagged
+      |  FROM rb JOIN rc USING (doc_id)
+      |), pin AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 10 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'call 555-123-4567' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'from 10.0.0.1' END,
+      |    text) AS itext
+      |  FROM documents
+      |), ppi AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(itext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |         + len(regexp_extract_all(itext, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+      |         + len(regexp_extract_all(itext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_hits
+      |  FROM pin
       |), staged AS (
       |  SELECT d.source,
       |         CASE WHEN r.doc_id <> kp.keep_id THEN 'duplicate'
       |              WHEN r.quality_score < 0.25 THEN 'quality'
+      |              WHEN rp.rep_flagged THEN 'repetition'
       |              WHEN lp.lang_pred <> 'en' THEN 'lang'
+      |              WHEN pp.pii_hits >= 2 THEN 'pii'
       |              WHEN coalesce(h.n_hit, 0) > 0 THEN 'contam'
       |              ELSE 'kept' END AS stage
       |  FROM documents d
       |  JOIN ranked r ON r.doc_id = d.doc_id
       |  JOIN keep kp ON kp.component = r.component
       |  JOIN lp ON lp.doc_id = d.doc_id
+      |  JOIN rep rp ON rp.doc_id = d.doc_id
+      |  JOIN ppi pp ON pp.doc_id = d.doc_id
       |  LEFT JOIN dhits h ON h.doc_id = d.doc_id
       |  WHERE d.doc_id % 50 <> 0
       |)
@@ -1619,7 +1676,9 @@ object ExtQueries {
       |       CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       CAST(sum(CASE WHEN stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
       |       CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |       CAST(sum(CASE WHEN stage = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
       |       CAST(sum(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+      |       CAST(sum(CASE WHEN stage = 'pii' THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
       |       CAST(sum(CASE WHEN stage = 'contam' THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
       |FROM staged GROUP BY source ORDER BY source""".stripMargin
 
@@ -1678,6 +1737,49 @@ object ExtQueries {
       target.toString
     })
 
+  private val stagedIvfInc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental ANN index maintenance end-to-end (r10, VERDICT r9
+    * task 1): embeddings with `vec_id % 10 = 7` play the freshly-
+    * arrived delta (the dedup-split convention). The offline job
+    * trains centroids on the CORPUS and writes its cell-partitioned
+    * layout; the delta then folds in via [[IvfIndex.appendIndexed]] —
+    * O(delta) per-row assignment, file adds in touched cells only, no
+    * retrain, no corpus rewrite — and the probe runs over the folded
+    * layout with the same persisted model.
+    *
+    * Oracled by the full SQL pipeline with corpus-restricted TRAINING
+    * but all-rows assignment/probing ([[annIvfIncrementalSql]]) —
+    * which is precisely what a same-model full REBUILD of
+    * corpus ∪ delta serves, so the hash gate proves fold == rebuild
+    * (the IncrementalClusters equivalence posture for the ANN
+    * pillar). Staged once per (JVM, dir); the train/fold stage split
+    * is recorded for the bench artifact. */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedTempDir(stagedIvfInc, dir, "graft_ivf_inc") { p =>
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+      val t0 = System.nanoTime()
+      val model = IvfIndex.train(corpus)
+      IndexStore.saveIvf(model, p)
+      IvfIndex.writeIndexed(corpus, s"$p/layout", model)
+      val t1 = System.nanoTime()
+      IvfIndex.appendIndexed(emb.filter(col("vec_id") % 10 === 7), s"$p/layout", model)
+      stageTimings("q_ann_ivf_incremental") = Seq(
+        "train_index" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+    val model = IndexStore.loadIvf(staged)
+    IvfIndex.topKIndexed(s, s"$staged/layout",
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10), k = 5, model)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Training corpus at the sf0.01 gate: 500 embeddings minus the 50
+    * delta rows (vec_id ≡ 7 mod 10) — the n the init draws embed. */
+  val annIvfIncrementalSql: String =
+    ivfPipelineSql(n = 450, trainPred = Some("vec_id % 10 <> 7"))
+
   /** DuckDB re-expression of [[annIvf]] — the full IVF pipeline
     * INCLUDING k-means training (fully oracled since r7; the last
     * algorithmic rows-only query). Every stage is re-derived with
@@ -1700,12 +1802,24 @@ object ExtQueries {
     * The init draws depend on the sample size, so the oracle guards
     * count(*) == 500 (sf0.01, the correctness gate's scale) with a
     * loud error() — the embedNearDup bits-guard pattern. */
-  val annIvfSql: String = {
-    val n = 500
+  val annIvfSql: String = ivfPipelineSql(n = 500, trainPred = None)
+
+  /** The IVF-oracle generator, parameterized (r10) so the INCREMENTAL
+    * variant can train on a corpus subset: `trainPred` filters the
+    * k-means sample (the engine trains on the pre-delta corpus), while
+    * cell assignment and probing still run over ALL embeddings — which
+    * is exactly what a fold-then-probe over the incremental layout
+    * computes, and what a same-model full rebuild computes (the
+    * equivalence the oracle therefore hash-gates). `n` must be the
+    * TRAINING corpus row count at the gate's scale: the Random(42)
+    * init draws depend on it, so it is error()-guarded in SQL. */
+  private def ivfPipelineSql(n: Int, trainPred: Option[String]): String = {
     val k = 16
     val dim = 64
     val iters = 8
     val nprobe = 6
+    val trainWhere = trainPred.map(p => s"WHERE $p").getOrElse("")
+    val trainAnd = trainPred.map(p => s" AND $p").getOrElse("")
     val rnd = new java.util.Random(42L)
     // engine: Array.fill(k)(sample(rnd.nextInt(sample.length))) — 0-based
     // positions into the md5-rank-ordered sample; SQL ranks are 1-based
@@ -1745,11 +1859,11 @@ object ExtQueries {
        |              THEN CAST(error('annIvf oracle embeds Random(42) draws over a $n-row sample; corpus has '
        |                   || count(*) || ' rows') AS INT)
        |              ELSE $n END AS n
-       |  FROM embeddings
+       |  FROM embeddings $trainWhere
        |), samp AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
-       |  FROM embeddings CROSS JOIN nchk WHERE nchk.n = $n
+       |  FROM embeddings CROSS JOIN nchk WHERE nchk.n = $n$trainAnd
        |), rmap AS (
        |  SELECT map_from_entries(list({'k': rank, 'v': v})) AS m FROM samp
        |), it0 AS (
@@ -2159,6 +2273,7 @@ object ExtQueries {
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_ann_ivf"           -> (annIvf _),
     "q_ann_ivf_indexed"   -> (annIvfIndexed _),
+    "q_ann_ivf_incremental" -> (annIvfIncremental _),
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
@@ -2233,6 +2348,11 @@ object ExtQueries {
     // probe's rows (bit-identical model round-trip + precomputed cells)
     // — same oracle, so the offline lifecycle is hash-gated too
     "q_ann_ivf_indexed"   -> annIvfSql,
+    // corpus-trained model, delta folded into the cell layout: the
+    // oracle trains on the corpus subset but assigns/probes ALL rows —
+    // identical to a same-model full rebuild, so fold == rebuild is
+    // hash-gated
+    "q_ann_ivf_incremental" -> annIvfIncrementalSql,
     "q_tfidf_terms"       -> tfidfTopTermsSql)
 
   /** rows-only: EMPTY since r7 — every query is fully DuckDB-oracled.

@@ -202,11 +202,35 @@ object ScaleBench {
     val incCcSmScaled = incClusterProbe(scaleDir, 100L, 512)
     val incCcSmScaledTouched = graft.ops.IncrementalClusters.lastTouchedBuckets
 
+    // FIXED-DELTA incremental-ANN probe (r10): fold a pinned delta
+    // embedding batch into the cell-partitioned IVF layout of a
+    // growing corpus (train + layout write untimed — the offline job).
+    // The fold is per-row centroid assignment + file adds in touched
+    // cells only, with NO corpus read at all, so this is the flattest
+    // incremental probe by construction: the ratio measures only
+    // partition-listing overhead of bigger cell directories.
+    def incAnnProbe(dir: String): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_scale_incann").toString
+      val emb = graft.model.Tables.embeddings(spark, dir)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+      val model = graft.ops.IvfIndex.train(corpus)
+      graft.ops.IvfIndex.writeIndexed(corpus, s"$idx/layout", model)
+      val delta = graft.model.Tables.embeddings(spark, baseDir)
+        .filter(col("vec_id") % 10 === 7)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.IvfIndex.appendIndexed(delta, s"$idx/layout", model)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incAnnBase = incAnnProbe(baseDir)
+    val incAnnScaled = incAnnProbe(scaleDir)
+
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}}}""")
     spark.stop()
   }
 

@@ -48,6 +48,43 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IndexStore.loadIvf(dir.toString) }
   }
 
+  test("appendIndexed folds a delta O(delta): probe == same-model full rebuild; only touched cells gain files") {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val delta = emb.filter(col("vec_id") % 10 === 7)
+    val model = IvfIndex.train(corpus)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    // incremental: corpus layout + delta fold with the corpus model
+    IvfIndex.writeIndexed(corpus, s"$base/inc", model)
+    val preFold = cellFiles(s"$base/inc")
+    IvfIndex.appendIndexed(delta, s"$base/inc", model)
+    val postFold = cellFiles(s"$base/inc")
+    // rebuild: the whole union written fresh with the SAME model
+    IvfIndex.writeIndexed(corpus.unionByName(delta), s"$base/rebuild", model)
+
+    val a = IvfIndex.topKIndexed(spark, s"$base/inc", queries, k = 5, model)
+    val b = IvfIndex.topKIndexed(spark, s"$base/rebuild", queries, k = 5, model)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+
+    // the fold only ADDED files, never rewrote one, and only in the
+    // cells the delta maps to — the touched-cell write claim
+    preFold.foreach { case (f, sig) =>
+      assert(postFold.get(f).contains(sig), s"fold rewrote an existing file: $f")
+    }
+    val deltaCells = delta
+      .select(IvfIndex.cellExpr(col("embedding"), model).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val grownCells = postFold.keySet.diff(preFold.keySet)
+      .map(_.replaceAll(".*__cell=(\\d+)/.*", "$1").toInt)
+    assert(grownCells == deltaCells,
+      s"files appeared in cells $grownCells but the delta maps to $deltaCells")
+  }
+
+  private def cellFiles(dir: String): Map[String, (Long, Long)] =
+    org.apache.commons.io.FileUtils.listFiles(new java.io.File(dir), null, true)
+      .toArray.map(_.asInstanceOf[java.io.File])
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> (f.lastModified(), f.length())).toMap
+
   test("IVF-partitioned layout: probe prunes directories and matches the in-session probe") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val model = IvfIndex.train(emb)
