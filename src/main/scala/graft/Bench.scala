@@ -75,7 +75,11 @@ object Bench {
       // same staging shape (r9): first run = corpus writeState +
       // delta applyDelta + staging; repeats replay the label parquet
       // (the manifest variant is a window over the same staged store)
-      "q_dedup_clusters_incremental", "q_dedup_manifest_incremental")
+      "q_dedup_clusters_incremental", "q_dedup_manifest_incremental",
+      // r10: first run = offline index+state build, then the 3-batch
+      // AvailableNow stream drains the continuous pipeline; repeats
+      // would replay the maintained store
+      "q_stream_curation")
     // NOT singleRun, on purpose (r8): q_dedup_incremental and
     // q_ann_ivf_indexed stage their OFFLINE artifact (corpus band
     // index / IVF model + cell layout) on run 1, and later runs

@@ -1330,13 +1330,18 @@ object ExtQueries {
 
   /** The cluster graph's structural keys: first-3-words and
     * last-3-words of each document (shared by the batch and the
-    * incremental cluster queries — key identity is (column, value)). */
-  private[graft] def clusterKeyed(s: SparkSession, dir: String): DataFrame = {
+    * incremental cluster queries — key identity is (column, value)).
+    * Column-level variant so a STREAMING microbatch can derive its
+    * keys in-batch (r10). */
+  private[graft] def clusterKeyedOf(df: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    Tables.documents(s, dir).select(col("doc_id"),
+    df.select(col("doc_id"),
       array_join(slice(words, 1, 3), " ").as("k1"),
       array_join(slice(reverse(words), 1, 3), " ").as("k2"))
   }
+
+  private[graft] def clusterKeyed(s: SparkSession, dir: String): DataFrame =
+    clusterKeyedOf(Tables.documents(s, dir))
 
   /** Cluster labels staged once per (JVM, dir) — the minhash-pairs
     * staging pattern: q_dedup_clusters' FIRST run pays the full
@@ -1452,10 +1457,18 @@ object ExtQueries {
     * a per-row HOF recount would be the O(len²) anti-pattern).
     * Benchmark docs (doc_id%50=0, the decontam eval set) are out of
     * scope, as in q_decontam. */
-  def curation(s: SparkSession, dir: String): DataFrame = {
+  def curation(s: SparkSession, dir: String): DataFrame =
+    curationFunnel(s, dir, dedupManifest(s, dir)
+      .select(col("doc_id"), col("quality_score"), col("is_canonical")))
+
+  /** The funnel body, shared by [[curation]] (batch-staged labels) and
+    * [[streamCuration]] (stream-maintained labels): the two must stage
+    * identically for the shared oracle, so a threshold change applied
+    * to one cannot silently break the other. `manifest` supplies
+    * (doc_id, quality_score, is_canonical). */
+  private def curationFunnel(s: SparkSession, dir: String,
+      manifest: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val manifest = dedupManifest(s, dir)
-      .select(col("doc_id"), col("quality_score"), col("is_canonical"))
     val contam = decontam(s, dir).select(col("doc_id"), col("contaminated"))
     val rep = TextOps.repetitionStats(docs)
       .select(col("doc_id"), col("flagged").as("rep_flagged"))
@@ -1488,6 +1501,53 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"), n("kept"), n("duplicate"),
         n("quality"), n("repetition"), n("lang"), n("pii"), n("contam"))
       .orderBy("source")
+  }
+
+  private val stagedStreamCur = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming continuous dedup end-to-end (r10, VERDICT r9 task 5):
+    * docs with `doc_id % 4 = 0` are the offline-indexed corpus
+    * (band index + cluster label store, quality carried); the REST
+    * arrive as a stream of three document batches (a file source with
+    * `maxFilesPerTrigger=1` over three staged files) that
+    * [[graft.streaming.ContinuousDedup]] drains under
+    * `Trigger.AvailableNow`: each microbatch is matched against the
+    * index (pairs appended to the log), absorbed into it, and folded
+    * into the label store — keys and quality derived IN-batch. The
+    * output is the full curation funnel over the stream-maintained
+    * store, hash-oracled by the SAME batch curation SQL: per-fold
+    * equivalence composes across microbatches, so labels after the
+    * stream == batch CC over all documents, quality is a pure per-doc
+    * function, and the funnel stages are shared code with
+    * [[curation]]. */
+  def streamCuration(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedStreamCur, dir, "graft_stream_cur") { p =>
+      val docs = Tables.documents(s, dir)
+      val keyedOf = (df: DataFrame) => clusterKeyedOf(df)
+        .join(TextOps.textStats(df).select(col("doc_id"), col("quality_score")), "doc_id")
+      val t0 = System.nanoTime()
+      val corpus = docs.filter(col("doc_id") % 4 === 0)
+      graft.ops.IncrementalDedup.writeIndex(corpus, s"$p/index")
+      graft.ops.IncrementalClusters.writeState(keyedOf(corpus), "doc_id",
+        Seq("k1", "k2"), s"$p/state", carryCols = Seq("quality_score"))
+      // the stream feed: one file per arrival batch, raw document rows
+      (1 to 3).foreach(i => docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$p/feed/b$i"))
+      val t1 = System.nanoTime()
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$p/feed/b*")
+      val nBatches = graft.streaming.ContinuousDedup.run(stream,
+        s"$p/index", s"$p/state", s"$p/pairs", keyedOf)
+      require(nBatches >= 3, s"expected >=3 microbatches, got $nBatches")
+      stageTimings("q_stream_curation") = Seq(
+        "index_state_feed" -> (t1 - t0) / 1e9,
+        "stream_fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+    curationFunnel(s, dir,
+      manifestFrom(IncrementalClusters.readLabels(s, s"$path/state")
+        .select("doc_id", "component", "quality_score"))
+        .select(col("doc_id"), col("quality_score"), col("is_canonical")))
   }
 
   /** Canonicalization manifest — the terminal dedup step a training
@@ -2280,6 +2340,7 @@ object ExtQueries {
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_curation"          -> (curation _),
+    "q_stream_curation"   -> (streamCuration _),
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
@@ -2332,6 +2393,11 @@ object ExtQueries {
     // store-carried quality must reproduce the batch manifest exactly
     "q_dedup_manifest_incremental" -> dedupManifestSql,
     "q_curation"          -> curationSql,
+    // the stream-maintained store must serve the SAME funnel as the
+    // batch pipeline (per-fold equivalence composes across
+    // microbatches) — same oracle, so continuous == batch is
+    // hash-gated end to end
+    "q_stream_curation"   -> curationSql,
     "q_dedup_manifest"    -> dedupManifestSql,
     "q_dedup_minhash"     -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

@@ -113,6 +113,47 @@ object IncrementalDedup {
         "mismatched hash families silently miss every match; rebuild or re-probe")
   }
 
+  /** Absorb a delta batch into the persisted index (r10) — the write
+    * half of CONTINUOUS operation: after [[deltaPairs]] has matched a
+    * batch, this folds it in so every LATER batch matches against it
+    * through the index alone. O(delta) compute, append-only writes:
+    *  - the delta's slim banded rows append to `banded/`;
+    *  - its per-bucket counts append to `census/` — correct because
+    *    the probe's occupancy combine already GROUP-SUMS census rows
+    *    per (band, bucket), so contribution rows simply add;
+    *  - its (id, text) rows append into the id-bucketed doc store's
+    *    partition directories (one file per touched bucket).
+    * Order contract: match FIRST, then absorb — an absorbed batch
+    * would meet its own banded rows in the probe's member union and
+    * double-count its bucket occupancy. Same append posture as the
+    * cluster key index (file counts bounded by periodic compaction in
+    * production; the IncrementalClusters.compactKeys pattern). */
+  def applyDelta(spark: SparkSession, indexPath: String, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
+      salt: String = ""): Unit = {
+    requireSameParams(indexPath, k, bands, w, seed, salt)
+    val layoutFile = java.nio.file.Paths.get(indexPath).resolve("layout")
+    require(java.nio.file.Files.exists(layoutFile),
+      s"no layout file at $indexPath — rebuild the index with writeIndex (r9 layout)")
+    val dBuckets = new String(java.nio.file.Files.readAllBytes(layoutFile), "UTF-8")
+      .trim.stripPrefix("dBuckets=").toInt
+    // cacheFor(2): both append jobs read the banded rows
+    val banded = Persists.cacheFor(
+      MinHashLSH.bandBuckets(
+        MinHashLSH.sigTable(delta, textCol, idCol, k, w, seed, salt), k, bands, salt)
+        .select(col("__id").as("doc_id"), col("__band").as("band"),
+          col("__bucket").as("bucket")), actions = 2)
+    banded.write.mode("append").parquet(s"$indexPath/banded")
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$indexPath/census")
+    banded.unpersist()
+    delta.select(col(idCol), col(textCol),
+        pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket"))
+      .repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(s"$indexPath/docs")
+  }
+
   /** Near-dup candidate pairs INVOLVING the delta, verified with exact
     * Jaccard. Output (a_id, b_id, jaccard), a_id < b_id — the batch
     * pipeline's shape, restricted to delta-involving pairs. Corpus
