@@ -125,67 +125,17 @@ object IncrementalClusters {
     * paths). */
   @volatile private[graft] var lastMicroCcOnDriver: Boolean = false
 
-  // ------------------------------------------------------ versioned roots
-
-  private def pointer(root: String) = java.nio.file.Paths.get(root, "_current")
-
-  private def currentVersion(root: String): String = {
-    val p = pointer(root)
-    require(java.nio.file.Files.exists(p),
-      s"no _current pointer at $root — not a (r10, versioned) writeState artifact")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-  }
-
-  private[graft] def currentDir(root: String): String =
-    s"$root/${currentVersion(root)}"
+  // ----------------------------------------------- versioned roots
+  // (the snapshot machinery lives in [[SnapshotRoot]], shared with the
+  // IVF cell layout since r10)
 
   /** Live labels snapshot directory (spec + staging observability). */
   private[graft] def currentLabelsDir(path: String): String =
-    currentDir(s"$path/labels")
+    SnapshotRoot.currentDir(s"$path/labels")
 
   /** Live key-index snapshot directory. */
   private[graft] def currentKeysDir(path: String): String =
-    currentDir(s"$path/keys")
-
-  /** Write the next snapshot's pointer with an atomic rename, then GC
-    * every version older than the one just superseded (which stays for
-    * readers that resolved the pointer before the flip). */
-  private def flipAndGc(root: String, next: String): Unit = {
-    val prev = currentVersion(root)
-    val tmp = java.nio.file.Paths.get(root, "_current.tmp")
-    java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, pointer(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val prevN = prev.drop(1).toLong
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        f.getName.drop(1).toLong < prevN)
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-  }
-
-  private def initRoot(root: String, df: DataFrame,
-      partitionCols: Seq[String]): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    if (partitionCols.isEmpty) df.write.parquet(s"$root/v1")
-    else Bucketing.writePartitioned(df, s"$root/v1", partitionCols)
-    java.nio.file.Files.write(pointer(root), "v1".getBytes("UTF-8"))
-  }
-
-  /** Hard-link every file of `src` into `dst` (created) — the
-    * untouched-bucket carry-over: a metadata op per file, no data
-    * copied, bytes/mtime shared with the old snapshot via the inode. */
-  private def linkDirInto(src: java.io.File, dst: java.io.File): Unit = {
-    java.nio.file.Files.createDirectories(dst.toPath)
-    Option(src.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
-      try java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
-      catch { // filesystems without hard links: fall back to a copy
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          java.nio.file.Files.copy(f.toPath, dst.toPath.resolve(f.getName),
-            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-      }
-    }
-  }
+    SnapshotRoot.currentDir(s"$path/keys")
 
   // --------------------------------------------------------------- state
 
@@ -223,13 +173,13 @@ object IncrementalClusters {
     // repartition by the partition column first: a default-partitioned
     // frame writes |tasks|×|buckets| tiny files (measured 12 s of a
     // 19 s writeState at sf0.1); clustered, each bucket dir gets one
-    initRoot(s"$path/labels",
+    SnapshotRoot.initRoot(s"$path/labels",
       withCarry.select((col("id").as("doc_id") +: col("component") +:
           carryCols.map(col) :+
           pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket")): _*)
         .repartition(col("cbucket")),
       Seq("cbucket"))
-    initRoot(s"$path/keys",
+    SnapshotRoot.initRoot(s"$path/keys",
       keyRows(corpus, idCol, keyCols)
         .groupBy("kidx", "k").agg(min("doc_id").as("min_id")),
       Nil)
@@ -540,14 +490,14 @@ object IncrementalClusters {
     Option(curLabels.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("cbucket=") &&
         !touchedSet.contains(d.getName.stripPrefix("cbucket=").toInt))
-      .foreach(d => linkDirInto(d, new java.io.File(nextDir, d.getName)))
+      .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
     Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("cbucket="))
       .foreach { d =>
         java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    flipAndGc(labelsRoot, nextV)
+    SnapshotRoot.flipAndGc(labelsRoot, nextV)
     mark("snapshot-flip")
 
     if (newKeysCount > 0)
@@ -564,7 +514,7 @@ object IncrementalClusters {
     * pointer-flip contract as the label swap. Target file count tracks
     * data volume (~64 MB each), not the session's task width. */
   private def compactKeys(spark: SparkSession, keysRoot: String, threshold: Int): Unit = {
-    val cur = new java.io.File(currentDir(keysRoot))
+    val cur = new java.io.File(SnapshotRoot.currentDir(keysRoot))
     val parts = Option(cur.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (parts.length <= threshold) return
@@ -575,6 +525,6 @@ object IncrementalClusters {
     spark.read.parquet(cur.toString)
       .repartition(targetFiles)
       .write.parquet(s"$keysRoot/$nextV")
-    flipAndGc(keysRoot, nextV)
+    SnapshotRoot.flipAndGc(keysRoot, nextV)
   }
 }

@@ -125,11 +125,20 @@ object IvfIndex {
     * row's cell under the in-session [[topK]]). The model that wrote
     * the layout must be the model that probes it — persist it beside
     * the data with [[IndexStore.saveIvf]] (a retrained model partitions
-    * the corpus DIFFERENTLY and would probe the wrong directories). */
+    * the corpus DIFFERENTLY and would probe the wrong directories).
+    *
+    * The layout is a [[SnapshotRoot]] versioned root (r10): `path`
+    * holds `v1, v2, …` snapshot directories behind a `_current`
+    * pointer. Appends land in the live snapshot; [[compactCells]]
+    * rolls the next version. Probes resolve the pointer once at
+    * plan-build time, so a concurrent compaction never disturbs a
+    * running query. */
   def writeIndexed(corpus: DataFrame, path: String, model: Model,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    corpus.withColumn("__cell", cellExpr(col(vecCol), model))
-      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    SnapshotRoot.initRoot(path,
+      corpus.withColumn("__cell", cellExpr(col(vecCol), model))
+        .repartition(col("__cell")),
+      Seq("__cell"))
 
   /** Fold a delta embedding batch into a [[writeIndexed]] layout using
     * the layout's OWN (fixed) centroids — the O(delta) maintenance
@@ -152,13 +161,77 @@ object IvfIndex {
     * offline retrain is standard IVF practice, and centroid drift
     * shows up operationally as growing cells, the histogram-clamp
     * analogue.) Appends are plain file adds into committed
-    * directories — the keys-index append posture; a transactional
-    * table format supplies whole-snapshot atomicity in production. */
+    * directories — the keys-index append posture; after the append,
+    * cells whose file count passed `compactAt` are rolled into the
+    * next snapshot by [[compactCells]], so continuous operation keeps
+    * the per-cell file count bounded (the key-index compaction rule,
+    * VERDICT r9 task 4, applied to the second pillar). */
   def appendIndexed(delta: DataFrame, path: String, model: Model,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactAt: Int = 32): Unit = {
     delta.withColumn("__cell", cellExpr(col(vecCol), model))
       .repartition(col("__cell"))
-      .write.mode("append").partitionBy("__cell").parquet(path)
+      .write.mode("append").partitionBy("__cell")
+      .parquet(SnapshotRoot.currentDir(path))
+    compactCells(delta.sparkSession, path, compactAt, idCol)
+  }
+
+  /** Cells the most recent [[compactCells]] rewrote (observability for
+    * the "compaction is O(oversized cells), not O(corpus)" claim). */
+  @volatile private[graft] var lastCompactedCells: Int = 0
+
+  /** Rewrite cells whose per-fold appends accumulated past `threshold`
+    * files into the next snapshot version — bounded file count under
+    * continuous operation. ONLY oversized cell directories are read
+    * and rewritten (each to a file count tracking its data volume at
+    * ~64 MB/file, not the session's task width); every other cell
+    * hard-links into the next version (a metadata op per file, no data
+    * copied), and the `_current` pointer flip is the single commit
+    * point — the [[SnapshotRoot]] crash-consistency contract, so a
+    * crash mid-compaction leaves readers on the complete old
+    * snapshot. */
+  def compactCells(spark: SparkSession, path: String, threshold: Int,
+      idCol: String = "vec_id"): Unit = {
+    val cur = new java.io.File(SnapshotRoot.currentDir(path))
+    val cellDirs = Option(cur.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__cell="))
+    def parquets(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val oversized = cellDirs.filter(d => parquets(d).length > threshold)
+    lastCompactedCells = oversized.length
+    if (oversized.isEmpty) return
+    val nextV = SnapshotRoot.nextVersion(path)
+    val nextDir = new java.io.File(s"$path/$nextV")
+    org.apache.commons.io.FileUtils.deleteQuietly(nextDir)
+    val stage = new java.io.File(s"$path/.stage_$nextV")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    // one write job for ALL oversized cells: read only those dirs
+    // (explicit multi-path read keeps partition discovery on the live
+    // snapshot's schema), re-cluster so each compacted cell gets a
+    // file count tracking its byte volume (~64 MB each), not the
+    // session's task width — the writeState small-file rule
+    val perCellFiles = oversized.map { d =>
+      val bytes = parquets(d).map(_.length).sum
+      d.getName.stripPrefix("__cell=").toInt ->
+        math.max(1, math.ceil(bytes / (64.0 * 1024 * 1024)).toInt)
+    }.toMap
+    spark.read.option("basePath", cur.toString)
+      .parquet(oversized.map(_.toString).toIndexedSeq: _*)
+      .withColumn("__slice", pmod(xxhash64(col(idCol)),
+        element_at(typedLit(perCellFiles), col("__cell"))))
+      .repartition(col("__cell"), col("__slice"))
+      .drop("__slice")
+      .write.partitionBy("__cell").parquet(stage.toString)
+    java.nio.file.Files.createDirectories(nextDir.toPath)
+    val oversizedNames = oversized.map(_.getName).toSet
+    cellDirs.filterNot(d => oversizedNames.contains(d.getName))
+      .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
+    Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+      .foreach(d => java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName)))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    SnapshotRoot.flipAndGc(path, nextV)
+  }
 
   /** ANN top-k against a [[writeIndexed]] layout. The probe cell set is
     * resolved driver-side from the (broadcast-small by contract) query
@@ -175,7 +248,7 @@ object IvfIndex {
       .withColumn("__cell", explode(probeCellsExpr(col("__qv"), model, nprobe)))
     // metadata-scale collect: ≤ min(|queries|·nprobe, k) ints
     val cells = q.select("__cell").distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(path)
+    val c = spark.read.parquet(SnapshotRoot.currentDir(path))
       .filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
     val scored = c.join(broadcast(q), Seq("__cell"))

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** The versioned-root snapshot contract shared by every persisted,
+  * incrementally-maintained artifact in the engine (label store and
+  * key index in [[IncrementalClusters]], the IVF cell layout in
+  * [[IvfIndex]]): a root directory holds immutable snapshot
+  * directories `v1, v2, …` and a `_current` pointer file naming the
+  * live one. Writers build the NEXT snapshot in full — staged
+  * rewrites moved in, untouched files hard-linked (a metadata op per
+  * file, never a data copy; links share the inode so bytes and mtime
+  * stay identical) — and only then flip the pointer with an atomic
+  * rename. A crash anywhere before the flip leaves readers on the
+  * complete old snapshot; a leftover partial next-version directory
+  * is deleted and rebuilt by the next writer. One superseded version
+  * is retained for readers that resolved the pointer before the flip
+  * (the [[graft.mat.VersionedTable]] contract); older versions are
+  * GC'd. At 100 TB the same contract rides a transactional table
+  * format's snapshot commit; the pointer file is this engine's
+  * stand-in. */
+private[graft] object SnapshotRoot {
+
+  private def pointer(root: String) = java.nio.file.Paths.get(root, "_current")
+
+  def currentVersion(root: String): String = {
+    val p = pointer(root)
+    require(java.nio.file.Files.exists(p),
+      s"no _current pointer at $root — not a versioned snapshot root")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+  }
+
+  /** Live snapshot directory. Readers resolve once at plan-build time
+    * and keep a complete, immutable view across concurrent flips. */
+  def currentDir(root: String): String = s"$root/${currentVersion(root)}"
+
+  /** Next version name after the live one (`v7` → `v8`). */
+  def nextVersion(root: String): String =
+    s"v${currentVersion(root).drop(1).toLong + 1}"
+
+  /** Write the next snapshot's pointer with an atomic rename, then GC
+    * every version older than the one just superseded (which stays for
+    * readers that resolved the pointer before the flip). */
+  def flipAndGc(root: String, next: String): Unit = {
+    val prev = currentVersion(root)
+    val tmp = java.nio.file.Paths.get(root, "_current.tmp")
+    java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val prevN = prev.drop(1).toLong
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName.drop(1).toLong < prevN)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** Initialize a root: write `df` as `v1` and point `_current` at it.
+    * Any prior content at `root` is replaced. */
+  def initRoot(root: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    if (partitionCols.isEmpty) df.write.parquet(s"$root/v1")
+    else Bucketing.writePartitioned(df, s"$root/v1", partitionCols)
+    java.nio.file.Files.write(pointer(root), "v1".getBytes("UTF-8"))
+  }
+
+  /** Hard-link every file of `src` into `dst` (created) — the
+    * untouched-partition carry-over. Falls back to a copy on
+    * filesystems without hard links. */
+  def linkDirInto(src: java.io.File, dst: java.io.File): Unit = {
+    java.nio.file.Files.createDirectories(dst.toPath)
+    Option(src.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
+      try java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
+      catch { // filesystems without hard links: fall back to a copy
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(f.toPath, dst.toPath.resolve(f.getName),
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+  }
+}

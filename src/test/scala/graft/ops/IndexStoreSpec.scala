@@ -79,6 +79,74 @@ class IndexStoreSpec extends SparkSpec {
       s"files appeared in cells $grownCells but the delta maps to $deltaCells")
   }
 
+  test("30 sequential folds: per-cell file count stays bounded by compaction; probe == rebuild") {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+    val baseDelta = emb.filter(col("vec_id") % 50 === 7) // 10 rows
+    val model = IvfIndex.train(corpus)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.writeIndexed(corpus, s"$base/inc", model)
+    val compactAt = 2
+    var compactedEver = false
+    val deltas = (1 to 30).map(i =>
+      baseDelta.withColumn("vec_id", col("vec_id") + lit(100000L * i)))
+    deltas.foreach { d =>
+      IvfIndex.appendIndexed(d, s"$base/inc", model, compactAt = compactAt)
+      compactedEver ||= IvfIndex.lastCompactedCells > 0
+    }
+    assert(compactedEver, "30 folds at compactAt=2 never triggered a compaction")
+    // bounded live layout: every cell dir holds at most compactAt
+    // files (an append can push a cell to compactAt+1, but the fold's
+    // own compaction pass then rewrites it)
+    val live = new java.io.File(SnapshotRoot.currentDir(s"$base/inc"))
+    val perCell = Option(live.listFiles()).get
+      .filter(d => d.isDirectory && d.getName.startsWith("__cell="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty && perCell.forall(_._2 <= compactAt),
+      s"unbounded cells after 30 folds: ${perCell.filter(_._2 > compactAt).toSeq}")
+    // version GC: at most the live version and one superseded stay
+    val versions = Option(new java.io.File(s"$base/inc").listFiles()).get
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versions.length <= 2, s"GC left ${versions.map(_.getName).toSeq}")
+    // equivalence: probe over the folded+compacted layout == probe
+    // over a fresh same-model rebuild of the union
+    IvfIndex.writeIndexed(deltas.foldLeft(corpus)(_ unionByName _),
+      s"$base/rebuild", model)
+    val a = IvfIndex.topKIndexed(spark, s"$base/inc", queries, k = 5, model)
+    val b = IvfIndex.topKIndexed(spark, s"$base/rebuild", queries, k = 5, model)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
+  test("crash mid-compaction: readers stay on the complete old snapshot; next fold rebuilds") {
+    val model = IvfIndex.train(emb)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    IvfIndex.writeIndexed(emb, s"$base/layout", model)
+    val before = IvfIndex.topKIndexed(spark, s"$base/layout", queries, k = 5, model)
+      .collect().map(_.toSeq).toSet
+    // simulate a compaction that died after staging: a partial next
+    // version and a leftover stage dir exist, but the pointer never
+    // flipped
+    val v2 = java.nio.file.Paths.get(s"$base/layout/v2/__cell=0")
+    java.nio.file.Files.createDirectories(v2)
+    java.nio.file.Files.write(v2.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    val st = java.nio.file.Paths.get(s"$base/layout/.stage_v2/__cell=1")
+    java.nio.file.Files.createDirectories(st)
+    java.nio.file.Files.write(st.resolve("part-junk.parquet"), Array[Byte](4, 5))
+    assert(IvfIndex.topKIndexed(spark, s"$base/layout", queries, k = 5, model)
+      .collect().map(_.toSeq).toSet == before,
+      "a crashed compaction's leftovers disturbed the live snapshot")
+    // the next fold discards the partial leftovers and commits cleanly
+    // (compactAt=0 forces every cell through the compaction rewrite)
+    val delta = emb.filter(col("vec_id") % 50 === 7)
+      .withColumn("vec_id", col("vec_id") + lit(900000L))
+    IvfIndex.appendIndexed(delta, s"$base/layout", model, compactAt = 0)
+    val after = IvfIndex.topKIndexed(spark, s"$base/layout", queries, k = 5, model)
+    IvfIndex.writeIndexed(emb.unionByName(delta), s"$base/rebuild", model)
+    val rebuilt = IvfIndex.topKIndexed(spark, s"$base/rebuild", queries, k = 5, model)
+    assert(after.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/layout/.stage_v2")), "stage leftover not cleaned")
+  }
+
   private def cellFiles(dir: String): Map[String, (Long, Long)] =
     org.apache.commons.io.FileUtils.listFiles(new java.io.File(dir), null, true)
       .toArray.map(_.asInstanceOf[java.io.File])
@@ -118,7 +186,8 @@ class IndexStoreSpec extends SparkSpec {
       assert(staticFilters.nonEmpty,
         "probe predicate must reach the scan as a static PartitionFilter:\n" + scan)
       val selected = scan.relation.location.listFiles(staticFilters, Nil).size
-      val totalCells = spark.read.parquet(path).select("__cell").distinct().count()
+      val totalCells = spark.read.parquet(SnapshotRoot.currentDir(path))
+        .select("__cell").distinct().count()
       assert(selected == probed && selected < totalCells,
         s"expected $probed of $totalCells cell dirs read, got $selected")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
