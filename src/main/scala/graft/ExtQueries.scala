@@ -691,6 +691,22 @@ object ExtQueries {
       |LEFT JOIN hits h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination (r10): the scale path for an
+    * eval suite too big to broadcast as an exact string set — Catalyst
+    * BloomFilterAggregate/BloomFilterMightContain prefilter, exact
+    * verify behind it. Output is IDENTICAL to [[decontam]] by
+    * construction (no false negatives; the verify join removes false
+    * positives), so it shares [[decontamSql]] VERBATIM — the hash gate
+    * proves the scale path changes nothing. */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.scanBloom(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0),
+        n = 4)
+      .orderBy("doc_id")
+  }
+
   /** As-of join: every purchase event picks up the user's most recent
     * click at-or-before it (ts + value). Oracled against DuckDB's
     * native ASOF LEFT JOIN. */
@@ -1984,12 +2000,13 @@ object ExtQueries {
     * payload bytes (Java `Arrays.hashCode` fold), so even this query is
     * oracled: DuckDB recomputes the same 32-bit fold over the UTF-8
     * bytes (fixture text is ASCII, so code points == bytes). */
-  /** Real header-parse path (r9, +wav r10): the blobs carry
-    * synthesized VALID PNG/JPEG/WAV files (id-derived dims/rates),
-    * decode reads width/height/channels/format/sample_rate from the
-    * actual IHDR/SOF/RIFF-fmt bytes, and the oracle re-derives the
-    * same metadata from the synthesis recipe — hash equality proves
-    * parse ∘ synth = id across every row and all three formats. */
+  /** Real header-parse path (r9, +wav/mp4 r10): the blobs carry
+    * synthesized VALID PNG/JPEG/WAV/MP4 files (id-derived dims/rates/
+    * timescales), decode reads width/height/channels/format/sample_rate
+    * from the actual IHDR/SOF/RIFF-fmt/moov-box bytes, and the oracle
+    * re-derives the same metadata from the synthesis recipe — hash
+    * equality proves parse ∘ synth = id across every row and all four
+    * formats. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val blobs = Multimodal.synthMediaBlobs(Tables.documents(s, dir))
     Multimodal.decode(blobs).toDF()
@@ -2000,28 +2017,36 @@ object ExtQueries {
   }
 
   /** The synthesis recipe in SQL (Multimodal.synthDims/synthAudio/
-    * synthPng/synthJpeg/synthWav): ids ≡ 2 (mod 3) WAV with rate
-    * standard-set-indexed by (id//3) mod 6 and 1+id%2 channels; of the
-    * rest, even ids PNG with color type cycling {gray, truecolor,
-    * truecolor+alpha} → channels {1,3,4}; odd ids JPEG with 1 component
-    * when id≡1 (mod 4), else 3. doc_id ≥ 0, so `%` is floorMod. */
+    * synthVideo/synthPng/synthJpeg/synthWav/synthMp4): ids ≡ 2 (mod 6)
+    * WAV with rate standard-set-indexed by (id//6) mod 6 and
+    * 1+(id//6)%2 channels; ids ≡ 5 (mod 6) MP4 with synthDims dims and
+    * timescale standard-set-indexed by (id//6) mod 4 in the
+    * sample_rate slot; of the rest, even ids PNG with color type
+    * cycling {gray, truecolor, truecolor+alpha} → channels {1,3,4};
+    * odd ids JPEG with 1 component when id≡1 (mod 4), else 3.
+    * doc_id ≥ 0, so `%` is floorMod. */
   val multimodalDecodeSql: String =
     """SELECT doc_id AS media_id,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+      |       CAST(CASE WHEN doc_id % 6 = 2 THEN 0
       |            ELSE 16 + (doc_id * 31) % 1000 END AS INT) AS width,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+      |       CAST(CASE WHEN doc_id % 6 = 2 THEN 0
       |            ELSE 16 + (doc_id * 17) % 1000 END AS INT) AS height,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+      |       CAST(CASE WHEN doc_id % 6 = 2 THEN 1 + (doc_id // 6) % 2
+      |            WHEN doc_id % 6 = 5 THEN 0
       |            WHEN doc_id % 2 = 0 THEN
       |              CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
       |            ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END
       |       END AS INT) AS channels,
-      |       CASE WHEN doc_id % 3 = 2 THEN 'wav'
+      |       CASE WHEN doc_id % 6 = 2 THEN 'wav'
+      |            WHEN doc_id % 6 = 5 THEN 'mp4'
       |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN
-      |              CASE (doc_id // 3) % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |       CAST(CASE WHEN doc_id % 6 = 2 THEN
+      |              CASE (doc_id // 6) % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025
       |                   WHEN 2 THEN 16000 WHEN 3 THEN 22050
       |                   WHEN 4 THEN 44100 ELSE 48000 END
+      |            WHEN doc_id % 6 = 5 THEN
+      |              CASE (doc_id // 6) % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |                   WHEN 2 THEN 90000 ELSE 30000 END
       |            ELSE 0 END AS INT) AS sample_rate,
       |       8 AS feature_dim
       |FROM documents ORDER BY media_id""".stripMargin
@@ -2344,6 +2369,7 @@ object ExtQueries {
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
+    "q_decontam_bloom"    -> (decontamBloom _),
     "q_repetition"        -> (repetition _),
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
@@ -2404,6 +2430,7 @@ object ExtQueries {
     "q_ngram_jaccard"     -> ngramJaccardSql,
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,
+    "q_decontam_bloom"    -> decontamSql,
     "q_dedup_winnow"      -> winnowDedupSql,
     "q_repetition"        -> repetitionSql,
     "q_dedup_simhash"     -> simhashSql,
