@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents sharing any word
@@ -46,6 +46,67 @@ object Decontamination {
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
     val hits = trainGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit_ngrams"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        (coalesce(col("n_hit_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Bloom-prefiltered [[scan]] — the 100 TB posture when the eval
+    * suite outgrows a comfortable exact-broadcast set (a full
+    * benchmark battery's distinct 8-gram set can run to GBs of
+    * strings; its Bloom filter is an order of magnitude smaller and
+    * fixed-size). Two stages, IDENTICAL output to [[scan]]:
+    *
+    *  1. prefilter: corpus grams stream through Catalyst's codegen'd
+    *     `BloomFilterMightContain` against a filter built by ONE
+    *     `BloomFilterAggregate` pass over the benchmark grams — the
+    *     same expressions Spark's own runtime-filter injection uses,
+    *     reused as a first-class operator (no UDF, stays inside
+    *     whole-stage codegen; the filter bytes ride the task binary).
+    *     No false negatives, so nothing real is lost;
+    *  2. exact verify: only the surviving candidate grams — true hits
+    *     plus the fpp-bounded false positives — meet the exact
+    *     broadcast gram set, which removes every false positive.
+    *
+    * Equality with [[scan]] is therefore structural (spec-gated, and
+    * q_decontam_bloom shares q_decontam's oracle SQL verbatim): the
+    * bloom stage only prunes rows the exact join would drop anyway.
+    * At scale, stage 2's join input is |hits| + fpp·|corpus grams|
+    * instead of |corpus grams| — the broadcast exact set is consulted
+    * ~1/fpp times less often, and a shuffle-join verify variant (eval
+    * set too big even to broadcast) would shuffle only candidates,
+    * never the corpus. */
+  def scanBloom(train: DataFrame, benchmark: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = train.sparkSession
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, fpp)
+    def hashed(c: Column) = XxHash64(Seq(GraftBridge.expression(spark, c)), 42L)
+    // one aggregate pass builds the filter; the collect is
+    // metadata-scale (numBits/8 bytes, NOT the gram strings)
+    val bfRow = benchGrams.select(GraftBridge.column(
+        BloomFilterAggregate(hashed(col("gram")),
+          Literal(expectedGrams), Literal(numBits), 0, 0).toAggregateExpression())
+      .as("bf")).head()
+    val zero = train.select(col(idCol), lit(0L).as("n_hit_ngrams"),
+      lit(false).as("contaminated"))
+    if (bfRow.isNullAt(0)) return zero // empty benchmark: nothing to hit
+    val bf = bfRow.getAs[Array[Byte]](0)
+    val trainGrams = train
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val candidates = trainGrams.filter(GraftBridge.column(
+      BloomFilterMightContain(Literal(bf, BinaryType), hashed(col("gram")))))
+    val hits = candidates.join(broadcast(benchGrams), "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_hit_ngrams"))
     train.select(col(idCol))
       .join(hits, Seq(idCol), "left")
