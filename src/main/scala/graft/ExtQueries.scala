@@ -2051,6 +2051,31 @@ object ExtQueries {
       |       8 AS feature_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Deterministic shuffle + shard export manifest (r10): every doc
+    * lands in one of 16 shards by a salted two-round MINSTD key, with
+    * intra-shard order by the same key — cluster-width-independent and
+    * re-derivable by ANY engine ([[graft.ops.ShardExport]]). The
+    * oracle recomputes assignment, token mass, and the first/last
+    * order witnesses with the identical arithmetic. */
+  def shardExport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ShardExport.summary(Tables.documents(s, dir),
+        nShards = 16, salt = 7L)
+      .orderBy("shard")
+
+  val shardExportSql: String = {
+    val key = graft.ops.ShardExport.shuffleKeySql("doc_id", 7L)
+    s"""WITH k AS (
+      |  SELECT doc_id, ($key) AS sort_key,
+      |         len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT CAST(sort_key % 16 AS INT) AS shard, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(min(sort_key) AS BIGINT) AS first_key,
+      |       CAST(max(sort_key) AS BIGINT) AS last_key
+      |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** Sequence packing manifest: docs packed into 512-token training
     * sequences per source shard (concat-and-chunk assignment — see
     * [[graft.ops.Packing]]). One window pass per shard; oracled with
@@ -2377,6 +2402,7 @@ object ExtQueries {
     "q_stream_dedup"      -> (streamDedup _),
     "q_stream_join"       -> (streamJoin _),
     "q_pack"              -> (packSequences _),
+    "q_shard_export"      -> (shardExport _),
     "q_pii"               -> (piiScrub _),
     "q_split_stats"       -> (splitStats _),
     "q_stratified"        -> (stratifiedSample _),
@@ -2411,6 +2437,7 @@ object ExtQueries {
     "q_stream_dedup"      -> streamDedupSql,
     "q_stream_join"       -> streamJoinSql,
     "q_pack"              -> packSequencesSql,
+    "q_shard_export"      -> shardExportSql,
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     // incremental fold must reproduce the batch fixpoint exactly —
