@@ -1484,6 +1484,19 @@ object ExtQueries {
     * (doc_id, quality_score, is_canonical). */
   private def curationFunnel(s: SparkSession, dir: String,
       manifest: DataFrame): DataFrame = {
+    def n(st: String) = sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st")
+    curationStaged(s, dir, manifest)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), n("kept"), n("duplicate"),
+        n("quality"), n("repetition"), n("lang"), n("pii"), n("contam"))
+      .orderBy("source")
+  }
+
+  /** Per-doc staging decision (doc_id, source, stage) — the shared
+    * core under [[curationFunnel]] (aggregated funnel) and
+    * [[trainExport]] (the kept set feeding the shard manifest). */
+  private def curationStaged(s: SparkSession, dir: String,
+      manifest: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
     val contam = decontam(s, dir).select(col("doc_id"), col("contaminated"))
     val rep = TextOps.repetitionStats(docs)
@@ -1503,7 +1516,6 @@ object ExtQueries {
       .when(col("pii_hits") >= 2, "pii")
       .when(col("contaminated"), "contam")
       .otherwise("kept")
-    def n(st: String) = sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st")
     docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("source"),
         TextOps.langId(col("text")).as("lang_pred"),
@@ -1513,10 +1525,7 @@ object ExtQueries {
       .join(contam, "doc_id")
       .join(rep, "doc_id")
       .withColumn("stage", stage)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), n("kept"), n("duplicate"),
-        n("quality"), n("repetition"), n("lang"), n("pii"), n("contam"))
-      .orderBy("source")
+      .select("doc_id", "source", "stage")
   }
 
   private val stagedStreamCur = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1664,8 +1673,10 @@ object ExtQueries {
   /** The curation oracle composes the SAME blocks as the standalone
     * operators: manifest CTEs (dup canonical + quality), the langId
     * marker argmax, and the decontam gram join — then charges each doc
-    * to its first failing stage and folds to per-source counts. */
-  val curationSql: String = manifestCtes +
+    * to its first failing stage. Shared through the per-doc `staged`
+    * CTE by [[curationSql]] (per-source funnel) and
+    * [[trainExportSql]] (kept-set shard manifest). */
+  private val curationStageCtes: String = manifestCtes +
     """, lt AS (
       |  SELECT doc_id,
       |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS tk,
@@ -1731,7 +1742,7 @@ object ExtQueries {
       |         + len(regexp_extract_all(itext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_hits
       |  FROM pin
       |), staged AS (
-      |  SELECT d.source,
+      |  SELECT d.doc_id, d.source,
       |         CASE WHEN r.doc_id <> kp.keep_id THEN 'duplicate'
       |              WHEN r.quality_score < 0.25 THEN 'quality'
       |              WHEN rp.rep_flagged THEN 'repetition'
@@ -1747,7 +1758,10 @@ object ExtQueries {
       |  JOIN ppi pp ON pp.doc_id = d.doc_id
       |  LEFT JOIN dhits h ON h.doc_id = d.doc_id
       |  WHERE d.doc_id % 50 <> 0
-      |)
+      |)""".stripMargin
+
+  val curationSql: String = curationStageCtes +
+    """
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       CAST(sum(CASE WHEN stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
@@ -1757,6 +1771,38 @@ object ExtQueries {
       |       CAST(sum(CASE WHEN stage = 'pii' THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
       |       CAST(sum(CASE WHEN stage = 'contam' THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
       |FROM staged GROUP BY source ORDER BY source""".stripMargin
+
+  /** End-to-end training-data delivery manifest (r10): the curation
+    * funnel's KEPT set feeds the deterministic shard assignment
+    * ([[graft.ops.ShardExport]]) and a 512-token concat-and-chunk
+    * sequence estimate per shard — raw corpus to training shards as
+    * ONE oracled composition (staging, shuffle key, token count, and
+    * sequence arithmetic all re-derived by DuckDB). */
+  def trainExport(s: SparkSession, dir: String): DataFrame = {
+    val kept = curationStaged(s, dir, dedupManifest(s, dir)
+        .select(col("doc_id"), col("quality_score"), col("is_canonical")))
+      .filter(col("stage") === "kept")
+      .select("doc_id")
+    val docs = Tables.documents(s, dir).join(kept, "doc_id")
+    graft.ops.ShardExport.assign(docs, nShards = 8, salt = 7L)
+      .withColumn("n_tokens", graft.ops.Packing.tokenCount(col("text")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        ceil(sum("n_tokens") / 512.0).cast("long").as("n_seqs"))
+      .orderBy("shard")
+  }
+
+  val trainExportSql: String = curationStageCtes + {
+    val key = graft.ops.ShardExport.shuffleKeySql("s.doc_id", 7L)
+    s"""
+      |SELECT CAST(($key) % 8 AS INT) AS shard, count(*) AS n_docs,
+      |       CAST(sum(rb.n_words) AS BIGINT) AS total_tokens,
+      |       CAST(ceil(sum(rb.n_words) / 512.0) AS BIGINT) AS n_seqs
+      |FROM staged s JOIN rb ON rb.doc_id = s.doc_id
+      |WHERE s.stage = 'kept'
+      |GROUP BY shard ORDER BY shard""".stripMargin
+  }
 
   /** IVF ANN (data-adaptive cells; rows-only — recall spec-tested). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
@@ -2390,6 +2436,7 @@ object ExtQueries {
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_curation"          -> (curation _),
+    "q_train_export"      -> (trainExport _),
     "q_stream_curation"   -> (streamCuration _),
     "q_dedup_manifest"    -> (dedupManifest _),
     "q_asof_join"         -> (asofJoin _),
@@ -2446,6 +2493,7 @@ object ExtQueries {
     // store-carried quality must reproduce the batch manifest exactly
     "q_dedup_manifest_incremental" -> dedupManifestSql,
     "q_curation"          -> curationSql,
+    "q_train_export"      -> trainExportSql,
     // the stream-maintained store must serve the SAME funnel as the
     // batch pipeline (per-fold equivalence composes across
     // microbatches) — same oracle, so continuous == batch is
