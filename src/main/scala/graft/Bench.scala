@@ -97,7 +97,11 @@ object Bench {
     // "q_dedup_manifest_zz" silently reordered if a future name sorted
     // into the gap or the owner was renamed — now an unknown owner
     // fails loudly).
-    val runAfterOwner = Map("q_curation" -> "q_dedup_manifest")
+    // q_train_export composes the same staged labels through the batch
+    // manifest (r10), so it follows the same owner
+    val runAfterOwner = Map(
+      "q_curation" -> "q_dedup_manifest",
+      "q_train_export" -> "q_dedup_manifest")
     runAfterOwner.foreach { case (dep, owner) =>
       require(SparkEntry.queries.contains(owner) && SparkEntry.queries.contains(dep),
         s"bench order: unknown query in dependency $dep -> $owner") }
