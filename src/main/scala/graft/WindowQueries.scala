@@ -214,6 +214,50 @@ object WindowQueries {
         |SELECT order_date, v AS trailing_30d_p50_value
         |FROM e ORDER BY order_date""".stripMargin
 
+  /** Period-over-period (`range: prior N <unit>`, RangeSpec.Prior): at
+    * the calendar-month grain, last month's revenue and the same month
+    * one year back, plus the MoM growth ratio as plain SELECT
+    * arithmetic over the measures. The frame is RANGE pinned at offset
+    * -n over the month number, so a month with no orders yields null
+    * (not the previous present month) — the honest PoP contract. */
+  def priorPeriod(s: SparkSession, dir: String): DataFrame = {
+    val r = SparkEntry.catalog(s, dir).get("mv_revenue_pop")
+      .query(Seq("order_month_start"),
+        Seq("total_revenue", "prior_month_revenue", "yoy_month_revenue"))
+      .select(col("order_month_start"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        col("prior_month_revenue").cast("double").as("prior_month_revenue"),
+        col("yoy_month_revenue").cast("double").as("yoy_month_revenue"))
+    r.withColumn("mom_growth",
+        round((col("total_revenue") - col("prior_month_revenue")) /
+          col("prior_month_revenue"), 6))
+      .orderBy("order_month_start")
+  }
+
+  val priorPeriodSql: String =
+    modelCtes +
+      """, base AS (
+        |  SELECT date_trunc('month', order_date) AS order_month_start,
+        |         year(order_date) * 12 + month(order_date) - 1 AS mnum,
+        |         sum(total_price) AS s
+        |  FROM fct_orders GROUP BY 1, 2
+        |), valued AS (
+        |  SELECT order_month_start,
+        |         CAST(s AS DOUBLE) AS total_revenue,
+        |         CAST(sum(s) OVER (ORDER BY mnum
+        |           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+        |           AS prior_month_revenue,
+        |         CAST(sum(s) OVER (ORDER BY mnum
+        |           RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING) AS DOUBLE)
+        |           AS yoy_month_revenue
+        |  FROM base
+        |)
+        |SELECT order_month_start, total_revenue, prior_month_revenue,
+        |       yoy_month_revenue,
+        |       round((total_revenue - prior_month_revenue)
+        |             / prior_month_revenue, 6) AS mom_growth
+        |FROM valued ORDER BY order_month_start""".stripMargin
+
   // ------------------------------------------------------- routing (A9/A10)
 
   /** A10: routed to the revenue_by_segment rollup (reference
@@ -297,6 +341,7 @@ object WindowQueries {
     "q_win_semiadditive"       -> (semiadditiveMonthly _),
     "q_win_ytd"                -> (ytd _),
     "q_win_month_year"         -> (trailingMonthYear _),
+    "q_win_prior"              -> (priorPeriod _),
     "q_win_percentile"         -> (trailingPercentile _),
     "q_routed_segment"         -> (routedSegment _),
     "q_routed_monthly"         -> (routedMonthly _),
@@ -311,6 +356,7 @@ object WindowQueries {
     "q_win_semiadditive"       -> semiadditiveMonthlySql,
     "q_win_ytd"                -> ytdSql,
     "q_win_month_year"         -> trailingMonthYearSql,
+    "q_win_prior"              -> priorPeriodSql,
     "q_win_percentile"         -> trailingPercentileSql,
     "q_routed_segment"         -> routedSegmentSql,
     "q_routed_monthly"         -> routedMonthlySql,

@@ -163,6 +163,11 @@ object WindowPlanner {
           part.orderBy(col(o)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         case RangeSpec.Current =>
           part.orderBy(col(o)).rowsBetween(Window.currentRow, Window.currentRow)
+        case RangeSpec.Prior(n, unit) =>
+          // the single period exactly n units back: a RANGE frame pinned
+          // at offset -n over the period number — empty (→ null) when
+          // that period has no rows, which is the honest PoP answer
+          part.orderBy(orderNumber(col(o), unit)).rangeBetween(-n.toLong, -n.toLong)
       }
     val valued = winDecs.foldLeft(base) { case (df, (m, dec)) =>
       df.withColumn(m.name, dec.overWindow(frameFor(m), identity))

@@ -78,14 +78,26 @@ object RangeSpec {
     * level of a stack this resets the inner frame per order value
     * (YTD pattern, README.md:267-277). */
   case object Current extends RangeSpec
+  /** `range: prior N <unit>` — the single period exactly N units before
+    * the current order value (empty → null when that period has no
+    * rows). The period-over-period building block: `prior 1 month` is
+    * last month's value, `prior 12 month` is the same month one year
+    * back (YoY at month grain). Calendar units only (day/hour/month/
+    * year) — `week` needs an anchor day and is rejected at parse. */
+  final case class Prior(n: Int, unit: String) extends RangeSpec
 
   def parse(s: String): RangeSpec = s.trim.toLowerCase match {
     case "cumulative" => Cumulative
     case "current"    => Current
     case t =>
-      val m = "^trailing\\s+(\\d+)\\s+(\\w+?)s?$".r
+      val tr = "^trailing\\s+(\\d+)\\s+(\\w+?)s?$".r
+      val pr = "^prior\\s+(\\d+)\\s+(\\w+?)s?$".r
       t match {
-        case m(n, unit) => Trailing(n.toInt, unit)
+        case tr(n, unit) => Trailing(n.toInt, unit)
+        case pr(_, "week") =>
+          sys.error(s"'$s': prior-week frames are anchor-ambiguous; " +
+            "use 'prior 7 day' or a month/year unit")
+        case pr(n, unit) => Prior(n.toInt, unit)
         case _ => sys.error(s"unparseable window range '$s'")
       }
   }

@@ -275,11 +275,44 @@ object Specs {
       |        - p50_order_value_auto
       |""".stripMargin
 
+  /** Engine extension: period-over-period window measures (`range:
+    * prior N <unit>`, RangeSpec.Prior) at a calendar-month grain — the
+    * MoM/YoY comparison every metrics layer grows next to trailing/
+    * cumulative. The order column is a DATE-typed month start so the
+    * query grain IS the period; `prior 1 month` pins the frame one
+    * month back, `prior 12 month` the same month a year back. Growth
+    * ratios are plain SELECT arithmetic over the measures. */
+  val mvRevenuePop: String =
+    """version: 0.1
+      |source: fct_orders
+      |dimensions:
+      |  - name: order_month_start
+      |    expr: trunc(order_date, 'month')
+      |  - name: market_segment
+      |    expr: market_segment
+      |measures:
+      |  - name: total_revenue
+      |    expr: sum(total_price)
+      |  - name: prior_month_revenue
+      |    expr: sum(total_price)
+      |    window:
+      |      - order: order_month_start
+      |        range: prior 1 month
+      |        semiadditive: last
+      |  - name: yoy_month_revenue
+      |    expr: sum(total_price)
+      |    window:
+      |      - order: order_month_start
+      |        range: prior 12 months
+      |        semiadditive: last
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,
     "mv_customer_metrics" -> mvCustomerMetrics,
     "mv_sales_geo"        -> mvSalesGeo,
     "mv_customer_window"  -> mvCustomerWindow,
-    "mv_orders_dist"      -> mvOrdersDist)
+    "mv_orders_dist"      -> mvOrdersDist,
+    "mv_revenue_pop"      -> mvRevenuePop)
 }
