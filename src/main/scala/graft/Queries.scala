@@ -554,6 +554,57 @@ object Queries {
       |  ('version', '0.1')
       |) t(key, value) ORDER BY key""".stripMargin
 
+  /** Gap-filled time series ([[graft.api.MetricView.querySpine]]): the
+    * urgent-finished slice of orders is sparse at the (segment, day)
+    * grain, so the spine densifies each segment over the full observed
+    * calendar — daily revenue reads 0 on empty days (zero-fill) while
+    * the running total carries forward (ffill), the respective right
+    * rules for an additive flow vs a cumulative level. */
+  def mvSpine(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .querySpine(Seq("market_segment", "order_date"),
+        Seq("total_revenue", "cumulative_revenue"),
+        graft.api.SpineSpec("order_date", "day",
+          zeroFill = Seq("total_revenue"), ffill = Seq("cumulative_revenue")),
+        where = Some("order_priority = '1-URGENT' AND order_status = 'F'"))
+      .select(org.apache.spark.sql.functions.col("market_segment"),
+        org.apache.spark.sql.functions.col("order_date"),
+        org.apache.spark.sql.functions.col("total_revenue").cast("double").as("total_revenue"),
+        org.apache.spark.sql.functions.col("cumulative_revenue").cast("double").as("cumulative_revenue"))
+      .orderBy("market_segment", "order_date")
+
+  val mvSpineSql: String =
+    modelCtes +
+      """, filt AS (
+        |  SELECT market_segment, order_date, total_price
+        |  FROM fct_orders
+        |  WHERE order_priority = '1-URGENT' AND order_status = 'F'
+        |), agg AS (
+        |  SELECT market_segment, order_date, sum(total_price) AS s
+        |  FROM filt GROUP BY 1, 2
+        |), valued AS (
+        |  SELECT market_segment, order_date, s,
+        |         sum(s) OVER (PARTITION BY market_segment ORDER BY order_date
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM agg
+        |), cal AS (
+        |  SELECT CAST(unnest(generate_series(
+        |           (SELECT min(order_date) FROM filt),
+        |           (SELECT max(order_date) FROM filt),
+        |           INTERVAL 1 DAY)) AS DATE) AS order_date
+        |), dense AS (
+        |  SELECT c.market_segment, cal.order_date
+        |  FROM (SELECT DISTINCT market_segment FROM valued) c CROSS JOIN cal
+        |)
+        |SELECT d.market_segment, d.order_date,
+        |       CAST(coalesce(v.s, 0) AS DOUBLE) AS total_revenue,
+        |       CAST(last_value(v.cum IGNORE NULLS) OVER (
+        |         PARTITION BY d.market_segment ORDER BY d.order_date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS cumulative_revenue
+        |FROM dense d LEFT JOIN valued v USING (market_segment, order_date)
+        |ORDER BY d.market_segment, d.order_date""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
@@ -581,6 +632,7 @@ object Queries {
     "q_routed_percentile"     -> (routedPercentile _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
+    "q_mv_spine"              -> (mvSpine _),
     "q_sql_measure"           -> (sqlMeasure _),
     "q_sql_ddl"               -> (sqlDdl _),
     "q_describe"              -> (describeView _))
@@ -600,6 +652,7 @@ object Queries {
     "q_mv_percentile_auto"    -> mvOrdersPercentileAutoSql,
     "q_routed_percentile"     -> routedPercentileSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
+    "q_mv_spine"              -> mvSpineSql,
     "q_sql_measure"           -> sqlMeasureSql,
     "q_sql_ddl"               -> sqlDdlSql,
     "q_describe"              -> describeViewSql)

@@ -166,6 +166,80 @@ final class MetricView(
     joined.select((dims ++ measures).map(col): _*)
   }
 
+  /** Gap-filled (date-spine) variant of [[query]]: densify the result
+    * over a complete calendar of `spine.dateDim` values so time-grain
+    * output has one row per period per dimension combination, with
+    * per-measure fill rules for the periods the data skips — the
+    * metrics-layer companion every BI consumer of a sparse time series
+    * needs (a daily chart with missing days reads as data loss; a
+    * carry-forward balance must repeat, not vanish).
+    *
+    * Mechanics: evaluate the query normally, then LEFT-join it onto
+    * (distinct other-dim combos) × (dense calendar). The calendar spans
+    * the observed [min, max] of the date dim over the (filtered)
+    * row-level relation — one narrow column scan, same posture as the
+    * auto-domain derivation. Fills: `zeroFill` measures coalesce to 0
+    * in their native type; `ffill` measures carry the last non-null
+    * value forward per combo in date order (the right rule for
+    * cumulative/semiadditive measures); untouched measures stay null.
+    *
+    * Contract: the date dim's values must sit AT the grain (day dates
+    * for `day`, month-start dates for `month`, year-start for `year`) —
+    * gap fill densifies a series, it does not re-bucket one; off-grain
+    * values would not match the calendar and their rows would drop.
+    *
+    * Scale: the densified frame is (combos × periods) — result-grain,
+    * never fact-grain. The ffill window partitions by the combo dims;
+    * with no other dims the single partition holds one calendar of
+    * rows, bounded by the spine length. */
+  def querySpine(
+      dims: Seq[String],
+      measures: Seq[String],
+      spine: SpineSpec,
+      where: Option[String] = None): DataFrame = {
+    require(dims.contains(spine.dateDim),
+      s"spine date dim '${spine.dateDim}' must be one of the query dims")
+    val step = spine.grain match {
+      case "day" | "month" | "year" => expr(s"interval 1 ${spine.grain}")
+      case g => sys.error(s"unsupported spine grain '$g' (day/month/year)")
+    }
+    (spine.zeroFill ++ spine.ffill).foreach { m =>
+      require(measures.contains(m), s"fill rule for '$m' which is not queried") }
+
+    val result = query(dims, measures, where)
+
+    // observed bounds: one narrow scan of the date column (pruned to a
+    // single column at the parquet reader); 1-row collect is metadata
+    val (rows, dimFor, _) = rowsFor(Seq(spine.dateDim), Nil, where)
+    val b = rows.agg(min(dimFor(spine.dateDim)).as("lo"),
+      max(dimFor(spine.dateDim)).as("hi")).head()
+    if (b.isNullAt(0)) return result // no rows at all: nothing to densify
+
+    val cal = spark.range(1).select(
+      explode(sequence(lit(b.get(0)), lit(b.get(1)), step)).as(spine.dateDim))
+    val others = dims.filterNot(_ == spine.dateDim)
+    val dense =
+      if (others.isEmpty) cal
+      else result.select(others.map(col): _*).distinct().crossJoin(cal)
+
+    // alias both sides: `dense` derives from `result` (the combos), so
+    // unqualified refs are ambiguous under Spark's self-join check
+    val dn = dense.alias("gspine_dense"); val rs = result.alias("gspine_res")
+    val cond = dims.map(d => col(s"gspine_dense.$d") <=> col(s"gspine_res.$d")).reduce(_ && _)
+    val joined = dn.join(rs, cond, "left")
+      .select(dims.map(d => col(s"gspine_dense.$d")) ++
+        measures.map(m => col(s"gspine_res.$m")): _*)
+
+    val zeroed = spine.zeroFill.foldLeft(joined) { (df, m) =>
+      df.withColumn(m, coalesce(col(m), lit(0).cast(df.schema(m).dataType))) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(others.map(col): _*).orderBy(col(spine.dateDim))
+      .rowsBetween(Long.MinValue, 0)
+    val filled = spine.ffill.foldLeft(zeroed) { (df, m) =>
+      df.withColumn(m, last(col(m), ignoreNulls = true).over(w)) }
+    filled.select((dims ++ measures).map(col): _*)
+  }
+
   /** Null-safe equi-join of result parts on the dim columns. */
   private def joinParts(dims: Seq[String])(l: DataFrame, r: DataFrame): DataFrame =
     if (dims.isEmpty) l.crossJoin(r)
@@ -222,6 +296,15 @@ final class MetricView(
     rows.select(dimCols ++ inputCols: _*)
   }
 }
+
+/** Gap-fill request for [[MetricView.querySpine]]: densify over
+  * `dateDim` at `grain` (day/month/year); `zeroFill` measures read 0 on
+  * missing periods, `ffill` measures carry the last value forward. */
+final case class SpineSpec(
+    dateDim: String,
+    grain: String,
+    zeroFill: Seq[String] = Nil,
+    ffill: Seq[String] = Nil)
 
 object MetricView {
   /** JVM-wide auto-domain cache keyed by (spec hash, input expr, data
