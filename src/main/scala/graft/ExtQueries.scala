@@ -1393,6 +1393,26 @@ object ExtQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("doc_id")
 
+  /** Cross-source duplicate-overlap matrix: for every unordered source
+    * pair, how many duplicate clusters span both — the corpus-curation
+    * dashboard number that tells you which ingest feeds are copying
+    * each other (and how much a new source REALLY adds). Derived
+    * entirely from the staged cluster labels at (component, source)
+    * grain — cluster-scale, never corpus-scale: the distinct collapse
+    * happens before the self-join, so the pair expansion is over at
+    * most |components| x |sources| rows. */
+  def dedupOverlap(s: SparkSession, dir: String): DataFrame = {
+    val lab = clusterLabels(s, dir)
+    val src = graft.model.Tables.documents(s, dir).select("doc_id", "source")
+    val cs = lab.join(src, "doc_id").select("component", "source").distinct()
+    val a = cs.alias("a"); val b = cs.alias("b")
+    a.join(b, col("a.component") === col("b.component") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   private val stagedIncClusters = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Incremental cluster maintenance end-to-end (r9): docs with
@@ -1635,6 +1655,16 @@ object ExtQueries {
       |SELECT doc_id, component,
       |       count(*) OVER (PARTITION BY component) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
+
+  val dedupOverlapSql: String = clusterCtes +
+    """, cs AS (
+      |  SELECT DISTINCT c.component, d.source
+      |  FROM comp c JOIN documents d USING (doc_id)
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS shared_clusters
+      |FROM cs a JOIN cs b ON a.component = b.component AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Cluster fixpoint + quality + per-cluster argmax CTEs — shared by
     * the manifest oracles and the curation oracle. */
@@ -2433,6 +2463,7 @@ object ExtQueries {
     "q_cube_revenue"      -> (cubeRevenue _),
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
+    "q_dedup_overlap"     -> (dedupOverlap _),
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_curation"          -> (curation _),
@@ -2487,6 +2518,7 @@ object ExtQueries {
     "q_shard_export"      -> shardExportSql,
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
+    "q_dedup_overlap"     -> dedupOverlapSql,
     // incremental fold must reproduce the batch fixpoint exactly —
     // same oracle, so the hash gate proves the equivalence contract
     "q_dedup_clusters_incremental" -> dedupClustersSql,

@@ -554,6 +554,45 @@ object Queries {
       |  ('version', '0.1')
       |) t(key, value) ORDER BY key""".stripMargin
 
+  /** Heavy-hitter measure ([[graft.functions.GraftTopK]], SpaceSaving):
+    * top-5 customers by order count per order status, exploded to rows
+    * for the oracle. Capacity ≥ per-status distinct customers at this
+    * scale, so counters are exact and the (cnt desc, item asc) output
+    * order makes the k boundary deterministic on both engines. */
+  def mvTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    SparkEntry.catalog(s, dir).get("mv_orders_topk")
+      .query(Seq("order_status"), Seq("top_customers"))
+      .select(col("order_status"), explode(col("top_customers")).as("t"))
+      .select(col("order_status"), col("t.item").as("customer"),
+        col("t.cnt").as("orders"), col("t.err").as("err"))
+      .orderBy("order_status", "customer")
+  }
+
+  /** Same query routed through the topk_by_status rollup (counter
+    * states re-aggregated, raw orders never rescanned) — semantically
+    * invisible, so the oracle is identical. */
+  def routedTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    SparkEntry.matCatalog(s, dir).get("mv_orders_topk")
+      .query(Seq("order_status"), Seq("top_customers"))
+      .select(col("order_status"), explode(col("top_customers")).as("t"))
+      .select(col("order_status"), col("t.item").as("customer"),
+        col("t.cnt").as("orders"), col("t.err").as("err"))
+      .orderBy("order_status", "customer")
+  }
+
+  val mvTopKSql: String =
+    modelCtes +
+      """SELECT order_status, CAST(customer_id AS VARCHAR) AS customer,
+        |       count(*) AS orders, CAST(0 AS BIGINT) AS err
+        |FROM stg_orders
+        |GROUP BY 1, 2
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY order_status
+        |  ORDER BY count(*) DESC, CAST(customer_id AS VARCHAR)) <= 5
+        |ORDER BY 1, 2""".stripMargin
+
   /** Gap-filled time series ([[graft.api.MetricView.querySpine]]): the
     * urgent-finished slice of orders is sparse at the (segment, day)
     * grain, so the spine densifies each segment over the full observed
@@ -633,6 +672,8 @@ object Queries {
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_mv_spine"              -> (mvSpine _),
+    "q_mv_topk"               -> (mvTopK _),
+    "q_routed_topk"           -> (routedTopK _),
     "q_sql_measure"           -> (sqlMeasure _),
     "q_sql_ddl"               -> (sqlDdl _),
     "q_describe"              -> (describeView _))
@@ -653,6 +694,8 @@ object Queries {
     "q_routed_percentile"     -> routedPercentileSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_mv_spine"              -> mvSpineSql,
+    "q_mv_topk"               -> mvTopKSql,
+    "q_routed_topk"           -> mvTopKSql,
     "q_sql_measure"           -> sqlMeasureSql,
     "q_sql_ddl"               -> sqlDdlSql,
     "q_describe"              -> describeViewSql)

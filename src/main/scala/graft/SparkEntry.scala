@@ -46,6 +46,7 @@ object SparkEntry {
       m.build(cat.get("mv_orders_simple"))
       m.build(cat.get("mv_order_metrics"))
       m.build(cat.get("mv_orders_dist"))
+      m.build(cat.get("mv_orders_topk"))
       cat
     })
 

@@ -113,6 +113,18 @@ object AggDecompose {
             // graft_hll_estimate stays in the combiner template)
             fresh(graft.functions.GraftHll.agg(args.head),
               c => graft.functions.GraftHll.merge(col(c)))
+          case "graft_topk" if f.arguments.length == 3 =>
+            // heavy hitters route as well: the SpaceSaving counter state
+            // is a storable binary partial whose merge is counter-wise
+            // sum (exact while per-group distinct ≤ capacity, bounded-
+            // error beyond), so top-k measures decompose like HLL —
+            // partial graft_topk_agg, re-agg graft_topk_merge, and the
+            // (cnt desc, item asc) extract stays in the combiner.
+            val stAttr = fresh(
+              graft.functions.GraftTopK.agg(args(0), args(2)),
+              c => graft.functions.GraftTopK.merge(col(c)))
+            UnresolvedFunction(Seq("graft_topk_extract"),
+              Seq(stAttr, f.arguments(1)), isDistinct = false)
           case "graft_percentile_bounded" if f.arguments.length == 5 =>
             // approx-percentile routes too: the bounded-range histogram
             // partial is a storable array<bigint> of bin counts whose
@@ -207,5 +219,6 @@ object AggDecompose {
     "stddev_samp", "var_samp", "percentile", "median", "approx_count_distinct",
     "first_value", "last_value", "any_value", "max_by", "min_by",
     "hll_sketch_agg", "hll_union_agg", "graft_hll_agg", "graft_hll_merge",
-    "graft_percentile_bounded", "graft_hist_agg", "graft_hist_merge")
+    "graft_percentile_bounded", "graft_hist_agg", "graft_hist_merge",
+    "graft_topk", "graft_topk_agg", "graft_topk_merge")
 }

@@ -307,6 +307,40 @@ object Specs {
       |        semiadditive: last
       |""".stripMargin
 
+  /** Engine extension: heavy-hitter measures (`graft_topk` —
+    * SpaceSaving counters, the third mergeable sketch next to HLL and
+    * the histogram). Capacity 8192 ≥ per-status distinct customers at
+    * verification scale, so the sketch is EXACT there (hash-oracled);
+    * beyond capacity the published SpaceSaving bounds take over. The
+    * topk_by_status rollup stores the counter states, so status-grain
+    * top-customer queries re-aggregate sketches instead of rescanning
+    * orders. */
+  val mvOrdersTopK: String =
+    """version: 0.1
+      |source: stg_orders
+      |dimensions:
+      |  - name: order_status
+      |    expr: order_status
+      |  - name: order_priority
+      |    expr: order_priority
+      |measures:
+      |  - name: order_count
+      |    expr: count(*)
+      |  - name: top_customers
+      |    expr: graft_topk(customer_id, 5, 8192)
+      |materialization:
+      |  schedule: every 8 weeks
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: topk_by_status
+      |      type: aggregated
+      |      dimensions:
+      |        - order_status
+      |      measures:
+      |        - order_count
+      |        - top_customers
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,
@@ -314,5 +348,6 @@ object Specs {
     "mv_sales_geo"        -> mvSalesGeo,
     "mv_customer_window"  -> mvCustomerWindow,
     "mv_orders_dist"      -> mvOrdersDist,
-    "mv_revenue_pop"      -> mvRevenuePop)
+    "mv_revenue_pop"      -> mvRevenuePop,
+    "mv_orders_topk"      -> mvOrdersTopK)
 }

@@ -75,6 +75,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression(),
         args(1), args(2), args(3))
     }
+    // engine-owned SpaceSaving frequent-items sketch (graft.functions
+    // .GraftTopK) — the routable top-k measure
+    fn("graft_topk_agg", 2)(args =>
+      graft.functions.GraftTopKAgg(args(0), args(1)))
+    fn("graft_topk_merge", 1)(args => graft.functions.GraftTopKMerge(args.head))
+    fn("graft_topk_extract", 2)(args =>
+      graft.functions.GraftTopKExtract(args(0), args(1)))
+    // measure-level sugar: graft_topk(key, k, capacity) — AggDecompose
+    // splits it into the storable partial + mergeable re-agg + extract
+    fn("graft_topk", 3) { args =>
+      graft.functions.GraftTopKExtract(
+        graft.functions.GraftTopKAgg(args(0), args(2)).toAggregateExpression(),
+        args(1))
+    }
     ext.injectResolutionRule(s => new MeasureExpansionRule(s))
     // SQL-string DDL lifecycle (CREATE ... WITH METRICS LANGUAGE YAML /
     // DROP VIEW / DESCRIBE / SHOW TBLPROPERTIES) — see MetricViewDdl

@@ -102,6 +102,25 @@ class RoutingSpec extends SparkSpec {
     assert(g.collect().map(_.toSeq).toSet == gd.collect().map(_.toSeq).toSet)
   }
 
+  test("top-k heavy-hitter measure ROUTES through the rollup (counter states merge)") {
+    // the SpaceSaving counterpart of the HLL/histogram cases: counter
+    // states merge by counter-wise sum (exact below capacity), so
+    // graft_topk measures re-aggregate from topk_by_status — including
+    // down to the global grain, where per-status states merge into one
+    val q = mat.get("mv_orders_topk")
+      .query(Seq("order_status"), Seq("top_customers", "order_count"))
+    val p = scans(q)
+    assert(p.contains("topk_by_status"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_topk")
+      .query(Seq("order_status"), Seq("top_customers", "order_count"))
+    assert(q.collect().map(_.toString).toSet == direct.collect().map(_.toString).toSet)
+    val g = mat.get("mv_orders_topk").query(Seq(), Seq("top_customers"))
+    val gd = plain.get("mv_orders_topk").query(Seq(), Seq("top_customers"))
+    assert(scans(g).contains("topk_by_status"), scans(g))
+    assert(g.collect().map(_.toString).toSeq == gd.collect().map(_.toString).toSeq)
+  }
+
   test("auto-domained percentile measure routes correctly (profile-derived [lo, hi), r9)") {
     // graft_percentile_auto(total_price, 0.5, 1024) declares NO domain:
     // [lo, hi) derives from the observed min/max at measure resolution,
