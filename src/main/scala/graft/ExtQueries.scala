@@ -72,19 +72,23 @@ object ExtQueries {
     * point enters only in the final single division. At 100 TB the
     * post-scan rows are |sources|·|langs| × bins longs — the monitor's
     * cost IS the one corpus scan. */
-  def drift(s: SparkSession, dir: String): DataFrame = {
+  def drift(s: SparkSession, dir: String): DataFrame =
+    driftFromProfile(graft.ops.DriftStore.profileOf(Tables.documents(s, dir)))
+
+  /** The monitor body over a (source, lang) profile — shared by the
+    * batch path (profile computed in-scan) and the incremental path
+    * (profile replayed from the persisted [[graft.ops.DriftStore]]). */
+  private def driftFromProfile(profile: DataFrame): DataFrame = {
     // cached: referenced three times (per-source rollup, global lang
     // counts, global total) and self-joined subplans are not deduped —
     // without the cache the corpus would scan repeatedly.
     // |sources|·|langs| rows of bins longs, tiny.
-    // lang normalized null→'' BEFORE grouping: the dense-grid left join
-    // below uses null-unsafe equality, so a NULL lang group would
-    // count as 0 in the numerator while its docs exist (and the oracle
-    // would drop the row entirely) — both engines fold NULL into ''
-    val byLang = graft.ops.Persists.cache(Tables.documents(s, dir)
-      .groupBy(col("source"), coalesce(col("lang"), lit("")).as("lang"))
-      .agg(count(lit(1)).as("c"),
-        expr("graft_hist_agg(n_chars, 0.0, 1024.0, 128)").as("h")))
+    // lang normalized null→'' BEFORE grouping (DriftStore.profileOf):
+    // the dense-grid left join below uses null-unsafe equality, so a
+    // NULL lang group would count as 0 in the numerator while its docs
+    // exist (and the oracle would drop the row entirely) — both
+    // engines fold NULL into ''
+    val byLang = graft.ops.Persists.cache(profile)
     val perSource = graft.ops.Persists.cache(byLang
       .groupBy("source")
       .agg(sum("c").as("doc_count"), expr("graft_hist_merge(h)").as("h")))
@@ -112,6 +116,24 @@ object ExtQueries {
           (col("doc_count").cast("double") * col("gt").cast("double"))))
           .as("lang_drift_tvd"))
       .orderBy("source")
+  }
+
+  private val stagedDriftStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental drift monitoring ([[graft.ops.DriftStore]]): docs with
+    * `doc_id % 10 = 7` play the freshly-arrived crawl batch (the
+    * incremental-dedup split), the rest the already-profiled corpus.
+    * The baseline profile is written once, the delta FOLDS in with one
+    * delta-only scan, and the monitor replays the folded store — the
+    * oracle is the batch drift SQL over the full corpus, so the hash
+    * gate IS the fold==rebuild contract. */
+  def driftIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedDriftStore, dir, "graft_drift_store") { p =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.DriftStore.writeProfile(docs.filter(col("doc_id") % 10 =!= 7), p)
+      graft.ops.DriftStore.applyDelta(s, p, docs.filter(col("doc_id") % 10 === 7))
+    }
+    driftFromProfile(graft.ops.DriftStore.profile(s, path))
   }
 
   /** DuckDB re-expression of GraftHistogram/GraftHistTvd: same clamped
@@ -2488,6 +2510,7 @@ object ExtQueries {
     "q_quality_topk"      -> (qualityTopK _),
     "q_length_quantiles"  -> (lengthQuantiles _),
     "q_drift"             -> (drift _),
+    "q_drift_incremental" -> (driftIncremental _),
     "q_profile"           -> (profile _),
     "q_outliers"          -> (outliers _))
 
@@ -2508,6 +2531,7 @@ object ExtQueries {
     "q_quality_topk"      -> qualityTopKSql,
     "q_length_quantiles"  -> lengthQuantilesSql,
     "q_drift"             -> driftSql,
+    "q_drift_incremental" -> driftSql,
     "q_profile"           -> profileSql,
     "q_outliers"          -> outliersSql,
     "q_stream_window"     -> streamWindowSql,

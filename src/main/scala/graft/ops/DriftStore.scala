@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted corpus-profile store: the O(delta) path for CONTINUOUS
+  * drift monitoring (the incremental counterpart of the one-scan batch
+  * monitor, [[graft.ExtQueries.drift]] / reference-extension q_drift).
+  *
+  * The profile is the (source, lang) grain that the batch monitor
+  * collapses the corpus to anyway: per group a doc count and a
+  * [[graft.functions.GraftHistogram]] length partial. Both are
+  * mergeable EXACTLY (sum / element-wise add), so folding a new crawl
+  * batch into the stored profile equals re-profiling the union — the
+  * same fold==rebuild contract as the dedup index, label store and IVF
+  * layout, and the store serves the batch monitor's exact output
+  * (q_drift_incremental is hash-gated against the batch SQL).
+  *
+  * Scale: a fold scans ONLY the delta. The store itself is
+  * metadata-scale — |sources| × |langs| rows of 129 longs — so each
+  * fold rewrites it whole into the next [[SnapshotRoot]] version
+  * (crash-consistent pointer flip, no partial-rewrite bookkeeping
+  * needed at this size). At 100 TB the corpus never gets rescanned:
+  * the monitor's recurring cost is the delta scan it must pay anyway.
+  */
+object DriftStore {
+
+  /** Histogram domain/bins — MUST match the batch monitor's literals
+    * (ExtQueries.drift); partials with different shapes refuse to
+    * merge, so a mismatch fails loudly rather than skewing TVD. */
+  val HistLo = 0.0
+  val HistHi = 1024.0
+  val HistBins = 128
+
+  /** One scan of `docs` → the (source, lang) profile. Lang normalizes
+    * null→'' exactly like the batch monitor (its dense-grid join uses
+    * null-unsafe equality). */
+  def profileOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), coalesce(col("lang"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("c"),
+        expr(s"graft_hist_agg(n_chars, $HistLo, $HistHi, $HistBins)").as("h"))
+
+  /** Initialize the store from a full corpus scan (the one-time
+    * baseline build — an offline job at scale). */
+  def writeProfile(docs: DataFrame, root: String): Unit =
+    SnapshotRoot.initRoot(root, profileOf(docs).repartition(1), Nil)
+
+  /** Fold a delta batch: one delta scan, merged with the stored
+    * profile by (sum, graft_hist_merge) — exact, so sequential folds
+    * compose and order never matters. Commits as the next snapshot
+    * version with an atomic pointer flip. */
+  def applyDelta(spark: SparkSession, root: String, delta: DataFrame): Unit = {
+    val merged = profile(spark, root).unionByName(profileOf(delta))
+      .groupBy("source", "lang")
+      .agg(sum("c").as("c"), expr("graft_hist_merge(h)").as("h"))
+    val next = SnapshotRoot.nextVersion(root)
+    merged.repartition(1).write.parquet(s"$root/$next")
+    SnapshotRoot.flipAndGc(root, next)
+  }
+
+  /** The live profile (readers pin the resolved snapshot). */
+  def profile(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(SnapshotRoot.currentDir(root))
+}
