@@ -1426,7 +1426,11 @@ object ExtQueries {
   def dedupOverlap(s: SparkSession, dir: String): DataFrame = {
     val lab = clusterLabels(s, dir)
     val src = graft.model.Tables.documents(s, dir).select("doc_id", "source")
-    val cs = lab.join(src, "doc_id").select("component", "source").distinct()
+    // cached: both sides of the pair self-join read cs, and aliased
+    // subplans are not deduped — without the cache the labels⋈docs
+    // join would run twice. Cluster-grain rows, tiny.
+    val cs = graft.ops.Persists.cache(
+      lab.join(src, "doc_id").select("component", "source").distinct())
     val a = cs.alias("a"); val b = cs.alias("b")
     a.join(b, col("a.component") === col("b.component") &&
         col("a.source") < col("b.source"))

@@ -206,7 +206,12 @@ final class MetricView(
     (spine.zeroFill ++ spine.ffill).foreach { m =>
       require(measures.contains(m), s"fill rule for '$m' which is not queried") }
 
-    val result = query(dims, measures, where)
+    // cached: the result frame feeds BOTH the combo distinct and the
+    // densify join, and aliased subplans are not deduped by
+    // ReuseExchange — without the cache the source would scan twice.
+    // Result-grain rows, so the cache is small; released by the
+    // Persists listener after the caller's action.
+    val result = graft.ops.Persists.cache(query(dims, measures, where))
 
     // observed bounds: one narrow scan of the date column (pruned to a
     // single column at the parquet reader); 1-row collect is metadata
