@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous drift monitoring (r10): a STREAM of document batches
+  * maintains the persisted corpus profile ([[graft.ops.DriftStore]])
+  * under `foreachBatch` + `Trigger.AvailableNow` — the monitoring
+  * mirror of [[ContinuousDedup]]/[[ContinuousAnn]], so all three
+  * pillars (dedup, similarity, monitoring) share one operational
+  * shape: state in crash-consistent persisted artifacts, never the
+  * streaming state store; each microbatch pays only its own scan.
+  *
+  * Per microbatch: collapse the batch to its (source, lang) profile
+  * and fold it into the store (counts sum, histogram partials add —
+  * exact, so folds compose across batches in any arrival order).
+  * After the stream drains, the store equals a whole-corpus profile
+  * of everything ever streamed (spec-gated), and the batch drift
+  * monitor replays it unchanged. */
+object ContinuousDrift {
+
+  /** Drain `stream` (one DriftStore fold per microbatch); returns the
+    * number of non-empty batches processed. The store at `root` must
+    * exist (write the baseline first — an empty-corpus baseline is
+    * fine). */
+  def run(stream: DataFrame, root: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          graft.ops.DriftStore.applyDelta(batch.sparkSession, root, batch)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+}
