@@ -79,7 +79,12 @@ object Bench {
       // r10: first run = offline index+state build, then the 3-batch
       // AvailableNow stream drains the continuous pipeline; repeats
       // would replay the maintained store
-      "q_stream_curation")
+      "q_stream_curation",
+      // same staging shape: first run = baseline profile build + delta
+      // fold (the stage split records both); repeats replay the tiny
+      // profile store. The overlap matrix replays the staged cluster
+      // labels like q_dedup_manifest.
+      "q_drift_incremental", "q_dedup_overlap")
     // NOT singleRun, on purpose (r8): q_dedup_incremental and
     // q_ann_ivf_indexed stage their OFFLINE artifact (corpus band
     // index / IVF model + cell layout) on run 1, and later runs

@@ -130,8 +130,13 @@ object ExtQueries {
   def driftIncremental(s: SparkSession, dir: String): DataFrame = {
     val path = stagedTempDir(stagedDriftStore, dir, "graft_drift_store") { p =>
       val docs = Tables.documents(s, dir)
+      val t0 = System.nanoTime()
       graft.ops.DriftStore.writeProfile(docs.filter(col("doc_id") % 10 =!= 7), p)
+      val t1 = System.nanoTime()
       graft.ops.DriftStore.applyDelta(s, p, docs.filter(col("doc_id") % 10 === 7))
+      stageTimings("q_drift_incremental") = Seq(
+        "write_profile" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
     }
     driftFromProfile(graft.ops.DriftStore.profile(s, path))
   }
@@ -1415,6 +1420,39 @@ object ExtQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("doc_id")
 
+  /** Exact-substring duplicate spans ([[graft.ops.DupSpans]], the Lee
+    * et al. 2022 ExactSubstr operation at 8-token-gram granularity):
+    * the maximal duplicated regions INSIDE each document — what a
+    * pipeline clips (boilerplate, licenses, quoted blocks) from docs
+    * it otherwise keeps. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DupSpans.duplicateSpans(Tables.documents(s, dir), n = 8)
+      .orderBy("doc_id", "span_start")
+
+  val dupSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tk
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(tk[i + 1:i + 8], ' ') AS g
+      |  FROM toks, unnest(range(len(tk) - 7)) AS t(i)
+      |  WHERE len(tk) >= 8
+      |), gdf AS (
+      |  SELECT g, count(DISTINCT doc_id) AS c FROM grams
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      |), hits AS (
+      |  SELECT gr.doc_id, gr.pos, d.c FROM grams gr JOIN gdf d USING (g)
+      |), islands AS (
+      |  SELECT doc_id, pos, c,
+      |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM hits
+      |)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+      |       max(c) AS n_docs_max
+      |FROM islands GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** Cross-source duplicate-overlap matrix: for every unordered source
     * pair, how many duplicate clusters span both — the corpus-curation
     * dashboard number that tells you which ingest feeds are copying
@@ -2490,6 +2528,7 @@ object ExtQueries {
     "q_dedup_winnow"      -> ((s: SparkSession, d: String) => winnowDedup(s, d)),
     "q_dedup_clusters"    -> (dedupClusters _),
     "q_dedup_overlap"     -> (dedupOverlap _),
+    "q_dup_spans"         -> (dupSpans _),
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_curation"          -> (curation _),
@@ -2547,6 +2586,7 @@ object ExtQueries {
     "q_pii"               -> piiScrubSql,
     "q_dedup_clusters"    -> dedupClustersSql,
     "q_dedup_overlap"     -> dedupOverlapSql,
+    "q_dup_spans"         -> dupSpansSql,
     // incremental fold must reproduce the batch fixpoint exactly —
     // same oracle, so the hash gate proves the equivalence contract
     "q_dedup_clusters_incremental" -> dedupClustersSql,

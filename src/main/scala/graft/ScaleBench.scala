@@ -226,11 +226,55 @@ object ScaleBench {
     val incAnnBase = incAnnProbe(baseDir)
     val incAnnScaled = incAnnProbe(scaleDir)
 
+    // FIXED-DELTA incremental-DRIFT probe (r10): fold a pinned delta
+    // batch into the persisted corpus profile of a growing corpus
+    // (baseline build untimed — the offline job). The fold scans only
+    // the delta and rewrites a metadata-scale store, so the ratio
+    // should be the flattest of all: corpus size enters nowhere.
+    def incDriftProbe(dir: String): Double = {
+      val st = java.nio.file.Files.createTempDirectory("graft_scale_incdrift").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.DriftStore.writeProfile(docs.filter(col("doc_id") % 10 =!= 7), st)
+      val delta = graft.model.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") % 10 === 7)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.DriftStore.applyDelta(spark, st, delta)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incDriftBase = incDriftProbe(baseDir)
+    val incDriftScaled = incDriftProbe(scaleDir)
+
+    // TOP-K EVICTION-REGIME probe (r10): graft_topk with distinct keys
+    // ≫ capacity, so each partition's sketch spends the scan displacing
+    // counters — the lazy-heap eviction's per-update cost is what's
+    // measured. The fixture vocabulary is tiny (~31 tokens/lang), so
+    // tokens alone never overflow a 4096 sketch; salting with the doc
+    // id forces ~|corpus| distinct keys at BOTH scales. The claim is
+    // LINEARITY (ratio ≈ R for R× updates): a naive O(capacity)
+    // min-scan per eviction would superlinearize exactly here, where
+    // non-resident inserts dominate.
+    def topkProbe(dir: String): Double = {
+      val toks = graft.model.Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
+        .select(concat(col("tok"), lit("#"),
+          pmod(col("doc_id"), lit(1000000L)).cast("string")).as("key"))
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        toks.agg(expr("graft_topk(key, 20, 4096)"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val topkBase = topkProbe(baseDir)
+    val topkScaled = topkProbe(scaleDir)
+
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}}}""")
     spark.stop()
   }
 

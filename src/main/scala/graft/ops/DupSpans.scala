@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better" — the ExactSubstr
+  * operation, at token-gram granularity): find the maximal token spans
+  * of each document whose every n-gram also occurs elsewhere in the
+  * corpus. Complements the doc-level family (MinHash/SimHash/winnowing
+  * dedup whole near-duplicate DOCUMENTS); this marks the duplicated
+  * REGIONS — boilerplate headers, licenses, quoted blocks — inside
+  * documents that are otherwise unique, the spans a training pipeline
+  * clips rather than dropping the doc.
+  *
+  * Pipeline (all relational, no UDFs):
+  *  1. tokenize (whitespace) and slide an n-token gram window per doc
+  *     (codegen HOFs: `transform` over `sequence` + `slice`);
+  *  2. corpus-wide gram document-frequency (ONE shuffle on the gram,
+  *     map-side combined; df counts DISTINCT docs so internal repeats
+  *     don't mark a span);
+  *  3. positions whose gram has df ≥ minDf join back (shuffle on gram,
+  *     matching grams only);
+  *  4. per-doc island detection — consecutive hit positions merge into
+  *     maximal `[span_start, span_end)` token intervals via the
+  *     pos − row_number() grouping trick (one shuffle on doc_id).
+  *
+  * At 100 TB the gram strings would be hashed to fixed width before
+  * the shuffle (PolyHash61, the winnowing precedent) and the df table
+  * bloom-prefiltered like decontamination; the plan shape — explode,
+  * count, semi-join back, island windows — is unchanged. Spans are
+  * token-indexed (start inclusive, end exclusive, end − start ≥ n),
+  * deterministic, and fully re-derivable in ANSI SQL (the DuckDB
+  * oracle replays the same four stages on raw gram strings).
+  */
+object DupSpans {
+
+  /** Duplicate spans of `docs(idCol, textCol)`: one row per maximal
+    * duplicated interval — (doc_id, span_start, span_end, n_docs_max)
+    * where n_docs_max is the largest df among the span's grams (how
+    * widely its most-copied gram spreads). */
+  def duplicateSpans(
+      docs: DataFrame,
+      n: Int = 16,
+      minDf: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    require(minDf >= 2, s"minDf < 2 would mark every position, got $minDf")
+
+    val tk = TextOps.tokens(col(textCol)) // the engine-wide whitespace class
+    // positions 0 .. size-n; docs shorter than one gram emit nothing
+    val grams = docs
+      .select(col(idCol), tk.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(tk) - $n), " +
+          s"i -> struct(i AS pos, array_join(slice(tk, i + 1, $n), ' ') AS g))"))
+        .as("pg"))
+      .select(col(idCol), col("pg.pos").cast("long").as("pos"), col("pg.g").as("g"))
+
+    // distinct-doc frequency per gram: a gram repeated WITHIN one doc
+    // is self-similarity, not corpus duplication
+    val df = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+
+    val hits = grams.join(df, "g").select(col(idCol), col("pos"), col("df"))
+
+    // island detection: consecutive positions share (pos - row_number)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n)).as("span_end"),
+        max("df").as("n_docs_max"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_docs_max"))
+  }
+}

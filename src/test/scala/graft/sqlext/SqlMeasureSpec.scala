@@ -33,6 +33,17 @@ class SqlMeasureSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
   }
 
+  test("top-k heavy-hitter measure through SQL MEASURE()") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_status, MEASURE(top_customers) AS top_customers
+        |FROM mv_orders_topk GROUP BY order_status""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_orders_topk")
+      .query(Seq("order_status"), Seq("top_customers"))
+    assert(sql.collect().map(_.toString).toSet ==
+      api.collect().map(_.toString).toSet)
+  }
+
   test("WHERE over dims + GROUP BY ordinal + scalar over MEASURE") {
     init()
     val sql = spark.sql(
