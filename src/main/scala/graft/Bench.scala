@@ -61,7 +61,7 @@ object Bench {
     // (q_dedup_minhash = candidatePairs compute + stage, q_ngram_jaccard
     // = the derived verify stage over the already-staged pairs).
     val singleRun = Set("q_stream_window", "q_stream_dedup", "q_stream_join",
-      "q_stream_percentile",
+      "q_stream_percentile", "q_stream_topk",
       "q_dedup_minhash", "q_ngram_jaccard",
       // staged cluster labels: first run = CC compute + staging,
       // repeats would record the parquet replay. NOTE the measurement

@@ -100,6 +100,29 @@ object StreamingOps {
         col("n_events"),
         expr("graft_hist_quantile(h, 0.5, 0.0, 1024.0)").as("p50_value"))
 
+  /** Tumbling-window heavy hitters — the SpaceSaving sketch
+    * ([[graft.functions.GraftTopK]]) inside streaming aggregation
+    * state, completing the sketch family's streaming story next to
+    * [[windowedPercentile]]'s histogram: the counter map serializes
+    * into the state store like any agg buffer, partial states merge by
+    * counter-wise sum across microbatches, and the (cnt desc, item
+    * asc) extract runs on emission — so a top-users dashboard over an
+    * infinite stream carries ≤ capacity counters of state per open
+    * window, never the window's raw rows. Exact while per-window
+    * distinct keys ≤ capacity; the published SpaceSaving bounds
+    * beyond. Same watermark/eviction story as [[windowedValue]]. */
+  def windowedTopK(events: DataFrame, windowLength: String = "1 hour",
+      k: Int = 3, capacity: Int = 1024): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(expr(s"graft_topk(user_id, $k, $capacity)").as("top_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        explode(col("top_users")).as("t"))
+      .select(col("window_start"), col("event_type"),
+        col("t.item").as("top_user"), col("t.cnt").as("events"),
+        col("t.err").as("err"))
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark`) —
     * the streaming analogue of exact dedup for continuously arriving
