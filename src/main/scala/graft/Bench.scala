@@ -84,7 +84,10 @@ object Bench {
       // fold (the stage split records both); repeats replay the tiny
       // profile store. The overlap matrix replays the staged cluster
       // labels like q_dedup_manifest.
-      "q_drift_incremental", "q_dedup_overlap")
+      "q_drift_incremental", "q_dedup_overlap",
+      // first run = offline span-state build + delta fold (stage
+      // split recorded); repeats replay the maintained span store
+      "q_dup_spans_incremental")
     // NOT singleRun, on purpose (r8): q_dedup_incremental and
     // q_ann_ivf_indexed stage their OFFLINE artifact (corpus band
     // index / IVF model + cell layout) on run 1, and later runs

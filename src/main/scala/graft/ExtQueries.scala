@@ -1487,6 +1487,31 @@ object ExtQueries {
       |FROM islands GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  private val stagedIncSpans = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental span maintenance end-to-end ([[graft.ops
+    * .IncrementalSpans]]): docs with `doc_id % 10 = 7` play the
+    * freshly-arrived batch, the rest the already-indexed corpus. The
+    * state builds once, the delta FOLDS in (affected docs only), and
+    * the query replays the maintained span store — the oracle is the
+    * BATCH span SQL over the full corpus, so the hash gate IS the
+    * fold==rebuild contract. */
+  def dupSpansIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedIncSpans, dir, "graft_inc_spans") { p =>
+      val docs = Tables.documents(s, dir)
+      val t0 = System.nanoTime()
+      graft.ops.IncrementalSpans.writeState(
+        docs.filter(col("doc_id") % 10 =!= 7), p)
+      val t1 = System.nanoTime()
+      graft.ops.IncrementalSpans.applyDelta(
+        s, p, docs.filter(col("doc_id") % 10 === 7))
+      stageTimings("q_dup_spans_incremental") = Seq(
+        "write_state" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+    graft.ops.IncrementalSpans.readSpans(s, path).orderBy("doc_id", "span_start")
+  }
+
   /** Span-coverage corpus card: per source, how much token mass sits
     * inside exact-substring duplicate spans — the "what fraction of
     * this feed is boilerplate" number next to the doc-level funnel.
@@ -2644,6 +2669,7 @@ object ExtQueries {
     "q_dedup_overlap"     -> (dedupOverlap _),
     "q_dup_spans"         -> (dupSpans _),
     "q_span_coverage"     -> (spanCoverage _),
+    "q_dup_spans_incremental" -> (dupSpansIncremental _),
     "q_dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "q_dedup_manifest_incremental" -> (dedupManifestIncremental _),
     "q_curation"          -> (curation _),
@@ -2705,6 +2731,7 @@ object ExtQueries {
     "q_dedup_overlap"     -> dedupOverlapSql,
     "q_dup_spans"         -> dupSpansSql,
     "q_span_coverage"     -> spanCoverageSql,
+    "q_dup_spans_incremental" -> dupSpansSql,
     // incremental fold must reproduce the batch fixpoint exactly —
     // same oracle, so the hash gate proves the equivalence contract
     "q_dedup_clusters_incremental" -> dedupClustersSql,
