@@ -206,18 +206,21 @@ final class MetricView(
     (spine.zeroFill ++ spine.ffill).foreach { m =>
       require(measures.contains(m), s"fill rule for '$m' which is not queried") }
 
-    // cached: the result frame feeds BOTH the combo distinct and the
-    // densify join, and aliased subplans are not deduped by
-    // ReuseExchange — without the cache the source would scan twice.
-    // Result-grain rows, so the cache is small; released by the
-    // Persists listener after the caller's action.
-    val result = graft.ops.Persists.cache(query(dims, measures, where))
+    // cached: the result frame feeds the bounds derivation below, the
+    // combo distinct AND the densify join, and aliased subplans are
+    // not deduped by ReuseExchange — without the cache the source
+    // would scan three times. Registered for 2 actions: the internal
+    // bounds head() and the caller's terminal action (which consumes
+    // both remaining references in one plan). Result-grain rows, so
+    // the cache is small.
+    val result = graft.ops.Persists.cacheFor(query(dims, measures, where), 2)
 
-    // observed bounds: one narrow scan of the date column (pruned to a
-    // single column at the parquet reader); 1-row collect is metadata
-    val (rows, dimFor, _) = rowsFor(Seq(spine.dateDim), Nil, where)
-    val b = rows.agg(min(dimFor(spine.dateDim)).as("lo"),
-      max(dimFor(spine.dateDim)).as("hi")).head()
+    // observed bounds from the CACHED result itself: the date dim is a
+    // group key, so its min/max over the result equals its min/max
+    // over the (filtered) rows — no second source scan; the 1-row
+    // collect is metadata and warms the cache for the joins below
+    val b = result.agg(min(col(spine.dateDim)).as("lo"),
+      max(col(spine.dateDim)).as("hi")).head()
     if (b.isNullAt(0)) return result // no rows at all: nothing to densify
 
     val cal = spark.range(1).select(

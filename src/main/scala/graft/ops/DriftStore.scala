@@ -48,13 +48,40 @@ object DriftStore {
   /** Fold a delta batch: one delta scan, merged with the stored
     * profile by (sum, graft_hist_merge) — exact, so sequential folds
     * compose and order never matters. Commits as the next snapshot
-    * version with an atomic pointer flip. */
-  def applyDelta(spark: SparkSession, root: String, delta: DataFrame): Unit = {
+    * version with an atomic pointer flip; a leftover partial next
+    * directory from a crashed fold is cleared first (the SnapshotRoot
+    * contract every sibling writer follows — without it the store
+    * would wedge on 'path already exists' forever after one crash).
+    *
+    * `foldId`: the profile rows carry no document identity, so a
+    * REPLAYED batch (stream restart, rerun over the same feed) would
+    * silently double-count — unlike the id-guarded folds
+    * (IncrementalDedup/Clusters/Spans), which fail loudly. Callers
+    * with a replay-able source pass a stable batch id; ids already
+    * recorded in the live snapshot's ledger no-op (idempotent replay).
+    * The ledger is written INTO the next version dir before the flip,
+    * so it commits atomically with the data. */
+  def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
+      foldId: Option[String] = None): Unit = {
+    val cur = SnapshotRoot.currentDir(root)
+    val ledgerOf = (dir: String) => {
+      val p = java.nio.file.Paths.get(dir, "_applied_folds")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      else Seq.empty[String]
+    }
+    val applied = ledgerOf(cur)
+    if (foldId.exists(applied.contains)) return // replay: already folded
+
     val merged = profile(spark, root).unionByName(profileOf(delta))
       .groupBy("source", "lang")
       .agg(sum("c").as("c"), expr("graft_hist_merge(h)").as("h"))
     val next = SnapshotRoot.nextVersion(root)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/$next"))
     merged.repartition(1).write.parquet(s"$root/$next")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/$next", "_applied_folds"),
+      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
     SnapshotRoot.flipAndGc(root, next)
   }
 

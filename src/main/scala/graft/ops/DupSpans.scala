@@ -48,10 +48,24 @@ object DupSpans {
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"gram width must be >= 2, got $n")
     require(minDf >= 2, s"minDf < 2 would mark every position, got $minDf")
+    val grams = gramRows(docs, n, idCol, textCol)
+    // distinct-doc frequency per gram: a gram repeated WITHIN one doc
+    // is self-similarity, not corpus duplication
+    val df = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    spansFrom(grams, df, n, idCol)
+  }
 
+  /** The gram stage, shared with [[IncrementalSpans]] (the fold's
+    * fold==rebuild contract requires the two pipelines to gram
+    * IDENTICALLY — one definition, no divergence risk):
+    * (idCol, pos, g) sliding n-token windows; positions 0 .. size−n;
+    * docs shorter than one gram emit nothing. */
+  private[ops] def gramRows(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tk = TextOps.tokens(col(textCol)) // the engine-wide whitespace class
-    // positions 0 .. size-n; docs shorter than one gram emit nothing
-    val grams = docs
+    docs
       .select(col(idCol), tk.as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col(idCol), explode(expr(
@@ -59,16 +73,15 @@ object DupSpans {
           s"i -> struct(i AS pos, array_join(slice(tk, i + 1, $n), ' ') AS g))"))
         .as("pg"))
       .select(col(idCol), col("pg.pos").cast("long").as("pos"), col("pg.g").as("g"))
+  }
 
-    // distinct-doc frequency per gram: a gram repeated WITHIN one doc
-    // is self-similarity, not corpus duplication
-    val df = grams.groupBy("g")
-      .agg(countDistinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDf)
-
-    val hits = grams.join(df, "g").select(col(idCol), col("pos"), col("df"))
-
-    // island detection: consecutive positions share (pos - row_number)
+  /** The island stage, shared with [[IncrementalSpans]]: join gram
+    * positions against an (already minDf-filtered) (g, df) frame and
+    * merge consecutive hit positions into maximal spans — consecutive
+    * positions share (pos − row_number). */
+  private[ops] def spansFrom(grams: DataFrame, dupDf: DataFrame, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val hits = grams.join(dupDf, "g").select(col(idCol), col("pos"), col("df"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     hits
       .withColumn("island", col("pos") - row_number().over(byDoc))

@@ -68,34 +68,20 @@ object IncrementalSpans {
     StructField("span_start", LongType), StructField("span_end", LongType),
     StructField("n_docs_max", LongType), StructField("dbucket", IntegerType)))
 
-  /** Tokenize + gram a docs frame → (doc_id, pos, g). */
+  /** Tokenize + gram (doc_id, pos, g) — DupSpans' own gram stage, so
+    * the fold==rebuild contract holds by construction. */
   private def gramsOf(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(tk) - $n), " +
-          s"i -> struct(i AS pos, array_join(slice(tk, i + 1, $n), ' ') AS g))"))
-        .as("pg"))
-      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"), col("pg.g").as("g"))
+    DupSpans.gramRows(docs, n)
 
   private def gbucket(g: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(g), lit(nBuckets.toLong)).cast("int")
   private def dbucket(id: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(id, lit(nBuckets.toLong)).cast("int")
 
-  /** Spans from a (doc_id, pos, g) frame and a (g, df) frame (df
-    * already ≥ minDf-filtered). Mirrors DupSpans' island stage. */
-  private def spansFrom(grams: DataFrame, dupDf: DataFrame, n: Int): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    grams.join(dupDf, "g")
-      .select(col("doc_id"), col("pos"), col("df"))
-      .withColumn("island", col("pos") - row_number().over(byDoc))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min("pos").as("span_start"), (max("pos") + lit(n)).as("span_end"),
-        max("df").as("n_docs_max"))
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_docs_max"))
-  }
+  /** Spans from grams + an (already ≥2-filtered) df frame — DupSpans'
+    * own island stage (shared definition, no divergence risk). */
+  private def spansFrom(grams: DataFrame, dupDf: DataFrame, n: Int): DataFrame =
+    DupSpans.spansFrom(grams, dupDf, n)
 
   /** Offline build: state for `docs` at `root` (v1 + pointer). */
   def writeState(docs: DataFrame, root: String, n: Int = 8,

@@ -309,12 +309,13 @@ object Specs {
 
   /** Engine extension: heavy-hitter measures (`graft_topk` —
     * SpaceSaving counters, the third mergeable sketch next to HLL and
-    * the histogram). Capacity 8192 ≥ per-status distinct customers at
-    * verification scale, so the sketch is EXACT there (hash-oracled);
-    * beyond capacity the published SpaceSaving bounds take over. The
-    * topk_by_status rollup stores the counter states, so status-grain
-    * top-customer queries re-aggregate sketches instead of rescanning
-    * orders. */
+    * the histogram). Capacity 16384 exceeds TOTAL distinct customers
+    * through sf0.1 (15k) — not just sf0.01 — so the sketch is EXACT
+    * across the whole documented verification range (hash-oracled);
+    * beyond capacity (sf1+) the published SpaceSaving bounds take
+    * over. The topk_by_status rollup stores the counter states, so
+    * status-grain top-customer queries re-aggregate sketches instead
+    * of rescanning orders. */
   val mvOrdersTopK: String =
     """version: 0.1
       |source: stg_orders
@@ -327,7 +328,7 @@ object Specs {
       |  - name: order_count
       |    expr: count(*)
       |  - name: top_customers
-      |    expr: graft_topk(customer_id, 5, 8192)
+      |    expr: graft_topk(customer_id, 5, 16384)
       |materialization:
       |  schedule: every 8 weeks
       |  mode: relaxed

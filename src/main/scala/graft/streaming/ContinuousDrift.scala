@@ -22,14 +22,18 @@ object ContinuousDrift {
   /** Drain `stream` (one DriftStore fold per microbatch); returns the
     * number of non-empty batches processed. The store at `root` must
     * exist (write the baseline first — an empty-corpus baseline is
-    * fine). */
+    * fine). The microbatch id rides into the store's fold ledger, so a
+    * restarted or re-run drain that replays a batch no-ops instead of
+    * silently double-counting the profile (the counts carry no doc
+    * identity to guard on — the ledger IS the replay protection). */
   def run(stream: DataFrame, root: String): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()
-          graft.ops.DriftStore.applyDelta(batch.sparkSession, root, batch)
+          graft.ops.DriftStore.applyDelta(batch.sparkSession, root, batch,
+            foldId = Some(s"stream-batch-$batchId"))
         }
       }
       .trigger(Trigger.AvailableNow())

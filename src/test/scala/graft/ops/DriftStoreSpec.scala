@@ -46,6 +46,22 @@ class DriftStoreSpec extends SparkSpec {
     assert(langs == Set("en", ""))
   }
 
+  test("a replayed fold id no-ops: the ledger rides the snapshot") {
+    val root = tmp()
+    DriftStore.writeProfile(docs((1, "web", "en", 10)), root)
+    val delta = docs((2, "web", "en", 20))
+    DriftStore.applyDelta(spark, root, delta, foldId = Some("batch-1"))
+    val after = profileRows(DriftStore.profile(spark, root))
+    // stream restart replays the same batch: must not double-count
+    DriftStore.applyDelta(spark, root, delta, foldId = Some("batch-1"))
+    assert(SnapshotRoot.currentVersion(root) == "v2") // no new version
+    assert(profileRows(DriftStore.profile(spark, root)) == after)
+    // a NEW id still folds
+    DriftStore.applyDelta(spark, root, docs((3, "web", "fr", 30)),
+      foldId = Some("batch-2"))
+    assert(SnapshotRoot.currentVersion(root) == "v3")
+  }
+
   test("each fold commits a new snapshot version and GCs old ones") {
     val root = tmp()
     DriftStore.writeProfile(docs((1, "web", "en", 10)), root)
