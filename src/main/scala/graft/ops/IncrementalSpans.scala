@@ -119,14 +119,17 @@ object IncrementalSpans {
     val d = Persists.cacheFor(delta.select(col("doc_id"), col("text")), 64)
     val dg = Persists.cacheFor(gramsOf(d, n), 64)
 
-    // ---- delta contract: new, unique ids (guard BEFORE any mutation)
+    // ---- delta contract: new, unique ids (guard BEFORE any mutation).
+    // ONE fused collect serves the guard stats AND the delta id-bucket
+    // list (the IncrementalClusters single-collect lesson — every
+    // separate driver action is a scheduler round-trip)
     val stats = d.agg(count(lit(1)).as("rows"),
-      countDistinct(col("doc_id")).as("ids")).head()
+      countDistinct(col("doc_id")).as("ids"),
+      collect_set(dbucket(col("doc_id"), nBuckets)).as("bs")).head()
     require(stats.getLong(0) == stats.getLong(1),
       s"delta has ${stats.getLong(0)} rows but ${stats.getLong(1)} distinct " +
         "doc_id values — duplicate ids in one batch would corrupt the store")
-    val dBucketsDelta = d.select(dbucket(col("doc_id"), nBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0))
+    val dBucketsDelta = stats.getSeq[Int](2).toArray
     val overlap = spark.read.schema(docsSchema).parquet(s"$cur/docs")
       .filter(col("dbucket").isin(dBucketsDelta.map(Integer.valueOf): _*))
       .join(d.select("doc_id"), "doc_id").count() // id-bucket-pruned read
