@@ -1586,8 +1586,8 @@ object ExtQueries {
         |)
         |SELECT source, count(*) AS docs,
         |       count(dup_tokens) AS docs_with_spans,
-        |       sum(coalesce(dup_tokens, 0)) AS dup_tokens,
-        |       sum(n_tokens) AS total_tokens,
+        |       CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       round(CAST(sum(coalesce(dup_tokens, 0)) AS DOUBLE)
         |             / sum(n_tokens), 6) AS dup_token_frac
         |FROM base GROUP BY source ORDER BY source""".stripMargin)
