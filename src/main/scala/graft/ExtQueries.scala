@@ -1785,12 +1785,16 @@ object ExtQueries {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$p/feed/b*")
-      val nBatches = graft.streaming.ContinuousDedup.run(stream,
-        s"$p/index", s"$p/state", s"$p/pairs", keyedOf)
+      graft.streaming.Folds.FamilyClock.enabled = true
+      val nBatches =
+        try graft.streaming.ContinuousDedup.run(stream,
+          s"$p/index", s"$p/state", s"$p/pairs", keyedOf)
+        finally graft.streaming.Folds.FamilyClock.enabled = false
       require(nBatches >= 3, s"expected >=3 microbatches, got $nBatches")
       stageTimings("q_stream_curation") = Seq(
         "index_state_feed" -> (t1 - t0) / 1e9,
-        "stream_fold" -> (System.nanoTime() - t1) / 1e9)
+        "stream_fold" -> (System.nanoTime() - t1) / 1e9) ++
+        graft.streaming.Folds.FamilyClock.drain() // per-family split (r11)
     }
     curationFunnel(s, dir,
       manifestFrom(IncrementalClusters.readLabels(s, s"$path/state")

@@ -270,6 +270,9 @@ case class GraftTopKAgg(child: Expression, capacity: Expression,
       if (!capacity.foldable || !GraftTopK.isIntegral(capacity.dataType))
         TypeCheckResult.TypeCheckFailure(
           "graft_topk_agg capacity must be an integer literal")
+      else if (capacity.eval() == null) // CAST(NULL AS INT) is foldable
+        TypeCheckResult.TypeCheckFailure(
+          "graft_topk_agg capacity must not be null")
       else {
         val cap = capacity.eval().asInstanceOf[Number].longValue()
         if (cap < 1 || cap > 1000000)
@@ -371,6 +374,8 @@ case class GraftTopKExtract(state: Expression, k: Expression)
     case BinaryType =>
       if (!k.foldable || !GraftTopK.isIntegral(k.dataType))
         TypeCheckResult.TypeCheckFailure("graft_topk_extract k must be an integer literal")
+      else if (k.eval() == null) // CAST(NULL AS INT) is foldable
+        TypeCheckResult.TypeCheckFailure("graft_topk_extract k must not be null")
       else if (k.eval().asInstanceOf[Number].longValue() < 1)
         TypeCheckResult.TypeCheckFailure("graft_topk_extract k must be >= 1")
       else TypeCheckResult.TypeCheckSuccess

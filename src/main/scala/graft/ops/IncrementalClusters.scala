@@ -258,7 +258,8 @@ object IncrementalClusters {
     *        distributed path (spec cross-check). */
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, keyCols: Seq[String], nBuckets: Int = 64,
-      compactKeysAt: Int = 32, microCcDriverLimit: Long = 4000000L): Unit = {
+      compactKeysAt: Int = 32, microCcDriverLimit: Long = 4000000L,
+      foldId: Option[String] = None): Unit = {
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     val t0 = System.nanoTime()
     def mark(l: String): Unit = if (dbg)
@@ -267,6 +268,16 @@ object IncrementalClusters {
     val labelsRoot = s"$path/labels"
     val keysRoot = s"$path/keys"
     val curKeysDir = currentKeysDir(path)
+    // replayed batch (retrying stream whose LATER family crashed): the
+    // ledger in the live label snapshot says this fold already
+    // committed — no-op instead of tripping the disjoint-ids guard
+    val appliedLedger = {
+      val p = java.nio.file.Paths.get(currentLabelsDir(path), "_applied_folds")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      else Seq.empty[String]
+    }
+    if (foldId.exists(appliedLedger.contains)) return
 
     // 1. delta keys + per-key delta min (for keys the corpus has never
     // seen, the delta's own min is the star root). Cached: consumed by
@@ -497,12 +508,22 @@ object IncrementalClusters {
         java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    SnapshotRoot.flipAndGc(labelsRoot, nextV)
-    mark("snapshot-flip")
-
+    // key append BEFORE the label flip (r11): with a fold ledger, a
+    // crash after the flip must not lose this delta's keys — a retry
+    // would see the ledger and skip the whole fold. Appending first
+    // means a crash between append and flip can duplicate key rows on
+    // retry, which downstream tolerates (edges distinct(), hit rows
+    // only serve min_id lookups); missing keys would not be.
     if (newKeysCount > 0)
       newKeys.write.mode("append").parquet(curKeysDir)
     mark("key-append")
+    // the fold ledger commits WITH the flip (written into the next
+    // version dir first — the DriftStore atomicity pattern)
+    java.nio.file.Files.write(
+      nextDir.toPath.resolve("_applied_folds"),
+      (appliedLedger ++ foldId).mkString("\n").getBytes("UTF-8"))
+    SnapshotRoot.flipAndGc(labelsRoot, nextV)
+    mark("snapshot-flip")
     Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
     compactKeys(spark, keysRoot, compactKeysAt)
     mark("keys-compact")

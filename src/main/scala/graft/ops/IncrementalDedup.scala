@@ -131,27 +131,76 @@ object IncrementalDedup {
   def applyDelta(spark: SparkSession, indexPath: String, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      salt: String = ""): Unit = {
+      salt: String = "", foldId: Option[String] = None,
+      preBanded: Option[DataFrame] = None): Unit = {
     requireSameParams(indexPath, k, bands, w, seed, salt)
+    if (foldId.exists(appliedFolds(indexPath).contains)) return // replayed batch
     val layoutFile = java.nio.file.Paths.get(indexPath).resolve("layout")
     require(java.nio.file.Files.exists(layoutFile),
       s"no layout file at $indexPath — rebuild the index with writeIndex (r9 layout)")
     val dBuckets = new String(java.nio.file.Files.readAllBytes(layoutFile), "UTF-8")
       .trim.stripPrefix("dBuckets=").toInt
-    // cacheFor(2): both append jobs read the banded rows
-    val banded = Persists.cacheFor(
+    // cacheFor(2): both append jobs read the banded rows. A caller that
+    // already banded the batch for its probe (ContinuousDedup: match
+    // first, then absorb) passes it in — the r11 shared-frame fix, one
+    // tokenize+hash per batch instead of two.
+    val banded = preBanded.getOrElse(Persists.cacheFor(
       MinHashLSH.bandBuckets(
         MinHashLSH.sigTable(delta, textCol, idCol, k, w, seed, salt), k, bands, salt)
         .select(col("__id").as("doc_id"), col("__band").as("band"),
-          col("__bucket").as("bucket")), actions = 2)
-    banded.write.mode("append").parquet(s"$indexPath/banded")
-    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .write.mode("append").parquet(s"$indexPath/census")
-    banded.unpersist()
-    delta.select(col(idCol), col(textCol),
-        pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket"))
-      .repartition(col("dbucket"))
-      .write.mode("append").partitionBy("dbucket").parquet(s"$indexPath/docs")
+          col("__bucket").as("bucket")), actions = 2))
+    // the three appends are independent (disjoint directories) — run
+    // them concurrently (the IncrementalSpans r11 posture: small jobs
+    // overlap instead of paying three serialized scheduling tails)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(banded.write.mode("append").parquet(s"$indexPath/banded")),
+        Future(banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(s"$indexPath/census")),
+        Future(delta.select(col(idCol), col(textCol),
+            pmod(col(idCol).cast("long"), lit(dBuckets.toLong)).cast("int").as("dbucket"))
+          .repartition(col("dbucket"))
+          .write.mode("append").partitionBy("dbucket").parquet(s"$indexPath/docs")))
+        .foreach(Await.result(_, Duration.Inf))
+    }
+    if (preBanded.isEmpty) banded.unpersist()
+    // record the absorbed batch LAST: the ledger marks a COMPLETE
+    // absorb, so a retrying stream skips it instead of double-appending
+    // (this index's appends are not snapshot-versioned, so a crash
+    // mid-absorb still needs an index rebuild — the ledger closes the
+    // common cross-family retry window, not that one; the versioned
+    // folds (clusters/spans/drift) are fully atomic)
+    foldId.foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(indexPath).resolve("_applied_folds"),
+        (id + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** The slim banded frame of `delta` under the default hash family —
+    * the shared input of [[deltaPairsGuarded]] and [[applyDelta]]
+    * (`preBanded`), exposed so a streaming caller can band a batch
+    * once, cache it, and feed both (ContinuousDedup, r11). */
+  def bandedOf(delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
+      salt: String = ""): DataFrame =
+    MinHashLSH.bandBuckets(
+      MinHashLSH.sigTable(delta, textCol, idCol, k, w, seed, salt), k, bands, salt)
+      .select(col("__id").as("doc_id"), col("__band").as("band"),
+        col("__bucket").as("bucket"))
+
+  /** Batch ids already absorbed into the index at `indexPath`. */
+  def appliedFolds(indexPath: String): Set[String] = {
+    val p = java.nio.file.Paths.get(indexPath).resolve("_applied_folds")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSet
+    else Set.empty
   }
 
   /** Near-dup candidate pairs INVOLVING the delta, verified with exact
@@ -168,9 +217,10 @@ object IncrementalDedup {
       delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
-      maxBucketSize: Int = 1000, salt: String = ""): DataFrame =
+      maxBucketSize: Int = 1000, salt: String = "",
+      preBanded: Option[DataFrame] = None): DataFrame =
     deltaPairsGuarded(spark, indexPath, delta, textCol, idCol,
-      k, bands, w, seed, maxBucketSize, salt).pairs
+      k, bands, w, seed, maxBucketSize, salt, preBanded = preBanded).pairs
 
   /** [[deltaPairs]] plus the quarantine list — the adversarial posture
     * for the shape it matters MOST in: hostile content arrives as
@@ -200,19 +250,22 @@ object IncrementalDedup {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, w: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 1000, salt: String = "",
-      broadcastDelta: Boolean = true): MinHashLSH.GuardedPairs = {
+      broadcastDelta: Boolean = true,
+      preBanded: Option[DataFrame] = None): MinHashLSH.GuardedPairs = {
     require(k % bands == 0, "k must be divisible by bands")
     requireSameParams(indexPath, k, bands, w, seed, salt)
     val bc: DataFrame => DataFrame =
       if (broadcastDelta) broadcast(_) else identity
 
     // delta's slim banded table — cached: census, membership and pair
-    // join all read it; fixed-width rows (the batch path's cache rule)
-    val dBanded = Persists.cache(
+    // join all read it; fixed-width rows (the batch path's cache rule).
+    // A caller sharing one banded frame between probe and absorb passes
+    // it pre-cached (ContinuousDedup, r11).
+    val dBanded = preBanded.getOrElse(Persists.cache(
       MinHashLSH.bandBuckets(
         MinHashLSH.sigTable(delta, textCol, idCol, k, w, seed, salt), k, bands, salt)
         .select(col("__id").as("doc_id"), col("__band").as("band"),
-          col("__bucket").as("bucket")))
+          col("__bucket").as("bucket"))))
 
     // combined occupancy for the buckets the delta touches: delta count
     // + stored corpus count (0 when the bucket is new). A right-outer

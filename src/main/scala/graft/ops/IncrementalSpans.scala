@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental exact-substring span maintenance: keep the
@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   *
   * == State (ONE [[SnapshotRoot]], four bucket-partitioned tables per
   * version — a single pointer flip keeps them mutually consistent) ==
-  *  - `grams`  (g, doc_id) distinct pairs, partitioned by
-  *    `gbucket = pmod(xxhash64(g), B)` — answers "which corpus docs
-  *    contain this gram" with a bucket-pruned read;
+  *  - `grams`  (gh, doc_id) distinct pairs where `gh = xxhash64(g)` —
+  *    FIXED-WIDTH, not the gram string (r11): the store's only job is
+  *    answering "which corpus docs contain a delta gram", and a hash
+  *    collision merely adds a doc to the affected set whose spans then
+  *    re-derive bit-identically, so the match can run on 8-byte longs
+  *    while the corpus-proportional scan reads a fraction of the
+  *    string-store bytes. Partitioned by `gbucket = pmod(gh, B)`;
   *  - `gramdf` (g, df) document-frequency PARTIALS (reads sum them),
-  *    same partitioning;
+  *    partitioned by `pmod(xxhash64(g), B)` — df stays keyed by the
+  *    EXACT gram string, because a collision here would overcount df
+  *    and invent spans (the correctness contract is string-exact);
   *  - `docs`   (doc_id, text), partitioned by
   *    `dbucket = pmod(doc_id, B)` — affected docs re-gram from a
   *    pruned read, never a corpus scan (the IncrementalDedup doc-store
@@ -30,7 +36,12 @@ import org.apache.spark.sql.functions._
   *     their spans can change, because a span depends solely on its
   *     own grams' df and the delta shifts df only for grams it
   *     contains — any corpus doc holding such a gram is matched here,
-  *     so untouched docs' rows are bit-stable by construction;
+  *     so untouched docs' rows are bit-stable by construction. The
+  *     slim hash store streams through a codegen
+  *     `BloomFilterMightContain` prefilter built from the delta's gram
+  *     hashes in the same pass as the guard stats (the
+  *     [[Decontamination.scanBloom]] posture), then a broadcast join
+  *     against the delta hash set removes the bloom's false positives;
   *  3. re-derive spans for affected ∪ delta docs: their grams come
   *     from the pruned doc-store read + the delta, their post-delta
   *     df = stored df (slim 2-column store STREAMED through a
@@ -46,11 +57,31 @@ import org.apache.spark.sql.functions._
   *     O(affected) touched buckets; one atomic pointer flip commits
   *     all four ([[SnapshotRoot]] crash contract).
   *
+  * == Driver-action budget (r11) ==
+  * The fold runs exactly TWO collects (the IncrementalClusters
+  * fused-collect lesson: every separate driver action is a scheduler
+  * round-trip): one tagged-union aggregate over the cached delta
+  * serving the guard stats, the delta's id- and gram-bucket lists AND
+  * the bloom filter bytes; and one serving the overlap guard plus the
+  * touched-doc bucket list (which materializes the cached affected
+  * set). The four table writes then run CONCURRENTLY from driver
+  * threads — they touch disjoint table directories and local[n] (like
+  * a real cluster) overlaps small jobs instead of paying four
+  * serialized task-scheduling tails.
+  *
   * Equivalence contract (the oracle gate): after any fold sequence,
   * `spans` equals [[DupSpans.duplicateSpans]] over the union of
   * everything ever written — q_dup_spans_incremental runs the BATCH
   * span SQL. Delta ids must be new and unique (enforced loudly before
   * any mutation, the IncrementalClusters guard).
+  *
+  * `foldId` (r11, the ContinuousIngest retry contract): a caller
+  * folding under a retrying stream passes a stable batch identity;
+  * ids recorded in the live snapshot's `_applied_folds` ledger no-op
+  * (the ledger commits atomically with the pointer flip, the
+  * [[DriftStore]] pattern), so a multi-family batch whose LATER
+  * family crashed can re-run this fold without tripping the new-ids
+  * guard.
   */
 object IncrementalSpans {
 
@@ -58,7 +89,7 @@ object IncrementalSpans {
   // explicit read schemas: a just-initialized store can hold EMPTY
   // tables (a corpus with no duplicates writes zero span partitions),
   // and parquet cannot infer a schema from an empty directory
-  private val gramsSchema = StructType(Seq(StructField("g", StringType),
+  private val gramsSchema = StructType(Seq(StructField("gh", LongType),
     StructField("doc_id", LongType), StructField("gbucket", IntegerType)))
   private val gramdfSchema = StructType(Seq(StructField("g", StringType),
     StructField("df", LongType), StructField("gbucket", IntegerType)))
@@ -73,9 +104,9 @@ object IncrementalSpans {
   private def gramsOf(docs: DataFrame, n: Int): DataFrame =
     DupSpans.gramRows(docs, n)
 
-  private def gbucket(g: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(g), lit(nBuckets.toLong)).cast("int")
-  private def dbucket(id: org.apache.spark.sql.Column, nBuckets: Int) =
+  private def gbucket(gh: Column, nBuckets: Int) =
+    pmod(gh, lit(nBuckets.toLong)).cast("int")
+  private def dbucket(id: Column, nBuckets: Int) =
     pmod(id, lit(nBuckets.toLong)).cast("int")
 
   /** Spans from grams + an (already ≥2-filtered) df frame — DupSpans'
@@ -95,9 +126,10 @@ object IncrementalSpans {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val v1 = s"$root/v1"
     Bucketing.writePartitioned(
-      pairs.withColumn("gbucket", gbucket(col("g"), nBuckets)), s"$v1/grams", Seq("gbucket"))
+      pairs.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
+        .withColumn("gbucket", gbucket(col("gh"), nBuckets)), s"$v1/grams", Seq("gbucket"))
     Bucketing.writePartitioned(
-      df.withColumn("gbucket", gbucket(col("g"), nBuckets)), s"$v1/gramdf", Seq("gbucket"))
+      df.withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)), s"$v1/gramdf", Seq("gbucket"))
     Bucketing.writePartitioned(
       d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/docs", Seq("dbucket"))
     Bucketing.writePartitioned(
@@ -112,45 +144,97 @@ object IncrementalSpans {
       .parquet(s"${SnapshotRoot.currentDir(root)}/spans")
       .select("doc_id", "span_start", "span_end", "n_docs_max")
 
+  private def ledgerOf(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_applied_folds")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+    else Seq.empty[String]
+  }
+
   /** Fold one delta batch (see object scaladoc). */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
-      n: Int = 8, nBuckets: Int = 64): Unit = {
+      n: Int = 8, nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
     val cur = SnapshotRoot.currentDir(root)
+    val applied = ledgerOf(cur)
+    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+
     val d = Persists.cacheFor(delta.select(col("doc_id"), col("text")), 64)
     val dg = Persists.cacheFor(gramsOf(d, n), 64)
 
-    // ---- delta contract: new, unique ids (guard BEFORE any mutation).
-    // ONE fused collect serves the guard stats AND the delta id-bucket
-    // list (the IncrementalClusters single-collect lesson — every
-    // separate driver action is a scheduler round-trip)
-    val stats = d.agg(count(lit(1)).as("rows"),
-      countDistinct(col("doc_id")).as("ids"),
-      collect_set(dbucket(col("doc_id"), nBuckets)).as("bs")).head()
-    require(stats.getLong(0) == stats.getLong(1),
-      s"delta has ${stats.getLong(0)} rows but ${stats.getLong(1)} distinct " +
+    // ---- fused collect 1 (guards + fold metadata + bloom, ONE job):
+    // a tagged union of two one-row aggregates — the delta contract
+    // stats with the delta's id-bucket list, and the delta grams' hash-
+    // bucket list with the bloom filter the store scan prefilters on
+    // (built by Catalyst's own BloomFilterAggregate, the
+    // Decontamination.scanBloom precedent).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val expectedGrams = 1L << 20
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, 0.02)
+    val bloomAgg = org.apache.spark.sql.GraftBridge.column(
+      BloomFilterAggregate(
+        org.apache.spark.sql.GraftBridge.expression(spark, xxhash64(col("g"))),
+        Literal(expectedGrams), Literal(numBits), 0, 0).toAggregateExpression())
+    val meta1 = d.agg(count(lit(1)).as("a"),
+        countDistinct(col("doc_id")).as("b"),
+        collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
+      .select(lit("stats").as("t"), col("a"), col("b"), col("arr"),
+        lit(null).cast("binary").as("bin"))
+      .unionByName(dg.agg(
+          collect_set(gbucket(xxhash64(col("g")), nBuckets)).as("arr"),
+          bloomAgg.as("bin"))
+        .select(lit("grams").as("t"), lit(0L).as("a"), lit(0L).as("b"),
+          col("arr"), col("bin")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val stats = meta1("stats")
+    require(stats.getLong(1) == stats.getLong(2),
+      s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct " +
         "doc_id values — duplicate ids in one batch would corrupt the store")
-    val dBucketsDelta = stats.getSeq[Int](2).toArray
-    val overlap = spark.read.schema(docsSchema).parquet(s"$cur/docs")
+    val dBucketsDelta = stats.getSeq[Int](3).toArray
+    val gBuckets = meta1("grams").getSeq[Int](3).sorted
+    val bloom = Option(meta1("grams").getAs[Array[Byte]](4))
+
+    // ---- affected corpus docs: share ≥1 gram hash with the delta.
+    // The fixed-width hash store read is pruned to the delta grams'
+    // buckets, prefiltered by the bloom (codegen, no false negatives),
+    // and the surviving candidates meet the exact delta hash set in a
+    // broadcast join that removes the bloom's false positives. (A
+    // residual xxhash64 collision only widens the affected set — see
+    // the class doc.)
+    val dghSet = dg.select(xxhash64(col("g")).as("gh")).distinct()
+    val gramStore0 = spark.read.schema(gramsSchema).parquet(s"$cur/grams")
+      .filter(col("gbucket").isin(gBuckets.map(Integer.valueOf): _*))
+    val gramStore = bloom match {
+      case Some(bf) => gramStore0.filter(org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Literal(bf, BinaryType),
+          org.apache.spark.sql.GraftBridge.expression(spark, col("gh")))))
+      case None => gramStore0.filter(lit(false)) // delta had zero grams
+    }
+    val touchedDocs = Persists.cacheFor(
+      gramStore.join(broadcast(dghSet), "gh").select("doc_id").distinct(), 64)
+
+    // ---- fused collect 2 (ONE job): the id-overlap guard (pruned to
+    // the delta's id buckets) + the touched docs' bucket list — the
+    // action that materializes the cached affected set.
+    val meta2 = spark.read.schema(docsSchema).parquet(s"$cur/docs")
       .filter(col("dbucket").isin(dBucketsDelta.map(Integer.valueOf): _*))
-      .join(d.select("doc_id"), "doc_id").count() // id-bucket-pruned read
+      .join(d.select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("a"))
+      .select(lit("overlap").as("t"), col("a"),
+        lit(null).cast("array<int>").as("arr"))
+      .unionByName(touchedDocs
+        .agg(collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
+        .select(lit("touched").as("t"), lit(0L).as("a"), col("arr")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val overlap = meta2("overlap").getLong(1)
     require(overlap == 0L,
       s"$overlap delta doc_id(s) already present — delta ids must be new")
-
-    // ---- affected corpus docs: share ≥1 gram with the delta.
-    // Delta grams are day-scale → broadcast; the gram store read is
-    // pruned to the delta grams' buckets.
-    val dgSet = dg.select("g").distinct()
-    val gBuckets = dgSet.select(gbucket(col("g"), nBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted // metadata: ≤ nBuckets
-    val gramStore = spark.read.schema(gramsSchema).parquet(s"$cur/grams")
-      .filter(col("gbucket").isin(gBuckets.map(Integer.valueOf): _*))
-    val touchedDocs = Persists.cacheFor(
-      gramStore.join(broadcast(dgSet), "g").select("doc_id").distinct(), 64)
+    val dBucketsTouched =
+      Option(meta2("touched").getSeq[Int](2)).getOrElse(Seq.empty).toArray
 
     // ---- re-derive spans for affected ∪ delta
-    val dBucketsTouched = touchedDocs
-      .select(dbucket(col("doc_id"), nBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0))
     val affectedText = spark.read.schema(docsSchema).parquet(s"$cur/docs")
       .filter(col("dbucket").isin(dBucketsTouched.map(Integer.valueOf): _*))
       .join(touchedDocs, "doc_id").select("doc_id", "text")
@@ -158,7 +242,7 @@ object IncrementalSpans {
 
     // post-delta df for every gram of the affected set: stored df
     // (slim store streamed through a broadcast semi-join of the grams
-    // we need) + the delta's distinct-doc contribution
+    // we need) + the delta's per-gram distinct-doc contribution
     val needed = affGrams.select("g").distinct()
     val deltaDf = dg.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("ddf"))
@@ -177,8 +261,9 @@ object IncrementalSpans {
     val next = SnapshotRoot.nextVersion(root)
     val nextDir = s"$root/$next"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
 
-    val deltaPairs = dg.select("g", "doc_id").distinct()
+    val deltaPairs = dg.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
     val spanBuckets = (dBucketsTouched ++ dBucketsDelta).distinct.sorted
 
     // Append-only stores (grams / gramdf / docs): a delta's grams hash
@@ -271,27 +356,41 @@ object IncrementalSpans {
           new java.io.File(tdir, srcF.getName)))
     }
 
-    append("grams", "gbucket",
-      deltaPairs.withColumn("gbucket", gbucket(col("g"), nBuckets)),
-      identity, gramsSchema)
-    append("gramdf", "gbucket",
-      deltaDf.select(col("g"), col("ddf").as("df"))
-        .withColumn("gbucket", gbucket(col("g"), nBuckets)),
-      rows => rows.groupBy("g", "gbucket").agg(sum("df").as("df"))
-        .select("g", "df", "gbucket"),
-      gramdfSchema)
-    append("docs", "dbucket",
-      d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
-      identity, docsSchema)
-
     val touchedSpanRows = spark.read.schema(spansSchema).parquet(s"$cur/spans")
       .filter(col("dbucket").isin(spanBuckets.map(Integer.valueOf): _*))
       .join(touchedDocs, Seq("doc_id"), "left_anti")
       .select("doc_id", "span_start", "span_end", "n_docs_max")
       .unionByName(newSpans)
       .withColumn("dbucket", dbucket(col("doc_id"), nBuckets))
-    rewrite("spans", "dbucket", spanBuckets, touchedSpanRows)
 
+    // The four table writes are independent (disjoint directories) and
+    // each is a small job with a long scheduling tail — run them
+    // concurrently (the r11 fixed-cost fix; FIFO scheduling still
+    // overlaps jobs whose stages don't saturate the cluster).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future(append("grams", "gbucket",
+        deltaPairs.withColumn("gbucket", gbucket(col("gh"), nBuckets)),
+        identity, gramsSchema)),
+      Future(append("gramdf", "gbucket",
+        deltaDf.select(col("g"), col("ddf").as("df"))
+          .withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)),
+        rows => rows.groupBy("g", "gbucket").agg(sum("df").as("df"))
+          .select("g", "df", "gbucket"),
+        gramdfSchema)),
+      Future(append("docs", "dbucket",
+        d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
+        identity, docsSchema)),
+      Future(rewrite("spans", "dbucket", spanBuckets.toIndexedSeq, touchedSpanRows)))
+    writes.foreach(Await.result(_, Duration.Inf))
+
+    // the ledger commits WITH the flip: written into the next version
+    // dir before the pointer moves (the DriftStore atomicity pattern)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(nextDir, "_applied_folds"),
+      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
     SnapshotRoot.flipAndGc(root, next)
   }
 }

@@ -48,6 +48,14 @@ object Specs {
       |        - order_count
       |        - total_revenue
       |        - approx_unique_customers
+      |    - name: orders_by_day
+      |      type: aggregated
+      |      dimensions:
+      |        - order_status
+      |        - order_date
+      |      measures:
+      |        - order_count
+      |        - total_revenue
       |""".stripMargin
 
   /** models/schema.yml:65-130 (on fct_orders) — window measures +

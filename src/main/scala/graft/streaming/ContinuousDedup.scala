@@ -46,37 +46,78 @@ object ContinuousDedup {
     * index → fold labels. `keyedOf` derives the cluster fold's input
     * (idCol, structural key columns, carried columns) from the raw
     * batch — key derivation runs INSIDE the batch, the streaming
-    * posture (nothing precomputed outside the stream). */
+    * posture (nothing precomputed outside the stream).
+    *
+    * The batch is banded ONCE (r11): the probe and the absorb both
+    * read one cached slim banded frame instead of re-tokenizing and
+    * re-hashing the batch twice — the daemon's largest per-batch fixed
+    * cost before this fix.
+    *
+    * `foldId` (r11): a stable batch identity makes the batch RETRYABLE
+    * (ADVICE r10) — the index ledger skips a completed probe+absorb,
+    * the label store's snapshot ledger skips a committed cluster fold,
+    * and the pairs land in a fold-named partition directory written
+    * with overwrite semantics, so a replay replaces rather than
+    * double-appends. Without it the behavior is the r10 one: a crash
+    * between families wedges on the disjoint-ids guard. */
   def processBatch(batch: DataFrame, indexPath: String, clusterPath: String,
       pairsLog: String, keyedOf: DataFrame => DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64): Unit = {
-    if (batch.isEmpty) return
+      keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64,
+      foldId: Option[String] = None): Unit = {
+    if (foldId.isEmpty && batch.isEmpty) return
     val spark = batch.sparkSession
-    graft.ops.IncrementalDedup.deltaPairs(spark, indexPath, batch, textCol, idCol)
-      .write.mode("append").parquet(pairsLog)
-    graft.ops.IncrementalDedup.applyDelta(spark, indexPath, batch, textCol, idCol)
-    graft.ops.IncrementalClusters.applyDelta(spark, clusterPath, keyedOf(batch),
-      idCol, keyCols, nBuckets)
+    val indexDone = foldId.exists(
+      graft.ops.IncrementalDedup.appliedFolds(indexPath).contains)
+    if (!indexDone) {
+      // one banded frame for probe AND absorb (epoch-swept registration,
+      // the IncrementalSpans cache posture — the probe's pair pipeline,
+      // its bucket collect, and the absorb's two appends all read it)
+      val banded = graft.ops.Persists.cacheFor(
+        graft.ops.IncrementalDedup.bandedOf(batch, textCol, idCol), 64)
+      Folds.FamilyClock.time("dedup_probe") {
+        val pairs = graft.ops.IncrementalDedup.deltaPairs(
+          spark, indexPath, batch, textCol, idCol, preBanded = Some(banded))
+        foldId match {
+          case Some(fid) => // replayable slot: overwrite, never append
+            pairs.write.mode("overwrite").parquet(s"$pairsLog/fold=$fid")
+          case None =>
+            pairs.write.mode("append").parquet(pairsLog)
+        }
+      }
+      Folds.FamilyClock.time("dedup_absorb") {
+        graft.ops.IncrementalDedup.applyDelta(spark, indexPath, batch,
+          textCol, idCol, foldId = foldId, preBanded = Some(banded))
+      }
+    }
+    Folds.FamilyClock.time("clusters") {
+      graft.ops.IncrementalClusters.applyDelta(spark, clusterPath, keyedOf(batch),
+        idCol, keyCols, nBuckets, foldId = foldId)
+    }
   }
 
   /** Drain `stream` (one [[processBatch]] per microbatch) with
     * `Trigger.AvailableNow`; returns the number of non-empty batches
     * processed. Batches arrive in source order — the fold contract
-    * (delta ids disjoint from state) is checked per fold. */
+    * (delta ids disjoint from state) is checked per fold; the
+    * content-derived fold id ([[Folds.contentFoldId]]) makes each
+    * batch retryable and replay-idempotent. Pass `checkpoint` for
+    * restart-exactly-once file-source progress. */
   def run(stream: DataFrame, indexPath: String, clusterPath: String,
       pairsLog: String, keyedOf: DataFrame => DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64): Long = {
+      keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64,
+      checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = stream.writeStream
+    val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
+        val b = batch.persist()
+        try Folds.contentFoldId(b, idCol).foreach { fid =>
           batches.incrementAndGet()
-          processBatch(batch, indexPath, clusterPath, pairsLog, keyedOf,
-            idCol, textCol, keyCols, nBuckets)
-        }
-      }
+          processBatch(b, indexPath, clusterPath, pairsLog, keyedOf,
+            idCol, textCol, keyCols, nBuckets, foldId = Some(fid))
+        } finally b.unpersist()
+      }, checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -22,20 +22,27 @@ object ContinuousDrift {
   /** Drain `stream` (one DriftStore fold per microbatch); returns the
     * number of non-empty batches processed. The store at `root` must
     * exist (write the baseline first — an empty-corpus baseline is
-    * fine). The microbatch id rides into the store's fold ledger, so a
-    * restarted or re-run drain that replays a batch no-ops instead of
-    * silently double-counting the profile (the counts carry no doc
-    * identity to guard on — the ledger IS the replay protection). */
-  def run(stream: DataFrame, root: String): Long = {
+    * fine). A CONTENT-derived batch identity ([[Folds.contentFoldId]])
+    * rides into the store's fold ledger, so a restarted or re-run
+    * drain that replays a batch no-ops instead of silently
+    * double-counting the profile (the counts carry no doc identity to
+    * guard on — the ledger IS the replay protection). Content beats
+    * the per-run `batchId` here (ADVICE r10): without a durable
+    * checkpoint every drain restarts batch ids at 0, and an id-keyed
+    * ledger would silently DROP a second feed's genuinely new batches.
+    * Pass `checkpoint` for restart-exactly-once file-source progress. */
+  def run(stream: DataFrame, root: String,
+      checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+    val q = Folds.withCheckpoint(stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try Folds.contentFoldId(b).foreach { fid =>
           batches.incrementAndGet()
-          graft.ops.DriftStore.applyDelta(batch.sparkSession, root, batch,
-            foldId = Some(s"stream-batch-$batchId"))
-        }
-      }
+          graft.ops.DriftStore.applyDelta(b.sparkSession, root, b,
+            foldId = Some(fid))
+        } finally b.unpersist()
+      }, checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -29,36 +29,49 @@ import org.apache.spark.sql.streaming.Trigger
   * rescans.
   *
   * Order within a batch matters only for dedup (match before absorb —
-  * the [[ContinuousDedup]] contract); the three families are
+  * the [[ContinuousDedup]] contract); the four families are
   * otherwise independent and could fan out in parallel on a real
-  * cluster. A failure inside one family's fold leaves that family on
-  * its previous complete snapshot (the SnapshotRoot crash contract)
-  * and the stream's retry re-runs the batch; the drift ledger makes
-  * the one non-id-guarded fold idempotent under exactly that retry.
+  * cluster. The batch is RETRYABLE as a group (r11, ADVICE r10): a
+  * content-derived fold id ([[Folds.contentFoldId]] — stable across
+  * stream restarts, unlike the per-run `batchId`) rides into every
+  * family's applied-fold ledger, so a failure inside one family's
+  * fold leaves that family on its previous complete snapshot (the
+  * SnapshotRoot crash contract), and the retry SKIPS the families
+  * that already committed instead of wedging on their disjoint-ids
+  * guards or double-counting the drift profile. The batch itself is
+  * persisted once and every family's fold reads the cache, not the
+  * source files.
   */
 object ContinuousIngest {
 
   /** Drain `stream`, maintaining dedup (index + labels + pairs log),
     * drift profile, and span state; returns the number of non-empty
     * batches. All state roots must exist (offline writeState /
-    * writeIndex / writeProfile first). */
+    * writeIndex / writeProfile first). Pass `checkpoint` for
+    * restart-exactly-once file-source progress. */
   def run(stream: DataFrame, indexPath: String, clusterPath: String,
       pairsLog: String, driftRoot: String, spansRoot: String,
       keyedOf: DataFrame => DataFrame,
-      spanN: Int = 8, spanBuckets: Int = 64, nBuckets: Int = 64): Long = {
+      spanN: Int = 8, spanBuckets: Int = 64, nBuckets: Int = 64,
+      checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+    val q = Folds.withCheckpoint(stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try Folds.contentFoldId(b).foreach { fid =>
           batches.incrementAndGet()
-          ContinuousDedup.processBatch(batch, indexPath, clusterPath,
-            pairsLog, keyedOf, nBuckets = nBuckets)
-          graft.ops.DriftStore.applyDelta(batch.sparkSession, driftRoot,
-            batch, foldId = Some(s"ingest-batch-$batchId"))
-          graft.ops.IncrementalSpans.applyDelta(batch.sparkSession,
-            spansRoot, batch, spanN, spanBuckets)
-        }
-      }
+          ContinuousDedup.processBatch(b, indexPath, clusterPath,
+            pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
+          Folds.FamilyClock.time("drift") {
+            graft.ops.DriftStore.applyDelta(b.sparkSession, driftRoot,
+              b, foldId = Some(fid))
+          }
+          Folds.FamilyClock.time("spans") {
+            graft.ops.IncrementalSpans.applyDelta(b.sparkSession,
+              spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
+          }
+        } finally b.unpersist()
+      }, checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

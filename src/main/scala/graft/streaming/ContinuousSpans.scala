@@ -21,18 +21,21 @@ object ContinuousSpans {
 
   /** Drain `stream` (one IncrementalSpans fold per microbatch);
     * returns the number of non-empty batches processed. The state at
-    * `root` must exist (writeState first). */
+    * `root` must exist (writeState first). Content-derived fold ids
+    * make replayed batches no-op ([[Folds.contentFoldId]]); pass
+    * `checkpoint` for restart-exactly-once file-source progress. */
   def run(stream: DataFrame, root: String, n: Int = 8,
-      nBuckets: Int = 64): Long = {
+      nBuckets: Int = 64, checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = stream.writeStream
+    val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
+        val b = batch.persist()
+        try Folds.contentFoldId(b).foreach { fid =>
           batches.incrementAndGet()
           graft.ops.IncrementalSpans.applyDelta(
-            batch.sparkSession, root, batch, n, nBuckets)
-        }
-      }
+            b.sparkSession, root, b, n, nBuckets, foldId = Some(fid))
+        } finally b.unpersist()
+      }, checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

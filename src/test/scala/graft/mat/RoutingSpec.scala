@@ -12,8 +12,20 @@ class RoutingSpec extends SparkSpec {
   private def mat = SparkEntry.matCatalog(spark, sfDir)
 
   /** Root paths of every file scan in the optimized plan (full, not the
-    * truncated plan-string rendering). */
-  private def scans(df: org.apache.spark.sql.DataFrame): String =
+    * truncated plan-string rendering). Cached subplans (querySpine
+    * persists its result) hide their scans inside InMemoryRelation —
+    * traversed too, so the gate sees through the cache. */
+  private def scans(df: org.apache.spark.sql.DataFrame): String = {
+    def fromPhysical(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          fromPhysical(im.relation.cachedPlan)
+        // AQE wraps cached plans and hides the inner tree from collect
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fromPhysical(a.inputPlan)
+      }.flatten
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
@@ -21,7 +33,10 @@ class RoutingSpec extends SparkSpec {
             fs.location.rootPaths.map(_.toString)
           case other => Seq(other.toString)
         }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        fromPhysical(m.cachedPlan)
     }.flatten.mkString("\n")
+  }
 
   test("covered query routes to the rollup (no raw source scan)") {
     val routed = mat.get("mv_order_metrics")
@@ -252,6 +267,28 @@ class RoutingSpec extends SparkSpec {
     val direct = plain.get("mv_order_metrics").query(Nil, Seq("total_revenue"))
     assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
     c.drop("mv_route_cost")
+  }
+
+  test("spine over rollup-covered dims routes (no raw source scan under the spine)") {
+    // (order_status, order_date) ⊆ orders_by_day and count/sum
+    // decompose, so the densified series re-aggregates rollup partials
+    val spined = mat.get("mv_orders_simple")
+      .querySpine(Seq("order_status", "order_date"),
+        Seq("order_count", "total_revenue"),
+        graft.api.SpineSpec("order_date", "day",
+          zeroFill = Seq("order_count", "total_revenue")),
+        where = Some("order_status = 'F'"))
+    val p = scans(spined)
+    assert(p.contains("orders_by_day"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    // equivalence vs the unrouted spine
+    val direct = plain.get("mv_orders_simple")
+      .querySpine(Seq("order_status", "order_date"),
+        Seq("order_count", "total_revenue"),
+        graft.api.SpineSpec("order_date", "day",
+          zeroFill = Seq("order_count", "total_revenue")),
+        where = Some("order_status = 'F'"))
+    assert(spined.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
   test("where over a covered dim stays routed; uncovered dim filter does not") {

@@ -209,6 +209,50 @@ class SqlMeasureSpec extends SparkSpec {
     assert(rows.forall(r => cust(r.getString(0)) == r.getLong(2)))
   }
 
+  test("period-over-period window measures through SQL MEASURE() (r11)") {
+    init()
+    val sql = spark.sql(
+      """SELECT order_month_start,
+        |       MEASURE(total_revenue) AS total_revenue,
+        |       MEASURE(prior_month_revenue) AS prior_month_revenue
+        |FROM mv_revenue_pop GROUP BY order_month_start
+        |ORDER BY order_month_start""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_revenue_pop")
+      .query(Seq("order_month_start"), Seq("total_revenue", "prior_month_revenue"))
+      .orderBy("order_month_start")
+    assert(sql.collect().map(_.toSeq).toSeq == api.collect().map(_.toSeq).toSeq)
+  }
+
+  test("graft_spine TVF: gap-filled series through spark.sql (r11)") {
+    init()
+    val sql = spark.sql(
+      """SELECT * FROM graft_spine('mv_order_metrics', 'order_date', 'day',
+        |  'market_segment,order_date', 'total_revenue,cumulative_revenue',
+        |  'total_revenue', 'cumulative_revenue',
+        |  'order_priority = ''1-URGENT'' AND order_status = ''F''')
+        |ORDER BY market_segment, order_date""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .querySpine(Seq("market_segment", "order_date"),
+        Seq("total_revenue", "cumulative_revenue"),
+        graft.api.SpineSpec("order_date", "day",
+          zeroFill = Seq("total_revenue"), ffill = Seq("cumulative_revenue")),
+        where = Some("order_priority = '1-URGENT' AND order_status = 'F'"))
+      .orderBy("market_segment", "order_date")
+    assert(sql.collect().map(_.toSeq).toSeq == api.collect().map(_.toSeq).toSeq)
+  }
+
+  test("graft_spine TVF: bad arguments fail loudly") {
+    init()
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_spine('mv_order_metrics', 'order_date')")
+    }
+    assert(e.getMessage.contains("7 or 8 arguments"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_spine('no_such_view', 'd', 'day', 'd', 'm', '', '')")
+    }
+    assert(e2.getMessage.contains("unknown metric view"))
+  }
+
   test("non-dim GROUP BY is rejected with a helpful error") {
     init()
     val e = intercept[Exception] {

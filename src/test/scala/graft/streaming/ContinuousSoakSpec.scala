@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.ops.{ConnectedComponents, DriftStore, DupSpans, IncrementalClusters, IncrementalDedup, IncrementalSpans, SnapshotRoot}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Long-run daemon soak (r11, VERDICT r10 task 7): 30 sequential
+  * microbatches through [[ContinuousIngest]]. The per-family 30-fold
+  * specs already exist (clusters/spans); this gates the COMPOSED
+  * daemon's steady state:
+  *  - every store's file count stays bounded (compaction engages:
+  *    cluster keys, span gram/df/doc buckets);
+  *  - snapshot GC keeps ≤2 versions per SnapshotRoot family;
+  *  - per-fold wall time stays flat across the run (no accumulating
+  *    fixed cost);
+  *  - the final state equals a batch rebuild over everything.
+  */
+class ContinuousSoakSpec extends SparkSpec {
+
+  private def keyedOf(df: DataFrame): DataFrame =
+    graft.ExtQueries.clusterKeyedOf(df)
+
+  private def versionDirs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).toSeq
+
+  private def filesUnder(path: String): Int = {
+    val f = new java.io.File(path)
+    if (!f.exists()) 0
+    else if (f.isFile) {
+      val n = f.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) 1 else 0
+    } else Option(f.listFiles()).getOrElse(Array.empty).map(c => filesUnder(c.toString)).sum
+  }
+
+  test("30 daemon folds: bounded files, <=2 snapshot versions, flat fold time, state == batch") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 31 === 30)
+    val p = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    IncrementalDedup.writeIndex(corpus, s"$p/index")
+    IncrementalClusters.writeState(keyedOf(corpus), "doc_id", Seq("k1", "k2"),
+      s"$p/state", nBuckets = 16)
+    DriftStore.writeProfile(corpus, s"$p/drift")
+    IncrementalSpans.writeState(corpus.select("doc_id", "text"), s"$p/spans",
+      n = 8, nBuckets = 8)
+
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until 30).foreach { i =>
+      val b = docs.filter(col("doc_id") % 31 === i)
+      val fid = Folds.contentFoldId(b).get
+      val t0 = System.nanoTime()
+      ContinuousDedup.processBatch(b, s"$p/index", s"$p/state", s"$p/pairs",
+        keyedOf, nBuckets = 16, foldId = Some(fid))
+      DriftStore.applyDelta(spark, s"$p/drift", b, foldId = Some(fid))
+      IncrementalSpans.applyDelta(spark, s"$p/spans", b, 8, 8, foldId = Some(fid))
+      times += (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- snapshot GC: every SnapshotRoot family retains <= 2 versions
+    assert(versionDirs(s"$p/spans").size <= 2, s"spans versions: ${versionDirs(s"$p/spans")}")
+    assert(versionDirs(s"$p/drift").size <= 2)
+    assert(versionDirs(s"$p/state/labels").size <= 2)
+    assert(versionDirs(s"$p/state/keys").size <= 2)
+
+    // ---- compaction keeps file counts bounded under continuous folding
+    val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
+    assert(keyFiles <= 33, s"cluster key index grew to $keyFiles files")
+    val spanCur = SnapshotRoot.currentDir(s"$p/spans")
+    for (table <- Seq("grams", "gramdf", "docs")) {
+      val worst = Option(new java.io.File(s"$spanCur/$table").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
+      assert(worst <= 17, s"span $table bucket grew to $worst files")
+    }
+
+    // ---- flat per-fold time: the last third must not cost more than
+    // 2.5x the first third (generous JIT/host-noise band; an
+    // accumulating fixed cost trips this immediately at 30 folds)
+    val first = times.take(10).sum / 10
+    val last = times.takeRight(10).sum / 10
+    assert(last <= first * 2.5,
+      f"fold time grew: first-10 avg $first%.2f s, last-10 avg $last%.2f s")
+
+    // ---- final state == batch rebuild over everything ever written
+    val keyedAll = keyedOf(docs)
+    val expLabels = ConnectedComponents.run(
+      keyedAll.select(col("doc_id").as("id")),
+      ConnectedComponents.keyEdges(keyedAll, "doc_id", Seq("k1", "k2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(IncrementalClusters.readLabels(spark, s"$p/state")
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expLabels)
+    def profRows(df: DataFrame) = df.select("source", "lang", "c", "h")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}|" +
+        r.getSeq[Long](3).mkString(",")).toSet
+    assert(profRows(DriftStore.profile(spark, s"$p/drift")) ==
+      profRows(DriftStore.profileOf(docs)))
+    assert(IncrementalSpans.readSpans(spark, s"$p/spans")
+      .collect().map(_.toSeq).toSet ==
+      DupSpans.duplicateSpans(docs, n = 8).collect().map(_.toSeq).toSet)
+    info(f"fold times: first-10 ${first}%.2f s avg, last-10 ${last}%.2f s avg")
+  }
+}
