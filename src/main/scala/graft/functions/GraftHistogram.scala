@@ -72,9 +72,14 @@ object GraftHistogram {
       s"graft_hist: non-numeric value $other")
   }
 
-  /** Foldable-parameter eval (lo/hi/bins/p are literals by contract). */
-  private[functions] def foldedDouble(e: Expression): Double =
-    toDouble(e.eval(InternalRow.empty))
+  /** Foldable-parameter eval (lo/hi/bins/p are literals by contract).
+    * A foldable-but-null literal (CAST(NULL AS INT)) folds to NaN so
+    * the callers' finite/range checks reject it as a TypeCheckFailure
+    * instead of an analysis-time NPE (the GraftTopK r11 fix). */
+  private[functions] def foldedDouble(e: Expression): Double = {
+    val v = e.eval(InternalRow.empty)
+    if (v == null) Double.NaN else toDouble(v)
+  }
 
   /** Unclamped bin index as the double the clamp compares against —
     * out-of-domain ⟺ `rawBin < 0 || rawBin > bins−1`, the exact
@@ -336,7 +341,7 @@ case class GraftHistQuantile(hist: Expression, p: Expression,
           val pv = GraftHistogram.foldedDouble(p)
           val lv = GraftHistogram.foldedDouble(lo)
           val hv = GraftHistogram.foldedDouble(hi)
-          if (pv < 0d || pv > 1d)
+          if (!(pv >= 0d && pv <= 1d)) // NaN-rejecting form (null literal folds to NaN)
             TypeCheckResult.TypeCheckFailure(
               s"graft_hist_quantile p must be in [0, 1], got $pv")
           else if (!java.lang.Double.isFinite(lv) || !java.lang.Double.isFinite(hv))

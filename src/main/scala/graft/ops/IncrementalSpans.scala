@@ -114,26 +114,35 @@ object IncrementalSpans {
   private def spansFrom(grams: DataFrame, dupDf: DataFrame, n: Int): DataFrame =
     DupSpans.spansFrom(grams, dupDf, n)
 
-  /** Offline build: state for `docs` at `root` (v1 + pointer). */
+  /** Offline build: state for `docs` at `root` (v1 + pointer). The
+    * (g, doc_id) pair table and the df table are cached — grams/gramdf/
+    * spans all derive from them, and without the cache each of the
+    * four writes would re-tokenize the corpus; the four writes run
+    * concurrently (disjoint directories), the applyDelta posture. */
   def writeState(docs: DataFrame, root: String, n: Int = 8,
       nBuckets: Int = 64): Unit = {
     val d = docs.select(col("doc_id"), col("text"))
     val g = gramsOf(d, n)
-    val pairs = g.select(col("g"), col("doc_id")).distinct()
-    val df = pairs.groupBy("g").agg(count(lit(1)).as("df"))
+    val pairs = Persists.cacheFor(g.select(col("g"), col("doc_id")).distinct(), 64)
+    val df = Persists.cacheFor(pairs.groupBy("g").agg(count(lit(1)).as("df")), 64)
     val spans = spansFrom(g, df.filter(col("df") >= 2), n)
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val v1 = s"$root/v1"
-    Bucketing.writePartitioned(
-      pairs.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
-        .withColumn("gbucket", gbucket(col("gh"), nBuckets)), s"$v1/grams", Seq("gbucket"))
-    Bucketing.writePartitioned(
-      df.withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)), s"$v1/gramdf", Seq("gbucket"))
-    Bucketing.writePartitioned(
-      d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/docs", Seq("dbucket"))
-    Bucketing.writePartitioned(
-      spans.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/spans", Seq("dbucket"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(Bucketing.writePartitioned(
+        pairs.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
+          .withColumn("gbucket", gbucket(col("gh"), nBuckets)), s"$v1/grams", Seq("gbucket"))),
+      Future(Bucketing.writePartitioned(
+        df.withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)), s"$v1/gramdf", Seq("gbucket"))),
+      Future(Bucketing.writePartitioned(
+        d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/docs", Seq("dbucket"))),
+      Future(Bucketing.writePartitioned(
+        spans.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/spans", Seq("dbucket"))))
+      .foreach(Await.result(_, Duration.Inf))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
       "v1".getBytes("UTF-8"))
   }

@@ -76,4 +76,16 @@ class GraftTopKSpec extends SparkSpec {
     intercept[Exception] { df.agg(expr("graft_topk(d, 3, 16)")).schema }
     intercept[Exception] { df.agg(expr("graft_topk(s, 3, 0)")).schema }
   }
+
+  test("null literals fail type-check, not with an NPE (ADVICE r10)") {
+    val df = Seq(("x", 1)).toDF("s", "n")
+    def analysisFailure(sql: String): Unit = {
+      val e = intercept[Exception] { df.agg(expr(sql)).schema }
+      assert(!e.isInstanceOf[NullPointerException], s"NPE leaked for: $sql")
+    }
+    analysisFailure("graft_topk(s, 3, CAST(NULL AS INT))")
+    analysisFailure("graft_topk(s, CAST(NULL AS INT), 16)")
+    analysisFailure("graft_hist_agg(n, CAST(NULL AS DOUBLE), 10.0, 8)")
+    analysisFailure("graft_hist_quantile(graft_hist_agg(n, 0.0, 10.0, 8), CAST(NULL AS DOUBLE), 0.0, 10.0)")
+  }
 }

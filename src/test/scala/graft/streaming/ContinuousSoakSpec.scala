@@ -37,6 +37,19 @@ class ContinuousSoakSpec extends SparkSpec {
   }
 
   test("30 daemon folds: bounded files, <=2 snapshot versions, flat fold time, state == batch") {
+    // suite-position independence: late in the full run the shared JVM
+    // carries other suites' not-yet-swept cache blocks; 30 folds × ~6
+    // cached frames each (epoch-swept, 64-action lifetime) on top of
+    // that can push the driver past its broadcast-build headroom. Start
+    // clean and sweep aggressively for the duration — both are
+    // performance hints, not semantics.
+    spark.catalog.clearCache()
+    val savedAge = graft.ops.Persists.maxEpochAge
+    graft.ops.Persists.maxEpochAge = 8L
+    try soak() finally graft.ops.Persists.maxEpochAge = savedAge
+  }
+
+  private def soak(): Unit = {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 31 === 30)
     val p = java.nio.file.Files.createTempDirectory("graft-soak").toString
