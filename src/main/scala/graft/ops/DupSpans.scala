@@ -75,6 +75,23 @@ object DupSpans {
       .select(col(idCol), col("pg.pos").cast("long").as("pos"), col("pg.g").as("g"))
   }
 
+  /** Per-doc DISTINCT gram stream (idCol, g) — NO shuffle: the dedupe
+    * happens inside each row via `array_distinct` (the decontamination
+    * lesson — a corpus-wide (doc, gram) `.distinct()` is a corpus-wide
+    * shuffle, the narrow per-row distinct is free). Emits exactly the
+    * distinct (g, doc) pair set of [[gramRows]], which is what df
+    * accounting needs: each row is one document's vote for one gram. */
+  private[ops] def docGramSets(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), tk.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(0, size(tk) - $n), i -> array_join(slice(tk, i + 1, $n), ' '))")))
+        .as("g"))
+  }
+
   /** The island stage, shared with [[IncrementalSpans]]: join gram
     * positions against an (already minDf-filtered) (g, df) frame and
     * merge consecutive hit positions into maximal spans — consecutive

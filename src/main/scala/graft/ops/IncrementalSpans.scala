@@ -123,8 +123,11 @@ object IncrementalSpans {
       nBuckets: Int = 64): Unit = {
     val d = docs.select(col("doc_id"), col("text"))
     val g = gramsOf(d, n)
-    val pairs = Persists.cacheFor(g.select(col("g"), col("doc_id")).distinct(), 64)
-    val df = Persists.cacheFor(pairs.groupBy("g").agg(count(lit(1)).as("df")), 64)
+    // per-doc distinct gram stream — NARROW (array_distinct in-row),
+    // replacing the r10 corpus-wide (g, doc_id) distinct shuffle
+    val dgs = Persists.cacheFor(DupSpans.docGramSets(d, n), 64)
+    val df = Persists.cacheFor(
+      dgs.groupBy("g").agg(count(lit(1)).as("df")), 64)
     val spans = spansFrom(g, df.filter(col("df") >= 2), n)
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -134,7 +137,7 @@ object IncrementalSpans {
     import scala.concurrent.duration.Duration
     Seq(
       Future(Bucketing.writePartitioned(
-        pairs.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
+        dgs.select(xxhash64(col("g")).as("gh"), col("doc_id"))
           .withColumn("gbucket", gbucket(col("gh"), nBuckets)), s"$v1/grams", Seq("gbucket"))),
       Future(Bucketing.writePartitioned(
         df.withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)), s"$v1/gramdf", Seq("gbucket"))),
@@ -163,12 +166,20 @@ object IncrementalSpans {
   /** Fold one delta batch (see object scaladoc). */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
       n: Int = 8, nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+    val dbg = sys.env.contains("GRAFT_SPANS_DEBUG")
+    val tStart = System.nanoTime()
+    def mark(l: String): Unit = if (dbg)
+      println(f"[incspans] $l at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
     val cur = SnapshotRoot.currentDir(root)
     val applied = ledgerOf(cur)
     if (foldId.exists(applied.contains)) return // replayed batch: no-op
 
     val d = Persists.cacheFor(delta.select(col("doc_id"), col("text")), 64)
     val dg = Persists.cacheFor(gramsOf(d, n), 64)
+    // per-doc distinct gram stream — NARROW (array_distinct in-row):
+    // serves df accounting, the store append, the bloom and the match
+    // set without any corpus- or delta-wide distinct shuffle (r11)
+    val dgs = Persists.cacheFor(DupSpans.docGramSets(d, n), 64)
 
     // ---- fused collect 1 (guards + fold metadata + bloom, ONE job):
     // a tagged union of two one-row aggregates — the delta contract
@@ -190,12 +201,13 @@ object IncrementalSpans {
         collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
       .select(lit("stats").as("t"), col("a"), col("b"), col("arr"),
         lit(null).cast("binary").as("bin"))
-      .unionByName(dg.agg(
+      .unionByName(dgs.agg(
           collect_set(gbucket(xxhash64(col("g")), nBuckets)).as("arr"),
           bloomAgg.as("bin"))
         .select(lit("grams").as("t"), lit(0L).as("a"), lit(0L).as("b"),
           col("arr"), col("bin")))
       .collect().map(r => r.getString(0) -> r).toMap
+    mark("collect-1")
     val stats = meta1("stats")
     require(stats.getLong(1) == stats.getLong(2),
       s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct " +
@@ -211,7 +223,9 @@ object IncrementalSpans {
     // broadcast join that removes the bloom's false positives. (A
     // residual xxhash64 collision only widens the affected set — see
     // the class doc.)
-    val dghSet = dg.select(xxhash64(col("g")).as("gh")).distinct()
+    // no distinct: the semi-join's broadcast build dedupes, and a
+    // semi never multiplies matched store rows
+    val dghSet = dgs.select(xxhash64(col("g")).as("gh"))
     val gramStore0 = spark.read.schema(gramsSchema).parquet(s"$cur/grams")
       .filter(col("gbucket").isin(gBuckets.map(Integer.valueOf): _*))
     val gramStore = bloom match {
@@ -222,7 +236,8 @@ object IncrementalSpans {
       case None => gramStore0.filter(lit(false)) // delta had zero grams
     }
     val touchedDocs = Persists.cacheFor(
-      gramStore.join(broadcast(dghSet), "gh").select("doc_id").distinct(), 64)
+      gramStore.join(broadcast(dghSet), Seq("gh"), "left_semi")
+        .select("doc_id").distinct(), 64)
 
     // ---- fused collect 2 (ONE job): the id-overlap guard (pruned to
     // the delta's id buckets) + the touched docs' bucket list — the
@@ -237,6 +252,7 @@ object IncrementalSpans {
         .agg(collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
         .select(lit("touched").as("t"), lit(0L).as("a"), col("arr")))
       .collect().map(r => r.getString(0) -> r).toMap
+    mark("collect-2")
     val overlap = meta2("overlap").getLong(1)
     require(overlap == 0L,
       s"$overlap delta doc_id(s) already present — delta ids must be new")
@@ -251,18 +267,28 @@ object IncrementalSpans {
 
     // post-delta df for every gram of the affected set: stored df
     // (slim store streamed through a broadcast semi-join of the grams
-    // we need) + the delta's per-gram distinct-doc contribution
-    val needed = affGrams.select("g").distinct()
-    val deltaDf = dg.select("g", "doc_id").distinct()
-      .groupBy("g").agg(count(lit(1)).as("ddf"))
-    // gramdf rows are PARTIAL increments (append-only store): the
-    // stored frequency is the sum of a gram's partials
-    val storedDf = spark.read.schema(gramdfSchema).parquet(s"$cur/gramdf")
-      .join(broadcast(needed), "g")
-      .groupBy("g").agg(sum("df").as("odf"))
-    val newDf = storedDf.join(deltaDf, Seq("g"), "full_outer")
-      .select(col("g"),
-        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+    // we need) + the delta's per-gram distinct-doc contribution. The
+    // semi-join broadcasts the needed grams' 8-byte HASHES, not the
+    // strings (r11 — an affected-scale distinct-string broadcast was
+    // the fold's biggest shipped payload): a collision lets a stranger
+    // gram's df rows through, but df still groups by the exact string
+    // and the island join downstream is string-keyed, so extras drop
+    // harmlessly — same correctness argument as the hash-keyed store.
+    val needed = affGrams.select(xxhash64(col("g")).as("gh")).distinct()
+    // gramdf rows are PARTIAL increments (append-only store; the delta
+    // contributes one df=1 partial per (doc, gram) from the narrow
+    // per-doc distinct stream), so post-delta df is ONE sum over
+    // store ∪ delta partials — no per-delta pre-aggregate, no
+    // full-outer merge arithmetic (r11). The semi-join key is the
+    // gram HASH (8-byte broadcast, not affected-scale strings); a
+    // collision lets a stranger gram's partials through, but df still
+    // groups by the exact string and the island join downstream is
+    // string-keyed, so extras drop harmlessly.
+    val newDf = spark.read.schema(gramdfSchema).parquet(s"$cur/gramdf")
+      .select(col("g"), col("df"))
+      .unionByName(dgs.select(col("g"), lit(1L).as("df")))
+      .join(broadcast(needed), xxhash64(col("g")) === col("gh"), "left_semi")
+      .groupBy("g").agg(sum("df").as("df"))
     val newSpans = Persists.cacheFor(
       spansFrom(affGrams, newDf.filter(col("df") >= 2), n), 64)
 
@@ -272,7 +298,10 @@ object IncrementalSpans {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
 
-    val deltaPairs = dg.select(xxhash64(col("g")).as("gh"), col("doc_id")).distinct()
+    // per-doc distinct by construction — no shuffle before the
+    // bucket repartition (an intra-doc xxhash collision could leave a
+    // rare duplicate pair row; readers distinct/semi-join, harmless)
+    val deltaPairs = dgs.select(xxhash64(col("g")).as("gh"), col("doc_id"))
     val spanBuckets = (dBucketsTouched ++ dBucketsDelta).distinct.sorted
 
     // Append-only stores (grams / gramdf / docs): a delta's grams hash
@@ -379,21 +408,27 @@ object IncrementalSpans {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    def timed[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally mark(f"$l took ${(System.nanoTime - t0) / 1e9}%.2f")
+    }
+    def launch(f: => Unit): Future[Unit] = Future(f)
     val writes = Seq(
-      Future(append("grams", "gbucket",
+      launch(timed("w-grams")(append("grams", "gbucket",
         deltaPairs.withColumn("gbucket", gbucket(col("gh"), nBuckets)),
-        identity, gramsSchema)),
-      Future(append("gramdf", "gbucket",
-        deltaDf.select(col("g"), col("ddf").as("df"))
+        identity, gramsSchema))),
+      launch(timed("w-gramdf")(append("gramdf", "gbucket",
+        dgs.select(col("g"), lit(1L).as("df"))
           .withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)),
         rows => rows.groupBy("g", "gbucket").agg(sum("df").as("df"))
           .select("g", "df", "gbucket"),
-        gramdfSchema)),
-      Future(append("docs", "dbucket",
+        gramdfSchema))),
+      launch(timed("w-docs")(append("docs", "dbucket",
         d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
-        identity, docsSchema)),
-      Future(rewrite("spans", "dbucket", spanBuckets.toIndexedSeq, touchedSpanRows)))
+        identity, docsSchema))),
+      launch(timed("w-spans")(rewrite("spans", "dbucket", spanBuckets.toIndexedSeq, touchedSpanRows))))
     writes.foreach(Await.result(_, Duration.Inf))
+    mark("writes-done")
 
     // the ledger commits WITH the flip: written into the next version
     // dir before the pointer moves (the DriftStore atomicity pattern)

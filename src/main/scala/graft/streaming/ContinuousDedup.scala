@@ -69,31 +69,43 @@ object ContinuousDedup {
     val spark = batch.sparkSession
     val indexDone = foldId.exists(
       graft.ops.IncrementalDedup.appliedFolds(indexPath).contains)
-    if (!indexDone) {
-      // one banded frame for probe AND absorb (epoch-swept registration,
-      // the IncrementalSpans cache posture — the probe's pair pipeline,
-      // its bucket collect, and the absorb's two appends all read it)
-      val banded = graft.ops.Persists.cacheFor(
-        graft.ops.IncrementalDedup.bandedOf(batch, textCol, idCol), 64)
-      Folds.FamilyClock.time("dedup_probe") {
-        val pairs = graft.ops.IncrementalDedup.deltaPairs(
-          spark, indexPath, batch, textCol, idCol, preBanded = Some(banded))
-        foldId match {
-          case Some(fid) => // replayable slot: overwrite, never append
-            pairs.write.mode("overwrite").parquet(s"$pairsLog/fold=$fid")
-          case None =>
-            pairs.write.mode("append").parquet(pairsLog)
-        }
-      }
-      Folds.FamilyClock.time("dedup_absorb") {
-        graft.ops.IncrementalDedup.applyDelta(spark, indexPath, batch,
-          textCol, idCol, foldId = foldId, preBanded = Some(banded))
-      }
-    }
-    Folds.FamilyClock.time("clusters") {
+    // the CLUSTER fold is independent of the index family (different
+    // state root, own ledger) — run it concurrently with probe+absorb
+    // when the session has fan-out headroom (r11: the probe dominates
+    // the daemon's per-batch wall clock, and overlapping the cluster
+    // fold is free on any non-saturated cluster; Folds.launch falls
+    // back to inline on small sessions). The retry contract is
+    // per-family, so a failure on either side leaves the other
+    // committed and skippable.
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val clustersF = Folds.launch(spark)(Folds.FamilyClock.time("clusters") {
       graft.ops.IncrementalClusters.applyDelta(spark, clusterPath, keyedOf(batch),
         idCol, keyCols, nBuckets, foldId = foldId)
-    }
+    })
+    try {
+      if (!indexDone) {
+        // one banded frame for probe AND absorb (epoch-swept registration,
+        // the IncrementalSpans cache posture — the probe's pair pipeline,
+        // its bucket collect, and the absorb's two appends all read it)
+        val banded = graft.ops.Persists.cacheFor(
+          graft.ops.IncrementalDedup.bandedOf(batch, textCol, idCol), 64)
+        Folds.FamilyClock.time("dedup_probe") {
+          val pairs = graft.ops.IncrementalDedup.deltaPairs(
+            spark, indexPath, batch, textCol, idCol, preBanded = Some(banded))
+          foldId match {
+            case Some(fid) => // replayable slot: overwrite, never append
+              pairs.write.mode("overwrite").parquet(s"$pairsLog/fold=$fid")
+            case None =>
+              pairs.write.mode("append").parquet(pairsLog)
+          }
+        }
+        Folds.FamilyClock.time("dedup_absorb") {
+          graft.ops.IncrementalDedup.applyDelta(spark, indexPath, batch,
+            textCol, idCol, foldId = foldId, preBanded = Some(banded))
+        }
+      }
+    } finally Await.result(clustersF, Duration.Inf)
   }
 
   /** Drain `stream` (one [[processBatch]] per microbatch) with

@@ -60,16 +60,26 @@ object ContinuousIngest {
         val b = batch.persist()
         try Folds.contentFoldId(b).foreach { fid =>
           batches.incrementAndGet()
-          ContinuousDedup.processBatch(b, indexPath, clusterPath,
+          // the four families are independent (own state roots, own
+          // ledgers) — fan them out when the session has headroom
+          // (r11; Folds.launch runs inline on small sessions): on a
+          // retry each family skips or re-runs individually, so
+          // concurrency does not change the crash contract, only the
+          // wall clock
+          import scala.concurrent.Await
+          import scala.concurrent.duration.Duration
+          val others = Seq(
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("drift") {
+              graft.ops.DriftStore.applyDelta(b.sparkSession, driftRoot,
+                b, foldId = Some(fid))
+            }),
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("spans") {
+              graft.ops.IncrementalSpans.applyDelta(b.sparkSession,
+                spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
+            }))
+          try ContinuousDedup.processBatch(b, indexPath, clusterPath,
             pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
-          Folds.FamilyClock.time("drift") {
-            graft.ops.DriftStore.applyDelta(b.sparkSession, driftRoot,
-              b, foldId = Some(fid))
-          }
-          Folds.FamilyClock.time("spans") {
-            graft.ops.IncrementalSpans.applyDelta(b.sparkSession,
-              spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
-          }
+          finally others.foreach(Await.result(_, Duration.Inf))
         } finally b.unpersist()
       }, checkpoint)
       .trigger(Trigger.AvailableNow())

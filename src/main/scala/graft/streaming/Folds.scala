@@ -50,6 +50,23 @@ private[graft] object Folds {
     }
   }
 
+  /** Family folds fan out concurrently only when the session has the
+    * headroom for several simultaneous jobs — on a small session
+    * (local[4] test JVMs, tiny executors) concurrent folds contend for
+    * execution-memory pages and can OOM where the serial order is
+    * comfortably inside budget; the scheduling-tail win the fan-out
+    * buys only exists when cores would otherwise sit idle. */
+  def fanOut(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.defaultParallelism >= 16
+
+  /** Run `f` on a background thread when fan-out is on, inline when
+    * off; the returned future is already complete in the inline case. */
+  def launch(spark: org.apache.spark.sql.SparkSession)(f: => Unit): scala.concurrent.Future[Unit] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    if (fanOut(spark)) scala.concurrent.Future(f)
+    else { f; scala.concurrent.Future.successful(()) }
+  }
+
   /** Apply a durable checkpoint location when the caller has one —
     * restart-monotonic batch ids and exactly-once file-source progress;
     * without it the content-derived fold ids above still make replays
