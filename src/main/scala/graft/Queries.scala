@@ -293,6 +293,72 @@ object Queries {
         Seq("p50_order_value", "p95_order_value", "order_count"))
       .orderBy("order_status")
 
+  /** Variance-family measures (r11): `stddev`/`var_samp`/`stddev_pop`
+    * rewrite to their exact algebraic (n, Σx, Σx²) form
+    * (AggDecompose.rewriteVariance) — three summable partials + one
+    * deterministic double combiner — so dispersion measures hash-oracle
+    * (native Welford stddev is row-order-dependent and never could),
+    * route through rollups, and window like sum/avg. */
+  def mvOrdersStddev(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_stats")
+      .query(Seq("market_segment"),
+        Seq("order_count", "revenue_stddev", "revenue_var", "revenue_stddev_pop"))
+      .orderBy("market_segment")
+
+  /** Same measures ROUTED through the stats_by_seg_status rollup:
+    * stored (n, Σx, Σx²) partials re-aggregate by plain sums, the
+    * combiner applies after — so the oracle stays the one-level direct
+    * derivation. */
+  def routedStddev(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_orders_stats")
+      .query(Seq("order_status"),
+        Seq("order_count", "revenue_stddev", "revenue_var", "revenue_stddev_pop"))
+      .orderBy("order_status")
+
+  /** The same dispersion measures through the SQL MEASURE() surface. */
+  def sqlStddev(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.catalog(s, dir) // registers views for the SQL path
+    s.sql(
+      """SELECT market_segment,
+        |       MEASURE(order_count) AS order_count,
+        |       MEASURE(revenue_stddev) AS revenue_stddev,
+        |       MEASURE(revenue_var) AS revenue_var,
+        |       MEASURE(revenue_stddev_pop) AS revenue_stddev_pop
+        |FROM mv_orders_stats
+        |GROUP BY market_segment
+        |ORDER BY market_segment""".stripMargin)
+  }
+
+  /** DuckDB mirror of the rewritten variance combiner — the exact
+    * double expression AggDecompose.rewriteVariance emits, over caller-
+    * supplied n/Σx/Σx² SQL fragments. One generator serves every
+    * variance oracle (plain, routed, SQL, windowed) so the bit-exact
+    * mirroring lives in one place (the binSql convention). */
+  private[graft] def varFormulaSql(kind: String, n: String, s: String,
+      q: String): String = {
+    val pop = kind.endsWith("_pop")
+    val minN = if (pop) "1" else "2"
+    val div = if (pop) n else s"($n - 1)"
+    val core = s"(CAST($q AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / $n) / $div"
+    val clamped = s"greatest(CAST(0.0 AS DOUBLE), $core)"
+    val body = if (kind.startsWith("stddev")) s"sqrt($clamped)" else clamped
+    s"CASE WHEN $n >= $minN THEN $body ELSE CAST(NULL AS DOUBLE) END"
+  }
+
+  private def stddevSql(dim: String): String = {
+    val (n, s, q) =
+      ("count(total_price)", "sum(total_price)", "sum(total_price * total_price)")
+    modelCtes +
+      s"""SELECT $dim, count(*) AS order_count,
+         |       ${varFormulaSql("stddev", n, s, q)} AS revenue_stddev,
+         |       ${varFormulaSql("var_samp", n, s, q)} AS revenue_var,
+         |       ${varFormulaSql("stddev_pop", n, s, q)} AS revenue_stddev_pop
+         |FROM fct_orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val mvOrdersStddevSql: String = stddevSql("market_segment")
+  val routedStddevSql: String = stddevSql("order_status")
+
   /** Auto-domained percentile (r9): graft_percentile_auto declares no
     * [lo, hi) — the view derives [floor(min), floor(max)+1) from its
     * row-level relation at measure resolution. The oracle re-derives
@@ -806,6 +872,9 @@ object Queries {
     "q_mv_percentile"         -> (mvOrdersPercentile _),
     "q_mv_percentile_auto"    -> (mvOrdersPercentileAuto _),
     "q_routed_percentile"     -> (routedPercentile _),
+    "q_mv_stddev"             -> (mvOrdersStddev _),
+    "q_routed_stddev"         -> (routedStddev _),
+    "q_sql_stddev"            -> (sqlStddev _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
     "q_mv_sales_geo"          -> (mvSalesGeo _),
     "q_mv_spine"              -> (mvSpine _),
@@ -834,6 +903,9 @@ object Queries {
     "q_mv_percentile"         -> mvOrdersPercentileSql,
     "q_mv_percentile_auto"    -> mvOrdersPercentileAutoSql,
     "q_routed_percentile"     -> routedPercentileSql,
+    "q_mv_stddev"             -> mvOrdersStddevSql,
+    "q_routed_stddev"         -> routedStddevSql,
+    "q_sql_stddev"            -> mvOrdersStddevSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,
     "q_mv_spine"              -> mvSpineSql,
     "q_mv_topk"               -> mvTopKSql,

@@ -47,6 +47,7 @@ object SparkEntry {
       m.build(cat.get("mv_order_metrics"))
       m.build(cat.get("mv_orders_dist"))
       m.build(cat.get("mv_orders_topk"))
+      m.build(cat.get("mv_orders_stats"))
       cat
     })
 

@@ -334,7 +334,39 @@ object WindowQueries {
         col("trailing_7d_revenue").cast("double").as("trailing_7d_revenue"))
       .orderBy("order_date")
 
+  /** Trailing-30-day revenue stddev per segment (r11): the variance
+    * rewrite's (n, Σx, Σx²) partials collapse to (segment, day) grain,
+    * frame-sum over the trailing RANGE, and the deterministic double
+    * combiner applies after — dispersion windows exactly like sum.
+    * The oracle hand-expands the same two-phase plan. */
+  def trailingStddev(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_orders_stats")
+      .query(Seq("market_segment", "order_date"), Seq("trailing_30d_stddev"))
+      .orderBy("market_segment", "order_date")
+
+  val trailingStddevSql: String =
+    modelCtes +
+      s""", base AS (
+         |  SELECT market_segment, order_date,
+         |         count(total_price) AS n, sum(total_price) AS s,
+         |         sum(total_price * total_price) AS q
+         |  FROM fct_orders GROUP BY 1, 2
+         |), w AS (
+         |  SELECT market_segment, order_date,
+         |         sum(n) OVER fr AS wn, sum(s) OVER fr AS ws,
+         |         sum(q) OVER fr AS wq
+         |  FROM base
+         |  WINDOW fr AS (
+         |    PARTITION BY market_segment
+         |    ORDER BY datediff('day', DATE '1970-01-01', order_date)
+         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT market_segment, order_date,
+         |       ${Queries.varFormulaSql("stddev", "wn", "ws", "wq")} AS trailing_30d_stddev
+         |FROM w ORDER BY market_segment, order_date""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_stddev"             -> (trailingStddev _),
     "q_win_trailing7d"         -> (trailing7d _),
     "q_win_trailing7d_segment" -> (trailing7dSegment _),
     "q_win_cumulative"         -> (cumulative _),
@@ -350,6 +382,7 @@ object WindowQueries {
     "q_win_from_baseline"      -> (trailingFromBaseline _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_stddev"             -> trailingStddevSql,
     "q_win_trailing7d"         -> trailing7dSql,
     "q_win_trailing7d_segment" -> trailing7dSegmentSql,
     "q_win_cumulative"         -> cumulativeSql,

@@ -91,7 +91,10 @@ final class MetricView(
             org.apache.spark.sql.catalyst.expressions.Literal(hi),
             f.arguments(2)))
     }
-    Expander.rewriteExpr(parsed, paths)
+    // variance-family aggregates rewrite to their exact algebraic
+    // (n, Σx, Σx²) form first — routable partials + a deterministic
+    // double combiner on every path (see AggDecompose.rewriteVariance)
+    Expander.rewriteExpr(AggDecompose.rewriteVariance(spark, parsed), paths)
   }
 
   private[graft] def decomposed(m: Measure): Option[graft.plan.Decomposed] =

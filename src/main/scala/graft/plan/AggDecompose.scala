@@ -149,6 +149,53 @@ object AggDecompose {
     else Some(Decomposed(partials.toSeq, substitute(template)))
   }
 
+  /** Rewrite the variance family — `stddev`/`stddev_samp`/`variance`/
+    * `var_samp`/`stddev_pop`/`var_pop` — into its exact algebraic
+    * (n, Σx, Σx²) form BEFORE decomposition or evaluation:
+    *
+    *   var_samp(x) = (Σx² − (Σx)²/n) / (n−1),  null when n < 2
+    *
+    * spelled as `count`/`sum`/`sum(x*x)` aggregates under one scalar
+    * combiner, so (a) the decomposer's existing sum/count cases make
+    * variance a ROUTABLE measure for free — the three partials are
+    * storable, summable rollup columns (shared content-addressed with
+    * any avg/sum over the same column) and the same partials window —
+    * and (b) every evaluation path computes ONE deterministic formula:
+    * for decimal inputs the partial sums are exact (order-independent),
+    * floating point enters only in the final fixed double expression,
+    * so results are bit-identical across cluster sizes and engines —
+    * unlike Spark's native Welford-style `StddevSamp`, whose
+    * double-accumulator result depends on row order and can never be
+    * hash-oracled. The (Σx², Σx) cancellation risk of textbook-form
+    * variance is clamped by `greatest(0, ·)` (mirrored in oracles).
+    * Population variants divide by n (null when n < 1). */
+  def rewriteVariance(spark: SparkSession, parsed: Expression): Expression = {
+    val parser = spark.sessionState.sqlParser
+    parsed.transformUp {
+      case f: UnresolvedFunction
+          if f.arguments.length == 1 && !f.isDistinct &&
+            f.nameParts.length == 1 &&
+            varianceFns(f.nameParts.head.toLowerCase) =>
+        val fname = f.nameParts.head.toLowerCase
+        val pop = fname.endsWith("_pop")
+        val minN = if (pop) "1" else "2"
+        val div = if (pop) "count(__gx)" else "(count(__gx) - 1)"
+        val core = "(cast(sum(__gx * __gx) as double) - " +
+          "cast(sum(__gx) as double) * cast(sum(__gx) as double) / count(__gx)) / " + div
+        val clamped = s"greatest(cast(0.0 as double), $core)"
+        val body = if (fname.startsWith("stddev")) s"sqrt($clamped)" else clamped
+        parser.parseExpression(
+          s"case when count(__gx) >= $minN then $body else cast(null as double) end")
+          .transformUp {
+            case ua: UnresolvedAttribute if ua.nameParts == Seq("__gx") =>
+              f.arguments.head
+          }
+    }
+  }
+
+  private val varianceFns = Set(
+    "stddev", "stddev_samp", "variance", "var_samp", "stddev_pop", "var_pop")
+
   /** Build the combiner: substitute partial-name attributes in the
     * template with the caller's re-aggregated columns. */
   private def substitute(template: Expression)(cols: Map[String, Column]): Column = {

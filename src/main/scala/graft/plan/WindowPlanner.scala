@@ -41,7 +41,10 @@ object WindowPlanner {
   def supported(spark: SparkSession, spec: MetricViewSpec, m: Measure): Boolean =
     m.isWindowed && m.window.tail.forall(_.range == RangeSpec.Current) &&
       AggDecompose(spark,
-        Expander.rewriteExpr(Expander.parse(spark, m.expr),
+        Expander.rewriteExpr(
+          // same pre-pass as MetricView.measureExpr: variance-family
+          // aggregates decompose via their algebraic rewrite
+          AggDecompose.rewriteVariance(spark, Expander.parse(spark, m.expr)),
           Expander.joinPaths(spec.joins).map(_._1)), m.name).isDefined
 
   /** Day-number / period-number ordering column for a range unit. */

@@ -350,6 +350,51 @@ object Specs {
       |        - top_customers
       |""".stripMargin
 
+  /** Variance-family measures (r11): stddev/var_samp/stddev_pop
+    * decompose to exact (n, Σx, Σx²) partials (AggDecompose.
+    * rewriteVariance) so dispersion measures ROUTE through rollups and
+    * window like sum/avg — including a trailing-30-day stddev. */
+  val mvOrdersStats: String =
+    """version: 0.1
+      |source: fct_orders
+      |dimensions:
+      |  - name: market_segment
+      |    expr: market_segment
+      |  - name: order_status
+      |    expr: order_status
+      |  - name: order_date
+      |    expr: order_date
+      |measures:
+      |  - name: order_count
+      |    expr: count(*)
+      |  - name: revenue_stddev
+      |    expr: stddev(total_price)
+      |  - name: revenue_var
+      |    expr: var_samp(total_price)
+      |  - name: revenue_stddev_pop
+      |    expr: stddev_pop(total_price)
+      |  - name: trailing_30d_stddev
+      |    expr: stddev(total_price)
+      |    window:
+      |      - order: order_date
+      |        range: trailing 30 day
+      |        semiadditive: last
+      |materialization:
+      |  schedule: every 12 hours
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: stats_by_seg_status
+      |      type: aggregated
+      |      dimensions:
+      |        - market_segment
+      |        - order_status
+      |      measures:
+      |        - order_count
+      |        - revenue_stddev
+      |        - revenue_var
+      |        - revenue_stddev_pop
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,
@@ -358,5 +403,6 @@ object Specs {
     "mv_customer_window"  -> mvCustomerWindow,
     "mv_orders_dist"      -> mvOrdersDist,
     "mv_revenue_pop"      -> mvRevenuePop,
-    "mv_orders_topk"      -> mvOrdersTopK)
+    "mv_orders_topk"      -> mvOrdersTopK,
+    "mv_orders_stats"     -> mvOrdersStats)
 }

@@ -136,6 +136,16 @@ class RoutingSpec extends SparkSpec {
     assert(g.collect().map(_.toString).toSeq == gd.collect().map(_.toString).toSeq)
   }
 
+  test("variance-family measures ROUTE through the rollup ((n, Σx, Σx²) partials re-sum)") {
+    val q = Seq("revenue_stddev", "revenue_var", "revenue_stddev_pop", "order_count")
+    val routed = mat.get("mv_orders_stats").query(Seq("order_status"), q)
+    val p = scans(routed)
+    assert(p.contains("stats_by_seg_status"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_stats").query(Seq("order_status"), q)
+    assert(routed.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("auto-domained percentile measure routes correctly (profile-derived [lo, hi), r9)") {
     // graft_percentile_auto(total_price, 0.5, 1024) declares NO domain:
     // [lo, hi) derives from the observed min/max at measure resolution,
