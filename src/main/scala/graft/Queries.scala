@@ -329,6 +329,51 @@ object Queries {
         |ORDER BY market_segment""".stripMargin)
   }
 
+  /** Multi-grain metrics (r11): GROUPING SETS over a metric view —
+    * detail grain, per-segment subtotals, and the grand total in one
+    * frame with a standard grouping_id. Unrouted here (plain catalog),
+    * so the engine plans ONE native grouping-sets pass over the fact
+    * relation — one scan, one shuffle for all three grains. */
+  def mvGroupingSets(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.catalog(s, dir).get("mv_order_metrics")
+      .queryGroupingSets(
+        Seq(Seq("market_segment", "order_status"), Seq("market_segment"), Seq()),
+        Seq("total_revenue", "total_orders"))
+      .select(col("market_segment"), col("order_status"), col("grouping_id"),
+        col("total_revenue").cast("double").as("total_revenue"), col("total_orders"))
+      .orderBy("grouping_id", "market_segment", "order_status")
+
+  val mvGroupingSetsSql: String =
+    modelCtes +
+      """SELECT market_segment, order_status,
+        |       CAST(GROUPING(market_segment, order_status) AS BIGINT) AS grouping_id,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       count(*) AS total_orders
+        |FROM fct_orders
+        |GROUP BY GROUPING SETS ((market_segment, order_status), (market_segment), ())
+        |ORDER BY grouping_id, market_segment, order_status""".stripMargin
+
+  /** CUBE over rollup-covered dims: every one of the 2^2 grains
+    * re-aggregates the (segment, status) rollup's partials — the fact
+    * table is never scanned (RoutingSpec plan gate). */
+  def routedCube(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_order_metrics")
+      .queryCube(Seq("market_segment", "order_status"),
+        Seq("total_revenue", "total_orders"))
+      .select(col("market_segment"), col("order_status"), col("grouping_id"),
+        col("total_revenue").cast("double").as("total_revenue"), col("total_orders"))
+      .orderBy("grouping_id", "market_segment", "order_status")
+
+  val routedCubeSql: String =
+    modelCtes +
+      """SELECT market_segment, order_status,
+        |       CAST(GROUPING(market_segment, order_status) AS BIGINT) AS grouping_id,
+        |       CAST(sum(total_price) AS DOUBLE) AS total_revenue,
+        |       count(*) AS total_orders
+        |FROM fct_orders
+        |GROUP BY CUBE (market_segment, order_status)
+        |ORDER BY grouping_id, market_segment, order_status""".stripMargin
+
   /** DuckDB mirror of the rewritten variance combiner — the exact
     * double expression AggDecompose.rewriteVariance emits, over caller-
     * supplied n/Σx/Σx² SQL fragments. One generator serves every
@@ -873,6 +918,8 @@ object Queries {
     "q_mv_percentile_auto"    -> (mvOrdersPercentileAuto _),
     "q_routed_percentile"     -> (routedPercentile _),
     "q_mv_stddev"             -> (mvOrdersStddev _),
+    "q_mv_groupingsets"       -> (mvGroupingSets _),
+    "q_routed_cube"           -> (routedCube _),
     "q_routed_stddev"         -> (routedStddev _),
     "q_sql_stddev"            -> (sqlStddev _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
@@ -904,6 +951,8 @@ object Queries {
     "q_mv_percentile_auto"    -> mvOrdersPercentileAutoSql,
     "q_routed_percentile"     -> routedPercentileSql,
     "q_mv_stddev"             -> mvOrdersStddevSql,
+    "q_mv_groupingsets"       -> mvGroupingSetsSql,
+    "q_routed_cube"           -> routedCubeSql,
     "q_routed_stddev"         -> routedStddevSql,
     "q_sql_stddev"            -> mvOrdersStddevSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,

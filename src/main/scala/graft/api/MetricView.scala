@@ -290,6 +290,93 @@ final class MetricView(
     }
   }
 
+  /** Multi-grain (GROUPING SETS) query: evaluate `measures` at every
+    * grain in `sets` and union the results — each output row carries
+    * every union dim (null where aggregated away) plus a standard
+    * `grouping_id` (bit i set when union dim i is aggregated away,
+    * first dim most significant — Spark's `grouping_id()` and SQL
+    * GROUPING() convention), so a dashboard reads one frame for the
+    * detail grain, subtotals, and the grand total.
+    *
+    * Two plans, chosen by rollup coverage:
+    *  - **all sets rollup-covered** → per-set [[query]] union: every
+    *    grain re-aggregates rollup partials (count/sum/HLL/topk/
+    *    histogram/variance partials are all summable), so k grains
+    *    cost k rollup-scale aggregates and the fact table is never
+    *    scanned — the multi-grain analogue of A10 routing.
+    *  - **otherwise** → ONE native grouping-sets pass over the
+    *    row-level relation (Spark's partial-aggregate grouping-set
+    *    expansion): one fact scan and one shuffle serve every grain
+    *    simultaneously; per-set delegation here would scan the fact
+    *    k times, exactly the 100 TB mistake.
+    * Window measures always take the per-set path (their frame depends
+    * on the grain; rollups never serve them anyway). */
+  def queryGroupingSets(
+      sets: Seq[Seq[String]],
+      measures: Seq[String],
+      where: Option[String] = None): DataFrame = {
+    require(sets.nonEmpty, "at least one grouping set")
+    val unionDims = sets.flatten.distinct
+    unionDims.foreach(spec.dimension)
+    val ms = measures.map(spec.measure)
+    sets.foreach(s => require(s.distinct == s, s"duplicate dim in grouping set $s"))
+
+    def gidOf(set: Seq[String]): Long =
+      unionDims.zipWithIndex.map { case (d, i) =>
+        if (set.contains(d)) 0L else 1L << (unionDims.length - 1 - i)
+      }.sum
+
+    val allRouted = catalog.materializer.exists(m =>
+      ms.forall(!_.isWindowed) &&
+        sets.forall(s => m.route(this, s, ms, where,
+          where.toSeq.flatMap(whereDims)).isDefined))
+    if (allRouted || ms.exists(_.isWindowed)) {
+      // per-set union; dim types come from the widest grain's schema
+      // (lazy — analysis only, no job)
+      val widest = query(unionDims, measures, where)
+      val dimType = unionDims.map(d => d -> widest.schema(d).dataType).toMap
+      val parts = sets.map { set =>
+        val q = if (set == unionDims) widest else query(set, measures, where)
+        val filled = unionDims.filterNot(set.contains).foldLeft(q)(
+          (df, d) => df.withColumn(d, lit(null).cast(dimType(d))))
+        filled.withColumn("grouping_id", lit(gidOf(set)))
+          .select(((unionDims :+ "grouping_id") ++ measures).map(col): _*)
+      }
+      parts.reduce(_ unionByName _)
+    } else {
+      val (rows, dimFor, mExpr) = rowsFor(unionDims, ms, where)
+      val aggCols = ms.map(m => GraftBridge.column(mExpr(m.expr)).as(m.name))
+      // materialize dim exprs as named columns first: groupingSets
+      // matches set entries against the grouping columns by attribute,
+      // so both must reference the SAME resolved column (fresh .as()
+      // aliases would read as distinct grouping expressions)
+      val withDims = unionDims.foldLeft(rows)(
+        (df, d) => df.withColumn(s"__gs_$d", dimFor(d)))
+      withDims.groupingSets(
+          sets.map(_.map(d => col(s"__gs_$d"))),
+          unionDims.map(d => col(s"__gs_$d")): _*)
+        .agg(grouping_id().as("grouping_id"), aggCols: _*)
+        .select(unionDims.map(d => col(s"__gs_$d").as(d))
+          ++ (col("grouping_id") +: measures.map(col)): _*)
+    }
+  }
+
+  /** CUBE sugar: [[queryGroupingSets]] over every subset of `dims`
+    * (2^n grains, detail grain first). */
+  def queryCube(dims: Seq[String], measures: Seq[String],
+      where: Option[String] = None): DataFrame = {
+    require(dims.size <= 10, s"cube over ${dims.size} dims is 2^${dims.size} grains")
+    val sets = ((1 << dims.size) - 1 to 0 by -1).map(mask =>
+      dims.zipWithIndex.collect { case (d, i) if (mask & (1 << (dims.size - 1 - i))) != 0 => d })
+    queryGroupingSets(sets, measures, where)
+  }
+
+  /** ROLLUP sugar: [[queryGroupingSets]] over the prefixes of `dims`,
+    * detail grain down to the grand total. */
+  def queryRollup(dims: Seq[String], measures: Seq[String],
+      where: Option[String] = None): DataFrame =
+    queryGroupingSets((dims.size to 0 by -1).map(dims.take), measures, where)
+
   /** Spec whose dims are identity over their own names — used to filter
     * baseline/rollup tables where dims are already materialized columns. */
   private lazy val identitySpec: MetricViewSpec =

@@ -146,6 +146,20 @@ class RoutingSpec extends SparkSpec {
     assert(routed.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
+  test("CUBE over rollup-covered dims routes every grain (no raw scan under any set)") {
+    val cube = mat.get("mv_order_metrics")
+      .queryCube(Seq("market_segment", "order_status"),
+        Seq("total_revenue", "total_orders"))
+    val p = scans(cube)
+    assert(p.contains("revenue_by_segment"), s"expected rollup scans:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    // equivalence vs the plain catalog's single-pass native plan
+    val direct = plain.get("mv_order_metrics")
+      .queryCube(Seq("market_segment", "order_status"),
+        Seq("total_revenue", "total_orders"))
+    assert(cube.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("auto-domained percentile measure routes correctly (profile-derived [lo, hi), r9)") {
     // graft_percentile_auto(total_price, 0.5, 1024) declares NO domain:
     // [lo, hi) derives from the observed min/max at measure resolution,
