@@ -909,6 +909,64 @@ object ExtQueries {
 
   // ----------------------------------------------------- dedup / similarity
 
+  /** Segment-level (passage) dedup over 16-token windows
+    * ([[graft.ops.SegmentDedup]], r11): drop every repeated segment
+    * after its corpus-first occurrence, rebuild documents from the
+    * survivors, and report the per-source curation card. Exact
+    * duplicate documents lose ALL their segments to the keeper copy;
+    * partially-copied passages lose only the copied windows. */
+  def passageDedup(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.dedup(Tables.documents(s, dir),
+        SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
+      .groupBy("source").agg(
+        count(lit(1)).as("docs"),
+        sum("n_segments").as("segments"),
+        sum("kept_segments").as("kept_segments"),
+        count(when(col("kept_segments") < col("n_segments"), 1)).as("docs_changed"),
+        sum(length(col("new_text"))).as("kept_chars"))
+      .orderBy("source")
+
+  val passageDedupSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), seg AS (
+      |  SELECT doc_id,
+      |         unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pos,
+      |         unnest(list_transform(range(CAST(ceil(len(t) / 16.0) AS BIGINT)),
+      |                i -> array_to_string(t[i*16+1 : i*16+16], ' '))) AS seg
+      |  FROM tk
+      |), segf AS (
+      |  SELECT doc_id, pos, seg,
+      |         md5(regexp_replace(lower(trim(seg)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
+      |  FROM seg WHERE length(trim(seg)) > 0
+      |), kept AS (
+      |  SELECT doc_id, pos, seg FROM (
+      |    SELECT doc_id, pos, seg,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      |    FROM segf) WHERE rn = 1
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS kept_segments,
+      |         string_agg(seg, ' ' ORDER BY pos) AS new_text
+      |  FROM kept GROUP BY 1
+      |), counts AS (
+      |  SELECT doc_id, count(*) AS n_segments FROM segf GROUP BY 1
+      |), j AS (
+      |  SELECT d.source,
+      |         coalesce(c.n_segments, 0) AS n_segments,
+      |         coalesce(p.kept_segments, 0) AS kept_segments,
+      |         coalesce(p.new_text, '') AS new_text
+      |  FROM documents d
+      |  LEFT JOIN counts c USING (doc_id)
+      |  LEFT JOIN perdoc p USING (doc_id)
+      |)
+      |SELECT source, count(*) AS docs,
+      |       CAST(sum(n_segments) AS BIGINT) AS segments,
+      |       CAST(sum(kept_segments) AS BIGINT) AS kept_segments,
+      |       count(CASE WHEN kept_segments < n_segments THEN 1 END) AS docs_changed,
+      |       CAST(sum(length(new_text)) AS BIGINT) AS kept_chars
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** MinHash candidate pairs staged to parquet once per source dir:
     * q_dedup_minhash and q_ngram_jaccard both consume the same
     * banding + verify pipeline — the most expensive text stage in the
@@ -2651,6 +2709,7 @@ object ExtQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"        -> (textStats _),
     "q_dedup_exact"       -> (dedupExact _),
+    "q_passage_dedup"     -> (passageDedup _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -2706,6 +2765,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q_text_stats"        -> textStatsSql,
     "q_dedup_exact"       -> dedupExactSql,
+    "q_passage_dedup"     -> passageDedupSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,
