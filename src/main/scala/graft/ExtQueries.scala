@@ -2484,6 +2484,53 @@ object ExtQueries {
 
   // ------------------------------------------------- sampling / selection
 
+  /** Token-budget mixture assembly (r11): per source, keep documents
+    * in md5-rank order while the running token total stays within the
+    * source's budget ([[graft.ops.Sampling.tokenBudgetSample]] — the
+    * bucketed two-phase prefix sum; the oracle runs the naive global
+    * cumsum the bucketed plan must equal bit-for-bit). Budgets vary
+    * per source (800 + 137·(src# mod 7)) so the cut exercises
+    * different prefixes. */
+  def budgetSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("tokens", size(TextOps.tokens(col("text"))).cast("long"))
+    val budgets = d.select(col("source")).distinct()
+      .select(col("source").as("b_source"),
+        (lit(800) + lit(137) *
+          (expr("CAST(substring(source, 4, 10) AS INT)") % 7)).cast("long")
+          .as("token_budget"))
+    Sampling.tokenBudgetSample(d, col("source"), col("tokens"),
+        col("doc_id"), budgets)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("tokens").as("tokens_kept"))
+      .withColumn("token_budget",
+        (lit(800) + lit(137) *
+          (expr("CAST(substring(source, 4, 10) AS INT)") % 7)).cast("long"))
+      .orderBy("source")
+  }
+
+  val budgetSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tokens
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, source, tokens,
+      |         sum(tokens) OVER (
+      |           PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |), kept AS (
+      |  SELECT * FROM ranked
+      |  WHERE cum <= 800 + 137 * (CAST(substr(source, 4, 10) AS INT) % 7)
+      |)
+      |SELECT source, count(*) AS docs_kept,
+      |       CAST(sum(tokens) AS BIGINT) AS tokens_kept,
+      |       CAST(800 + 137 * (CAST(substr(source, 4, 10) AS INT) % 7) AS BIGINT)
+      |         AS token_budget
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic train/val/test split over documents (md5-mod
     * assignment — stable under corpus growth) with exact per-split
     * stats. Per-row codegen, one tiny aggregate; oracled bit-for-bit
@@ -2710,6 +2757,7 @@ object ExtQueries {
     "q_text_stats"        -> (textStats _),
     "q_dedup_exact"       -> (dedupExact _),
     "q_passage_dedup"     -> (passageDedup _),
+    "q_budget_sample"     -> (budgetSample _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -2766,6 +2814,7 @@ object ExtQueries {
     "q_text_stats"        -> textStatsSql,
     "q_dedup_exact"       -> dedupExactSql,
     "q_passage_dedup"     -> passageDedupSql,
+    "q_budget_sample"     -> budgetSampleSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,

@@ -127,4 +127,58 @@ object Sampling {
       .filter(col("rk") <= col("quota"))
       .drop("__stratum")
   }
+
+  /** Token-budget sample (r11): per stratum, keep documents in the
+    * deterministic md5-rank order while the running TOKEN total stays
+    * within that stratum's budget — the op that assembles "B tokens of
+    * web, B' of code, B'' of books" mixes (Pile/Dolma-style token
+    * budgets), where [[mixtureSample]]'s row quotas are the wrong unit.
+    * Contract: doc kept ⟺ (sum of tokens of all strictly-earlier docs
+    * in the stratum's order) + own tokens ≤ budget — a pure prefix
+    * cut, so membership is decidable per-row from a prefix sum, not a
+    * sequential scan.
+    *
+    * Scale shape — the naive plan is `sum() OVER (PARTITION BY stratum
+    * ORDER BY key)`, which sorts EVERY stratum's full row set in one
+    * task each; a 10 TB stratum is one task. This implementation is a
+    * two-phase bucketed prefix sum instead: the md5 key's 3-hex-char
+    * prefix is the bucket (4096 buckets, and bucket order IS key-prefix
+    * order), so
+    *   1. one partial-aggregated shuffle computes per-(stratum, bucket)
+    *      token sums — metadata scale (|strata|·4096 rows);
+    *   2. a window over THAT tiny frame yields each bucket's offset
+    *      (tokens in all earlier buckets);
+    *   3. rows cumsum only WITHIN their (stratum, bucket) — each
+    *      window partition holds ~1/4096 of a stratum — and add the
+    *      bucket offset.
+    * The result is bit-identical to the naive global cumsum (the
+    * DuckDB oracle runs exactly that), but no task ever sorts more
+    * than a bucket. `budgets` is a (stratum, token_budget) frame —
+    * strata-scale, broadcast into the final filter. Output keeps the
+    * input columns plus `cum_tokens`. */
+  def tokenBudgetSample(df: DataFrame, strataCol: Column, tokensCol: Column,
+      idCol: Column, budgets: DataFrame): DataFrame = {
+    val rows = df
+      .withColumn("__key", md5(idCol.cast("string")))
+      .withColumn("__bkt", substring(col("__key"), 1, 3))
+    val bucketSums = rows
+      .groupBy(strataCol.as("__s"), col("__bkt").as("__b"))
+      .agg(sum(tokensCol).as("__bt"))
+    val offsets = bucketSums.withColumn("__off",
+      coalesce(sum(col("__bt")).over(
+        Window.partitionBy(col("__s")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    rows
+      .join(offsets,
+        strataCol === col("__s") && col("__bkt") === col("__b"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(tokensCol).over(
+          Window.partitionBy(strataCol, col("__bkt"))
+            .orderBy(col("__key").asc, idCol.asc)))
+      .join(broadcast(budgets), strataCol === budgets.col(budgets.columns.head))
+      .filter(col("cum_tokens") <= budgets.col(budgets.columns.last))
+      .drop("__key", "__bkt", "__s", "__b", "__bt", "__off")
+      .drop(budgets.col(budgets.columns.head))
+      .drop(budgets.col(budgets.columns.last))
+  }
 }
