@@ -1372,6 +1372,55 @@ object ExtQueries {
        |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin
   }
 
+  /** SemDeDup (r11, [[graft.ops.SemDeDup]]): semantic near-dup removal
+    * over the embedding table — per-cell curation card. θ = 0.42 here:
+    * the synthetic embeddings top out near cosine 0.51, so a
+    * production θ (0.95) would exercise nothing — the threshold is on
+    * raw (un-rounded) cosine, and both engines compute the identical
+    * double fold, so the θ-set matches exactly at any value. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    SemDeDup.semDedup(Tables.embeddings(s, dir), k = 8, theta = 0.42)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("kept"), 1)).as("kept"),
+        count(when(!col("kept"), 1)).as("dropped"))
+      .orderBy("cell")
+
+  val semDedupSql: String = {
+    def cosRaw(x: String, y: String) =
+      s"${dotFold(x, y)} / (sqrt(${dotFold(x, x)}) * sqrt(${dotFold(y, y)}))"
+    s"""WITH ranked AS (
+       |  SELECT vec_id, embedding
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+       |), anchors AS (
+       |  SELECT vec_id AS a_vec, embedding AS a_emb,
+       |         row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS anum
+       |  FROM ranked
+       |), scored AS (
+       |  SELECT e.vec_id, a.anum, ${cosRaw("e.embedding", "a.a_emb")} AS c
+       |  FROM embeddings e CROSS JOIN anchors a
+       |), assign AS (
+       |  SELECT vec_id, anum AS cell FROM (
+       |    SELECT vec_id, anum,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c DESC, anum ASC) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosRaw("ea.embedding", "eb.embedding")} >= 0.42
+       |)
+       |SELECT cell, count(*) AS n_vecs,
+       |       count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS kept,
+       |       count(d.vec_id) AS dropped
+       |FROM assign LEFT JOIN dropped d USING (vec_id)
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Winnowing (rolling-hash) fingerprint dedup: docs sharing
     * fingerprints are near-dup candidates, ranked by overlap count
     * (fully oracled — winnowDedupSql recomputes the polynomial hash in
@@ -2758,6 +2807,7 @@ object ExtQueries {
     "q_dedup_exact"       -> (dedupExact _),
     "q_passage_dedup"     -> (passageDedup _),
     "q_budget_sample"     -> (budgetSample _),
+    "q_semdedup"          -> (semDedup _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -2815,6 +2865,7 @@ object ExtQueries {
     "q_dedup_exact"       -> dedupExactSql,
     "q_passage_dedup"     -> passageDedupSql,
     "q_budget_sample"     -> budgetSampleSql,
+    "q_semdedup"          -> semDedupSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,
