@@ -365,7 +365,18 @@ object WindowQueries {
          |       ${Queries.varFormulaSql("stddev", "wn", "ws", "wq")} AS trailing_30d_stddev
          |FROM w ORDER BY market_segment, order_date""".stripMargin
 
+  /** The same trailing-30d stddev with the base collapse ROUTED
+    * through the stats_by_seg_day rollup (r11): the frame re-aggregates
+    * stored (n, Σx, Σx²) day partials — associative merges, so the
+    * result is bit-identical to the raw-row collapse and the oracle is
+    * the same SQL. RoutingSpec gates the plan (no raw scan). */
+  def routedWindow(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.matCatalog(s, dir).get("mv_orders_stats")
+      .query(Seq("market_segment", "order_date"), Seq("trailing_30d_stddev"))
+      .orderBy("market_segment", "order_date")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_routed_window"          -> (routedWindow _),
     "q_win_stddev"             -> (trailingStddev _),
     "q_win_trailing7d"         -> (trailing7d _),
     "q_win_trailing7d_segment" -> (trailing7dSegment _),
@@ -382,6 +393,7 @@ object WindowQueries {
     "q_win_from_baseline"      -> (trailingFromBaseline _))
 
   val oracles: Map[String, String] = Map(
+    "q_routed_window"          -> trailingStddevSql,
     "q_win_stddev"             -> trailingStddevSql,
     "q_win_trailing7d"         -> trailing7dSql,
     "q_win_trailing7d_segment" -> trailing7dSegmentSql,

@@ -155,13 +155,29 @@ final class MetricView(
     if (plainMs.nonEmpty && foldedPlain.isEmpty)
       parts += routed.getOrElse(aggregateFromRows(dims, plainMs, where))
 
-    // window measures: computed on the fly (baseline-backed when built),
-    // never from rollups — reference README.md:431
+    // window measures: frame math always runs on the fly, but the
+    // base-grain collapse ROUTES through a rollup when one stores the
+    // needed partials at a covering grain (Materializer.windowBase,
+    // r11) — the reference's never-route rule (README.md:431) exists
+    // because its rollups store finalized measures; ours store
+    // mergeable partials, which makes the route semantically invisible
     windowGroups.zipWithIndex.foreach { case (group, gi) =>
       val fold = if (gi == 0) foldedPlain else Nil
-      val (rows, dimFor, mExpr) = rowsFor(dims, group ++ fold, where,
-        extraDims = group.head.window.map(_.order))
-      parts += WindowPlanner.planShared(spark, spec, group, fold, dims, rows, dimFor, mExpr)
+      val baseGrain = (dims ++ group.head.window.map(_.order)).distinct
+      val neededPartials = graft.plan.AggDecompose.distinctPartials(
+        (group ++ fold).flatMap(m => decomposed(m).toSeq.flatMap(_.partials)))
+        .map(_.name)
+      val routedBase = catalog.materializer.flatMap(_.windowBase(
+        this, baseGrain, neededPartials, where, where.toSeq.flatMap(whereDims)))
+      parts += (routedBase match {
+        case Some(pre) =>
+          WindowPlanner.planShared(spark, spec, group, fold, dims, pre,
+            d => col(d), measureExpr, preAggregated = true)
+        case None =>
+          val (rows, dimFor, mExpr) = rowsFor(dims, group ++ fold, where,
+            extraDims = group.head.window.map(_.order))
+          WindowPlanner.planShared(spark, spec, group, fold, dims, rows, dimFor, mExpr)
+      })
     }
 
     val joined = parts.reduceLeft(joinParts(dims))

@@ -124,6 +124,52 @@ final class Materializer(workDir: String, resolve: String => DataFrame) {
       if isBuilt(v)
     } yield VersionedTable.read(SparkSession.active, path(v, mv.name))
 
+  /** Window-measure base routing (r11): a window plan's step 1
+    * collapses the fact relation to (query dims ∪ order ∪ reset keys)
+    * partials; when some aggregated rollup's dims cover that base
+    * grain AND its stored partial columns include every partial the
+    * frame needs (content-addressed names — a rollup built for
+    * `total_revenue` stores `gp_sum_total_price__…`, the exact column
+    * a `trailing sum(total_price)` frame re-aggregates), the collapse
+    * can re-aggregate the ROLLUP instead of scanning the fact table.
+    * The frame math is unchanged — partial merges are associative, so
+    * re-collapsing day-grain rollup partials is bit-identical to
+    * collapsing fact rows — only the input is rollup-scale. Returns
+    * the (where-filtered) rollup table; the WindowPlanner re-collapses
+    * it to the base grain itself (`preAggregated` path). The reference
+    * never routes windows (README.md:431) because its rollups store
+    * FINALIZED measures; storing decomposed partials is what makes
+    * this legal here. */
+  def windowBase(
+      v: MetricView,
+      baseGrain: Seq[String],
+      neededPartials: Seq[String],
+      where: Option[String],
+      whereDims: Seq[String]): Option[DataFrame] = {
+    if (!isBuilt(v)) return None
+    val spark = SparkSession.active
+    val needed = (baseGrain ++ whereDims).toSet
+    val candidates = v.spec.materialization.toSeq
+      .flatMap(_.materializedViews)
+      .filter(_.isAggregated)
+      .filter { r =>
+        needed.subsetOf(r.dimensions.toSet) && {
+          val stored = graft.plan.AggDecompose.distinctPartials(
+            r.measures.flatMap(n =>
+              v.decomposed(v.spec.measure(n)).toSeq.flatMap(_.partials)))
+            .map(_.name).toSet
+          neededPartials.forall(stored.contains)
+        }
+      }
+    candidates.sortBy(r =>
+      (VersionedTable.rowCount(path(v, r.name)).getOrElse(Long.MaxValue),
+        r.dimensions.size)).headOption.map { r =>
+      val pre = VersionedTable.read(spark, path(v, r.name))
+      where.fold(pre)(w => pre.filter(
+        Expander.dimFilter(spark, identityDims(v), w)))
+    }
+  }
+
   /** Routing decision + routed plan (reference A10, README.md:399-431):
     * eligible iff some aggregated rollup covers the query dims, the
     * WHERE's dims, and every requested measure (all decomposable, none

@@ -112,7 +112,11 @@ object WindowPlanner {
       dims: Seq[String],
       rows: DataFrame,
       dimExprFor: String => Column,
-      measureExpr: String => org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+      measureExpr: String => org.apache.spark.sql.catalyst.expressions.Expression,
+      /** rows already hold base partials (a routed rollup,
+        * Materializer.windowBase): step 1 MERGES stored partial columns
+        * (associative re-agg) instead of computing them from raw rows */
+      preAggregated: Boolean = false): DataFrame = {
 
     require(ms.nonEmpty, "planShared needs at least one window measure")
     require(ms.map(frameKey).distinct.size == 1,
@@ -138,9 +142,16 @@ object WindowPlanner {
     //    collapse it ONCE; name-distinct is a safe dedup)
     val allPartials = AggDecompose.distinctPartials(
       (winDecs ++ plainDecs).flatMap(_._2.partials))
+    // preAggregated input: the rollup stores the partial COLUMNS; the
+    // collapse to base grain is a merge (reagg) of those columns under
+    // the same names — posts stay in the combiner, exactly as when the
+    // partials come off raw rows
+    val baseAggs =
+      if (preAggregated) allPartials.map(p => p.reagg(p.name).as(p.name))
+      else allPartials.map(_.agg)
     val base = rows
       .groupBy(baseGrain.map(d => dimExprFor(d).as(d)): _*)
-      .agg(allPartials.head.agg, allPartials.tail.map(_.agg): _*)
+      .agg(baseAggs.head, baseAggs.tail: _*)
 
     // 2. frame value per window measure, all over ONE partitioning —
     //    Spark's window planner shares the exchange (and the sort, when

@@ -393,6 +393,14 @@ object Specs {
       |        - revenue_stddev
       |        - revenue_var
       |        - revenue_stddev_pop
+      |    - name: stats_by_seg_day
+      |      type: aggregated
+      |      dimensions:
+      |        - market_segment
+      |        - order_date
+      |      measures:
+      |        - order_count
+      |        - revenue_stddev
       |""".stripMargin
 
   val all: Map[String, String] = Map(

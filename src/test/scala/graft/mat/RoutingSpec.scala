@@ -235,11 +235,24 @@ class RoutingSpec extends SparkSpec {
     assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
-  test("window measures never route to rollups") {
+  test("window base does not route absent a rollup covering the order grain") {
+    // mv_order_metrics' rollups lack order_date, so the trailing frame
+    // must collapse from rows, not a rollup
     val q = mat.get("mv_order_metrics")
       .query(Seq("order_date"), Seq("trailing_7d_revenue"))
     val p = scans(q)
     assert(!p.contains("revenue_by_segment") && !p.contains("monthly_revenue"), p)
+  }
+
+  test("window base ROUTES through a partial-storing rollup at the order grain (r11)") {
+    val q = mat.get("mv_orders_stats")
+      .query(Seq("market_segment", "order_date"), Seq("trailing_30d_stddev"))
+    val p = scans(q)
+    assert(p.contains("stats_by_seg_day"), s"expected rollup scan:\n$p")
+    assert(!p.contains("orders.parquet"), s"expected no raw scan:\n$p")
+    val direct = plain.get("mv_orders_stats")
+      .query(Seq("market_segment", "order_date"), Seq("trailing_30d_stddev"))
+    assert(q.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
   test("smallest covering rollup is chosen") {
