@@ -374,6 +374,21 @@ object Queries {
         |GROUP BY CUBE (market_segment, order_status)
         |ORDER BY grouping_id, market_segment, order_status""".stripMargin
 
+  /** Multi-grain through the SQL surface: GROUP BY CUBE with
+    * MEASURE() + grouping_id() — the analyzer rule delegates to
+    * queryGroupingSets, so SQL cubes inherit per-grain routing / the
+    * native single-pass like the DataFrame path. */
+  def sqlCube(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.catalog(s, dir) // registers views for the SQL path
+    s.sql(
+      """SELECT market_segment, order_status, grouping_id() AS grouping_id,
+        |       CAST(MEASURE(total_revenue) AS DOUBLE) AS total_revenue,
+        |       MEASURE(total_orders) AS total_orders
+        |FROM mv_order_metrics
+        |GROUP BY CUBE (market_segment, order_status)
+        |ORDER BY grouping_id, market_segment, order_status""".stripMargin)
+  }
+
   /** DuckDB mirror of the rewritten variance combiner — the exact
     * double expression AggDecompose.rewriteVariance emits, over caller-
     * supplied n/Σx/Σx² SQL fragments. One generator serves every
@@ -920,6 +935,7 @@ object Queries {
     "q_mv_stddev"             -> (mvOrdersStddev _),
     "q_mv_groupingsets"       -> (mvGroupingSets _),
     "q_routed_cube"           -> (routedCube _),
+    "q_sql_cube"              -> (sqlCube _),
     "q_routed_stddev"         -> (routedStddev _),
     "q_sql_stddev"            -> (sqlStddev _),
     "q_mv_customer"           -> (mvCustomerMetrics _),
@@ -953,6 +969,7 @@ object Queries {
     "q_mv_stddev"             -> mvOrdersStddevSql,
     "q_mv_groupingsets"       -> mvGroupingSetsSql,
     "q_routed_cube"           -> routedCubeSql,
+    "q_sql_cube"              -> routedCubeSql,
     "q_routed_stddev"         -> routedStddevSql,
     "q_sql_stddev"            -> mvOrdersStddevSql,
     "q_mv_sales_geo"          -> mvSalesGeoSql,

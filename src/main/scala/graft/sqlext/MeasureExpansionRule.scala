@@ -85,9 +85,21 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
 
-      val dims = groupExprs.map(g => asDim(g).getOrElse(sys.error(
+      def dimOf(g: Expression): String = asDim(g).getOrElse(sys.error(
         s"metric view ${view.name}: GROUP BY must reference dimensions " +
-          s"(${view.spec.dimensions.map(_.name).mkString(", ")}); got: ${g.sql}")))
+          s"(${view.spec.dimensions.map(_.name).mkString(", ")}); got: ${g.sql}"))
+
+      // GROUP BY CUBE / ROLLUP / GROUPING SETS (r11): one
+      // BaseGroupingSets node carries every grain — delegate to
+      // queryGroupingSets so multi-grain SQL inherits per-grain rollup
+      // routing / the native single-pass exactly like the DataFrame path
+      val multiGrain: Option[Seq[Seq[String]]] = groupExprs match {
+        case Seq(b: BaseGroupingSets) => Some(b.selectedGroupByExprs.map(_.map(dimOf)))
+        case _ => None
+      }
+      val dims =
+        if (multiGrain.isDefined) Nil
+        else groupExprs.map(dimOf)
 
       def measuresIn(es: Seq[Expression]): Seq[String] = es.flatMap(_.collect {
         case f: UnresolvedFunction if isMeasureFn(f) =>
@@ -103,13 +115,25 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         measuresIn(sort.toSeq.flatMap(_._1.map(_.child)))).distinct
 
       val where = filters.map(f => s"(${f.sql})").reduceOption(_ + " AND " + _)
-      val expanded = GraftBridge.logicalPlan(view.query(dims, measures, where))
+      val expanded = GraftBridge.logicalPlan(multiGrain match {
+        case Some(sets) => view.queryGroupingSets(sets, measures, where)
+        case None       => view.query(dims, measures, where)
+      })
 
-      // MEASURE(m) -> column m; strip view/alias qualifiers off dims
+      // MEASURE(m) -> column m; grouping_id() -> the expansion's
+      // grouping_id column; strip view/alias qualifiers off dims
       def rewrite(e: Expression): Expression = e.transformUp {
         case f: UnresolvedFunction if isMeasureFn(f) =>
           val Seq(ua: UnresolvedAttribute) = f.arguments
           UnresolvedAttribute(Seq(ua.nameParts.last))
+        case f: UnresolvedFunction
+            if multiGrain.isDefined && f.arguments.isEmpty &&
+              f.nameParts.map(_.toLowerCase) == Seq("grouping_id") =>
+          UnresolvedAttribute(Seq("grouping_id"))
+        // ResolveFunctions may beat this rule to it and resolve the
+        // call into the Catalyst GroupingID marker — same rewrite
+        case g: GroupingID if multiGrain.isDefined && g.groupByExprs.isEmpty =>
+          UnresolvedAttribute(Seq("grouping_id"))
         case ua: UnresolvedAttribute
             if ua.nameParts.length > 1 && quals(ua.nameParts.init.mkString(".")) =>
           UnresolvedAttribute(Seq(ua.nameParts.last))

@@ -253,6 +253,34 @@ class SqlMeasureSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown metric view"))
   }
 
+  test("GROUP BY CUBE / ROLLUP / GROUPING SETS through SQL MEASURE() (r11)") {
+    init()
+    val sql = spark.sql(
+      """SELECT market_segment, order_status, grouping_id() AS gid,
+        |       MEASURE(total_orders) AS n
+        |FROM mv_order_metrics
+        |GROUP BY CUBE (market_segment, order_status)""".stripMargin)
+    val api = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .queryCube(Seq("market_segment", "order_status"), Seq("total_orders"))
+    assert(sql.collect().map(_.toSeq).toSet == api.collect().map(_.toSeq).toSet)
+
+    val roll = spark.sql(
+      """SELECT order_year, order_month, grouping_id() AS gid,
+        |       MEASURE(total_revenue) AS rev
+        |FROM mv_order_metrics
+        |GROUP BY ROLLUP (order_year, order_month)""".stripMargin)
+    val rollApi = SparkEntry.catalog(spark, sfDir).get("mv_order_metrics")
+      .queryRollup(Seq("order_year", "order_month"), Seq("total_revenue"))
+    assert(roll.collect().map(_.toSeq).toSet == rollApi.collect().map(_.toSeq).toSet)
+
+    val gs = spark.sql(
+      """SELECT market_segment, grouping_id() AS gid, MEASURE(total_orders) AS n
+        |FROM mv_order_metrics
+        |GROUP BY GROUPING SETS ((market_segment), ())
+        |ORDER BY gid, market_segment""".stripMargin).collect()
+    assert(gs.count(_.getLong(1) == 1L) == 1, "one grand-total row")
+  }
+
   test("non-dim GROUP BY is rejected with a helpful error") {
     init()
     val e = intercept[Exception] {
