@@ -1909,6 +1909,70 @@ object ExtQueries {
         .select(col("doc_id"), col("quality_score"), col("is_canonical")))
   }
 
+  private val stagedLiveMetrics = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Catalog hosting the corpus metric view over a staged feed dir;
+    * cheap to reconstruct — build state (markBuilt + rollup versions +
+    * stream checkpoint) lives on disk under `$p/work`. Re-binds the
+    * main catalog afterwards so SQL DDL keeps targeting it. */
+  private def liveCatalog(s: SparkSession, p: String, dir: String) = {
+    val schema = s.read.parquet(s"$p/feed/b0").schema
+    val cat = new graft.api.MetricViewCatalog(s,
+      {
+        case "documents" => s.read.parquet(s"$p/feed/b*")
+        case n => sys.error(s"corpus catalog has no source '$n'")
+      },
+      Some(s"$p/work"),
+      streamSource = {
+        case "documents" => Some(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$p/feed/b*"))
+        case _ => None
+      })
+    cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
+    SparkEntry.catalog(s, dir).bind()
+    cat
+  }
+
+  /** Live corpus metrics (r11): the daemon's metrics family end to
+    * end — documents arrive as a 3-file stream, each microbatch FOLDS
+    * into the corpus view's (source, lang) rollup
+    * (IncrementalMaterializer partial-merge + versioned flip), and the
+    * MEASURE() query routes to the stream-maintained partials: counts
+    * and char mass re-sum, the size percentile re-merges histogram
+    * partials. The oracle computes the same numbers from the raw
+    * corpus — fold == rebuild composed with routing, hash-gated. */
+  def liveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedLiveMetrics, dir, "graft_live_metrics") { p =>
+      val docs = Tables.documents(s, dir)
+      (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$p/feed/b$i"))
+      val t0 = System.nanoTime()
+      liveCatalog(s, p, dir).refresh("mv_corpus") // drains 3 microbatch folds
+      stageTimings("q_live_metrics") = Seq(
+        "stream_fold" -> (System.nanoTime() - t0) / 1e9)
+    }
+    liveCatalog(s, path, dir).get("mv_corpus")
+      .query(Seq("source"), Seq("doc_count", "char_sum", "char_p90"))
+      .orderBy("source")
+  }
+
+  val liveMetricsSql: String =
+    s"""WITH hb AS (
+       |  SELECT source,
+       |         ${Queries.binSql("CAST(n_chars AS DOUBLE)", "0.0", "1024.0", 256)} AS bin
+       |  FROM documents
+       |), """.stripMargin +
+      Queries.quantileCtes(Seq("source"),
+        "(SELECT source, bin, count(*) AS c FROM hb GROUP BY 1, 2)",
+        Seq("e90" -> "0.9"), "0.0", "1024.0", 256) +
+      s"""
+         |SELECT g.source, g.doc_count, g.char_sum, e90.v AS char_p90
+         |FROM (SELECT source, count(*) AS doc_count,
+         |             CAST(sum(n_chars) AS BIGINT) AS char_sum
+         |      FROM documents GROUP BY 1) g
+         |JOIN e90 USING (source)
+         |ORDER BY g.source""".stripMargin
+
   /** Canonicalization manifest — the terminal dedup step a training
     * pipeline materializes: per duplicate cluster keep the
     * highest-quality member (6dp-rounded quality score, min doc_id on
@@ -2808,6 +2872,7 @@ object ExtQueries {
     "q_passage_dedup"     -> (passageDedup _),
     "q_budget_sample"     -> (budgetSample _),
     "q_semdedup"          -> (semDedup _),
+    "q_live_metrics"      -> (liveMetrics _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -2866,6 +2931,7 @@ object ExtQueries {
     "q_passage_dedup"     -> passageDedupSql,
     "q_budget_sample"     -> budgetSampleSql,
     "q_semdedup"          -> semDedupSql,
+    "q_live_metrics"      -> liveMetricsSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,

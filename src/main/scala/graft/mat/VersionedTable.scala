@@ -49,11 +49,18 @@ object VersionedTable {
       sys.error(s"versioned table at $dir has no current version")))
 
   /** Write `df` as the next version and atomically flip the pointer. */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, extras: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir))
     val curN = currentVersion(dir).map(versionNumber).getOrElse(0L)
     val next = s"v${curN + 1}"
     df.write.mode("overwrite").parquet(s"$dir/$next")
+    // caller metadata ("_"-prefixed, invisible to the parquet reader)
+    // lands INSIDE the version dir before the flip — atomic with the
+    // data, the DriftStore ledger pattern (e.g. applied-fold ledgers)
+    extras.foreach { case (name, content) =>
+      require(name.startsWith("_"), s"extra file '$name' must be _-prefixed")
+      Files.write(Paths.get(dir, next, name), content.getBytes)
+    }
     // snapshot stats, captured while the version is being produced: the
     // count-star re-read is answered from parquet footer metadata (no
     // row scan), and routing uses it to pick the CHEAPEST covering

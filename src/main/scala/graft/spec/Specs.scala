@@ -403,6 +403,44 @@ object Specs {
       |        - revenue_stddev
       |""".stripMargin
 
+  /** Corpus metric view over the documents table (r11): the metrics
+    * face of the ingest daemon — its by_source_lang rollup is
+    * maintained per microbatch by ContinuousIngest's `metrics` family
+    * / catalog.refresh's incremental path, so MEASURE() dashboards
+    * (doc counts, char mass, size percentiles) answer from a
+    * stream-maintained partial store, never a corpus rescan. NOT in
+    * [[all]]: it resolves the `documents` source, not the orders
+    * models — register it on a catalog with a documents resolver. */
+  val corpusMetrics: String =
+    """version: 0.1
+      |source: documents
+      |dimensions:
+      |  - name: source
+      |    expr: source
+      |  - name: lang
+      |    expr: lang
+      |measures:
+      |  - name: doc_count
+      |    expr: count(*)
+      |  - name: char_sum
+      |    expr: sum(n_chars)
+      |  - name: char_p90
+      |    expr: graft_percentile_bounded(n_chars, 0.9, 0.0, 1024.0, 256)
+      |materialization:
+      |  schedule: every 8 weeks
+      |  mode: relaxed
+      |  materialized_views:
+      |    - name: by_source_lang
+      |      type: aggregated
+      |      dimensions:
+      |        - source
+      |        - lang
+      |      measures:
+      |        - doc_count
+      |        - char_sum
+      |        - char_p90
+      |""".stripMargin
+
   val all: Map[String, String] = Map(
     "mv_orders_simple"    -> mvOrdersSimple,
     "mv_order_metrics"    -> mvOrderMetrics,

@@ -48,12 +48,20 @@ object ContinuousIngest {
     * drift profile, and span state; returns the number of non-empty
     * batches. All state roots must exist (offline writeState /
     * writeIndex / writeProfile first). Pass `checkpoint` for
-    * restart-exactly-once file-source progress. */
+    * restart-exactly-once file-source progress.
+    *
+    * `metrics` (r11) adds a fifth family: a corpus METRIC VIEW whose
+    * aggregated rollups fold per microbatch
+    * ([[IncrementalMaterializer.foldBatch]] — partial-merge, ledger-
+    * guarded like every other family), so MEASURE() dashboard queries
+    * route to a stream-maintained rollup instead of rescanning the
+    * corpus — the live-metrics face of the daemon. */
   def run(stream: DataFrame, indexPath: String, clusterPath: String,
       pairsLog: String, driftRoot: String, spansRoot: String,
       keyedOf: DataFrame => DataFrame,
       spanN: Int = 8, spanBuckets: Int = 64, nBuckets: Int = 64,
-      checkpoint: Option[String] = None): Long = {
+      checkpoint: Option[String] = None,
+      metrics: Option[(graft.api.MetricView, IncrementalMaterializer)] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -76,7 +84,11 @@ object ContinuousIngest {
             Folds.launch(b.sparkSession)(Folds.FamilyClock.time("spans") {
               graft.ops.IncrementalSpans.applyDelta(b.sparkSession,
                 spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
-            }))
+            })) ++ metrics.map { case (v, im) =>
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("metrics") {
+              im.foldBatch(v, b, foldId = Some(fid))
+            })
+          }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,
             pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
           finally others.foreach(Await.result(_, Duration.Inf))

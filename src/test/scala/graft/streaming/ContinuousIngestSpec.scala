@@ -33,10 +33,32 @@ class ContinuousIngestSpec extends SparkSpec {
 
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$p/feed/b*")
+    // fifth family (r11): the corpus metric view's rollup folds per
+    // microbatch; seed it with the offline corpus first
+    val cat = new graft.api.MetricViewCatalog(spark,
+      { case "documents" => all; case n => sys.error(s"no source $n") },
+      Some(s"$p/metrics"))
+    val mv = cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
+    val im = cat.incremental.get
+    im.foldBatch(mv, corpus, foldId = Some("seed"))
     val n = ContinuousIngest.run(stream, s"$p/index", s"$p/state",
       s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
-      spanN = 8, spanBuckets = 16)
+      spanN = 8, spanBuckets = 16, metrics = Some((mv, im)))
     assert(n == 3, s"expected 3 microbatches, got $n")
+
+    // metrics rollup == batch partials over the union; a replayed fold
+    // id no-ops (the ledger guard)
+    cat.materializer.get.markBuilt(mv)
+    val live = mv.query(Seq("source"), Seq("doc_count", "char_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = all.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("cs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live == expect, "stream-maintained rollup == batch aggregate")
+    im.foldBatch(mv, corpus, foldId = Some("seed")) // replay: must no-op
+    val replayed = mv.query(Seq("source"), Seq("doc_count", "char_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == expect, "replayed fold id must not double-merge")
 
     // dedup labels == batch CC over the union
     val gotLabels = IncrementalClusters.readLabels(spark, s"$p/state")
