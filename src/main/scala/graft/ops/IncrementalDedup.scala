@@ -173,14 +173,21 @@ object IncrementalDedup {
     // mid-absorb still needs an index rebuild — the ledger closes the
     // common cross-family retry window, not that one; the versioned
     // folds (clusters/spans/drift) are fully atomic)
-    foldId.foreach { id =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(indexPath).resolve("_applied_folds"),
-        (id + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
+    foldId.foreach(commitFold(indexPath, _))
   }
+
+  /** Append a completed fold id to the index ledger. Exposed for
+    * callers that sequence the commit after OTHER same-family work
+    * finishes (ContinuousDedup r11: the pairs-log write overlaps the
+    * absorb, and the id must commit only once BOTH landed — a ledger
+    * written by the absorb alone would make a retry skip a probe whose
+    * pairs never hit disk). */
+  def commitFold(indexPath: String, foldId: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexPath).resolve("_applied_folds"),
+      (foldId + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 
   /** The slim banded frame of `delta` under the default hash family —
     * the shared input of [[deltaPairsGuarded]] and [[applyDelta]]

@@ -90,20 +90,33 @@ object ContinuousDedup {
         // its bucket collect, and the absorb's two appends all read it)
         val banded = graft.ops.Persists.cacheFor(
           graft.ops.IncrementalDedup.bandedOf(batch, textCol, idCol), 64)
-        Folds.FamilyClock.time("dedup_probe") {
-          val pairs = graft.ops.IncrementalDedup.deltaPairs(
+        // the probe's MATCH POINT is deltaPairs construction: the
+        // candidate-pair cache materializes here (the bucket collect),
+        // and every corpus-store read in the pair plan pins its file
+        // listing now — so the pairs WRITE (which replays the cache and
+        // runs the verify joins over those pinned listings) can overlap
+        // the absorb, whose index writes are pure appends the pinned
+        // listings never see (r11: write and absorb were the two
+        // serialized tails of the daemon's critical path)
+        val pairs = Folds.FamilyClock.time("dedup_probe") {
+          graft.ops.IncrementalDedup.deltaPairs(
             spark, indexPath, batch, textCol, idCol, preBanded = Some(banded))
+        }
+        val writeF = Folds.launch(spark)(Folds.FamilyClock.time("dedup_pairs_write") {
           foldId match {
             case Some(fid) => // replayable slot: overwrite, never append
               pairs.write.mode("overwrite").parquet(s"$pairsLog/fold=$fid")
             case None =>
               pairs.write.mode("append").parquet(pairsLog)
           }
-        }
-        Folds.FamilyClock.time("dedup_absorb") {
+        })
+        try Folds.FamilyClock.time("dedup_absorb") {
+          // ledger committed below by THIS caller, after the pairs
+          // write also lands (IncrementalDedup.commitFold scaladoc)
           graft.ops.IncrementalDedup.applyDelta(spark, indexPath, batch,
-            textCol, idCol, foldId = foldId, preBanded = Some(banded))
-        }
+            textCol, idCol, foldId = None, preBanded = Some(banded))
+        } finally Await.result(writeF, Duration.Inf)
+        foldId.foreach(graft.ops.IncrementalDedup.commitFold(indexPath, _))
       }
     } finally Await.result(clustersF, Duration.Inf)
   }
