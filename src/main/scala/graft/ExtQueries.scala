@@ -1372,6 +1372,46 @@ object ExtQueries {
        |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin
   }
 
+  /** Unigram-LM quality card (r11, [[graft.ops.UnigramLm]]): corpus-
+    * trained mean token log-probability per document, rolled up per
+    * source. The per-word log-probs are 6dp-fixed decimals and every
+    * cross-row sum is exact decimal, so the scores hash-oracle. */
+  def unigramQuality(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.scores(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        min("logp").as("min_logp"),
+        max("logp").as("max_logp"),
+        round(sum(col("logp").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logp"))
+      .orderBy("source")
+
+  val unigramQualitySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), dwc AS (
+      |  SELECT doc_id, source, w, count(*) AS c FROM tk GROUP BY 1, 2, 3
+      |), vocab AS (
+      |  SELECT w, count(*) AS cw FROM tk GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cw) AS BIGINT) AS t FROM vocab
+      |), lp AS (
+      |  SELECT w, CAST(round(ln(CAST(cw AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM vocab, tot
+      |), ds AS (
+      |  SELECT doc_id, source,
+      |         round(CAST(sum(CAST(c AS DECIMAL(18,0)) * lp) AS DOUBLE)
+      |               / sum(c), 6) AS logp
+      |  FROM dwc JOIN lp USING (w) GROUP BY 1, 2
+      |)
+      |SELECT source, count(*) AS docs,
+      |       min(logp) AS min_logp, max(logp) AS max_logp,
+      |       round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+      |             / count(*), 6) AS avg_logp
+      |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   /** SemDeDup (r11, [[graft.ops.SemDeDup]]): semantic near-dup removal
     * over the embedding table — per-cell curation card. θ = 0.42 here:
     * the synthetic embeddings top out near cosine 0.51, so a
@@ -2873,6 +2913,7 @@ object ExtQueries {
     "q_budget_sample"     -> (budgetSample _),
     "q_semdedup"          -> (semDedup _),
     "q_live_metrics"      -> (liveMetrics _),
+    "q_unigram_quality"   -> (unigramQuality _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -2932,6 +2973,7 @@ object ExtQueries {
     "q_budget_sample"     -> budgetSampleSql,
     "q_semdedup"          -> semDedupSql,
     "q_live_metrics"      -> liveMetricsSql,
+    "q_unigram_quality"   -> unigramQualitySql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,

@@ -134,6 +134,15 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // call into the Catalyst GroupingID marker — same rewrite
         case g: GroupingID if multiGrain.isDefined && g.groupByExprs.isEmpty =>
           UnresolvedAttribute(Seq("grouping_id"))
+        // grouping(dim): the dim's bit of the expansion's grouping_id
+        // (first union dim most significant — the standard), handled in
+        // both the unresolved-function and resolved (Grouping) forms
+        case f: UnresolvedFunction
+            if multiGrain.isDefined && f.arguments.length == 1 &&
+              f.nameParts.map(_.toLowerCase) == Seq("grouping") =>
+          groupingBit(multiGrain.get, f.arguments.head, asDim)
+        case g: Grouping if multiGrain.isDefined =>
+          groupingBit(multiGrain.get, g.child, asDim)
         case ua: UnresolvedAttribute
             if ua.nameParts.length > 1 && quals(ua.nameParts.init.mkString(".")) =>
           UnresolvedAttribute(Seq(ua.nameParts.last))
@@ -148,6 +157,23 @@ class MeasureExpansionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       Project(outExprs.map(ne => rewrite(ne).asInstanceOf[NamedExpression]), sorted)
     }
+
+  /** `grouping(dim)` over the expansion: extract the dim's bit from the
+    * grouping_id column (TINYINT like Spark's native `grouping`). */
+  private def groupingBit(sets: Seq[Seq[String]], arg: Expression,
+      asDim: Expression => Option[String]): Expression = {
+    val unionDims = sets.flatten.distinct
+    val d = asDim(arg).getOrElse(sys.error(
+      s"grouping() takes a dimension; got: ${arg.sql}"))
+    val idx = unionDims.indexOf(d)
+    require(idx >= 0, s"grouping($d): '$d' is not in any grouping set")
+    val shift = unionDims.length - 1 - idx
+    Cast(
+      BitwiseAnd(
+        ShiftRight(UnresolvedAttribute(Seq("grouping_id")), Literal(shift)),
+        Literal(1L)),
+      org.apache.spark.sql.types.ByteType)
+  }
 
   private def stripAlias(e: Expression): Expression = e match {
     case Alias(c, _) => stripAlias(c)

@@ -279,6 +279,16 @@ class SqlMeasureSpec extends SparkSpec {
         |GROUP BY GROUPING SETS ((market_segment), ())
         |ORDER BY gid, market_segment""".stripMargin).collect()
     assert(gs.count(_.getLong(1) == 1L) == 1, "one grand-total row")
+
+    // grouping(dim) = that dim's aggregated-away bit (tinyint)
+    val gfun = spark.sql(
+      """SELECT market_segment, grouping(market_segment) AS gm,
+        |       grouping(order_status) AS gs, MEASURE(total_orders) AS n
+        |FROM mv_order_metrics
+        |GROUP BY CUBE (market_segment, order_status)""".stripMargin).collect()
+    assert(gfun.forall(r => (r.isNullAt(0)) == (r.getByte(1) == 1)))
+    assert(gfun.map(r => (r.getByte(1), r.getByte(2))).toSet
+      == Set((0: Byte, 0: Byte), (0: Byte, 1: Byte), (1: Byte, 0: Byte), (1: Byte, 1: Byte)))
   }
 
   test("non-dim GROUP BY is rejected with a helpful error") {

@@ -59,6 +59,13 @@ class ContinuousSoakSpec extends SparkSpec {
     DriftStore.writeProfile(corpus, s"$p/drift")
     IncrementalSpans.writeState(corpus.select("doc_id", "text"), s"$p/spans",
       n = 8, nBuckets = 8)
+    // fifth family (r11): the corpus metrics rollup folds every batch
+    val cat = new graft.api.MetricViewCatalog(spark,
+      { case "documents" => docs; case n => sys.error(s"no source $n") },
+      Some(s"$p/metrics"))
+    val mv = cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
+    val im = cat.incremental.get
+    im.foldBatch(mv, corpus, foldId = Some("seed"))
 
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     (0 until 30).foreach { i =>
@@ -69,6 +76,7 @@ class ContinuousSoakSpec extends SparkSpec {
         keyedOf, nBuckets = 16, foldId = Some(fid))
       DriftStore.applyDelta(spark, s"$p/drift", b, foldId = Some(fid))
       IncrementalSpans.applyDelta(spark, s"$p/spans", b, 8, 8, foldId = Some(fid))
+      im.foldBatch(mv, b, foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
     }
 
@@ -77,6 +85,8 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(versionDirs(s"$p/drift").size <= 2)
     assert(versionDirs(s"$p/state/labels").size <= 2)
     assert(versionDirs(s"$p/state/keys").size <= 2)
+    assert(versionDirs(s"$p/metrics/mv_corpus/by_source_lang").size <= 2,
+      "metrics rollup versions must GC")
 
     // ---- compaction keeps file counts bounded under continuous folding
     val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
@@ -114,6 +124,12 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(IncrementalSpans.readSpans(spark, s"$p/spans")
       .collect().map(_.toSeq).toSet ==
       DupSpans.duplicateSpans(docs, n = 8).collect().map(_.toSeq).toSet)
+    cat.materializer.get.markBuilt(mv)
+    assert(mv.query(Seq("source"), Seq("doc_count", "char_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      docs.groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("cs"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "31-fold metrics rollup == batch aggregate")
     info(f"fold times: first-10 ${first}%.2f s avg, last-10 ${last}%.2f s avg")
   }
 }
