@@ -916,15 +916,53 @@ object ExtQueries {
     * duplicate documents lose ALL their segments to the keeper copy;
     * partially-copied passages lose only the copied windows. */
   def passageDedup(s: SparkSession, dir: String): DataFrame =
-    SegmentDedup.dedup(Tables.documents(s, dir),
-        SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
-      .groupBy("source").agg(
+    passageCard(SegmentDedup.dedup(Tables.documents(s, dir),
+      SegmentDedup.tokenWindows(col("text"), 16), sep = " "))
+
+  /** Per-source curation card over a [[graft.ops.SegmentDedup]]-shaped
+    * per-doc frame — shared by the batch and incremental queries so
+    * both gate against the same oracle SQL. */
+  private def passageCard(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source").agg(
         count(lit(1)).as("docs"),
         sum("n_segments").as("segments"),
         sum("kept_segments").as("kept_segments"),
         count(when(col("kept_segments") < col("n_segments"), 1)).as("docs_changed"),
         sum(length(col("new_text"))).as("kept_chars"))
       .orderBy("source")
+
+  private val stagedIncSegs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental segment dedup ([[graft.ops.IncrementalSegments]]):
+    * state built on the first id-quartile of the corpus, three folds
+    * absorb the rest IN ID ORDER (the regime where first-observed ==
+    * global-min keeper), and the card computes from the maintained
+    * keeper store — gated by the SAME oracle SQL as the batch query:
+    * the hash match IS the fold == rebuild contract. */
+  def passageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedIncSegs, dir, "graft_inc_segs") { p =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val ids = docs.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val t = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+      val t0 = System.nanoTime()
+      graft.ops.IncrementalSegments.writeState(
+        docs.filter(col("doc_id") < t(0)), s"$p/state")
+      val tState = System.nanoTime()
+      Seq(
+        docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
+        docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
+        docs.filter(col("doc_id") >= t(2)))
+        .zipWithIndex.foreach { case (b, i) =>
+          graft.ops.IncrementalSegments.applyDelta(s, s"$p/state", b,
+            foldId = Some(s"b$i"))
+        }
+      stageTimings("q_passage_dedup_incremental") = Seq(
+        "write_state" -> (tState - t0) / 1e9,
+        "fold" -> (System.nanoTime() - tState) / 1e9)
+    }
+    passageCard(graft.ops.IncrementalSegments.dedupFromState(s, s"$path/state"))
+  }
 
   val passageDedupSql: String =
     """WITH tk AS (
@@ -2910,6 +2948,7 @@ object ExtQueries {
     "q_text_stats"        -> (textStats _),
     "q_dedup_exact"       -> (dedupExact _),
     "q_passage_dedup"     -> (passageDedup _),
+    "q_passage_dedup_incremental" -> (passageDedupIncremental _),
     "q_budget_sample"     -> (budgetSample _),
     "q_semdedup"          -> (semDedup _),
     "q_live_metrics"      -> (liveMetrics _),
@@ -2970,6 +3009,7 @@ object ExtQueries {
     "q_text_stats"        -> textStatsSql,
     "q_dedup_exact"       -> dedupExactSql,
     "q_passage_dedup"     -> passageDedupSql,
+    "q_passage_dedup_incremental" -> passageDedupSql,
     "q_budget_sample"     -> budgetSampleSql,
     "q_semdedup"          -> semDedupSql,
     "q_live_metrics"      -> liveMetricsSql,

@@ -59,7 +59,16 @@ object ScaleBench {
     // builds are offline jobs). Their delta/query sets grow WITH the
     // corpus here; the fixed-delta flatness probe below is the
     // decade-invariance measurement.
-    "q_dedup_incremental", "q_ann_ivf_indexed")
+    "q_dedup_incremental", "q_ann_ivf_indexed",
+    // r11 additions: segment dedup (fingerprint agg+join — the
+    // map-side-combinable keeper min is the skew claim under test),
+    // token-budget sampling (bucketed prefix sum — no per-stratum
+    // global sort), and the unigram scorer (vocab join; hot words are
+    // the skew control). SemDeDup is deliberately NOT swept: its
+    // oracle-pinned k=8 makes within-cell pairs grow quadratically by
+    // design — the scale path (k ∝ corpus, IVF-style coarse
+    // assignment) is documented in SCALE.md.
+    "q_passage_dedup", "q_budget_sample", "q_unigram_quality")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

@@ -318,81 +318,16 @@ object IncrementalSpans {
     // semantics (affected docs' old rows must go), so it keeps the
     // rewrite-touched-buckets path; its touched set is O(affected
     // docs), not O(delta grams).
-    val compactAt = 16
-    def bucketOf(f: java.io.File): Int = f.getName.split("=")(1).toInt
-    def dirs(path: String): Array[java.io.File] =
-      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
-    def dataFiles(dir: java.io.File): Array[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-
+    // file-level commit machinery shared with IncrementalSegments
+    // (extracted r11 — see BucketStore's scaladoc for the contract)
     def append(table: String, bucketCol: String, deltaRows: DataFrame,
-        compact: DataFrame => DataFrame, schema: org.apache.spark.sql.types.StructType): Unit = {
-      val stage = s"$nextDir/_stage_$table"
-      deltaRows.repartition(col(bucketCol))
-        .write.partitionBy(bucketCol).parquet(stage)
-      val tdir = new java.io.File(s"$nextDir/$table")
-      java.nio.file.Files.createDirectories(tdir.toPath)
-      val curDirs = dirs(s"$cur/$table").map(f => bucketOf(f) -> f).toMap
-      val stageDirs = dirs(stage).map(f => bucketOf(f) -> f).toMap
-      val oversized = (curDirs.keySet ++ stageDirs.keySet).filter { b =>
-        curDirs.get(b).map(dataFiles(_).length).getOrElse(0) +
-          stageDirs.get(b).map(dataFiles(_).length).getOrElse(0) > compactAt
-      }
-      curDirs.foreach { case (b, cd) =>
-        if (!oversized(b))
-          SnapshotRoot.linkDirInto(cd, new java.io.File(tdir, cd.getName))
-      }
-      stageDirs.foreach { case (b, sd) =>
-        if (!oversized(b)) {
-          val dst = new java.io.File(tdir, sd.getName)
-          java.nio.file.Files.createDirectories(dst.toPath)
-          dataFiles(sd).foreach { f => // spark part names are unique across writes
-            java.nio.file.Files.move(f.toPath, dst.toPath.resolve(f.getName))
-          }
-        }
-      }
-      if (oversized.nonEmpty) {
-        val ov = oversized.toSeq.sorted.map(Integer.valueOf)
-        val rows = spark.read.schema(schema).parquet(s"$cur/$table")
-          .filter(col(bucketCol).isin(ov: _*))
-          .unionByName(spark.read.schema(schema).parquet(stage)
-            .filter(col(bucketCol).isin(ov: _*)))
-        val stage2 = s"$nextDir/_compact_$table"
-        compact(rows).repartition(col(bucketCol))
-          .write.partitionBy(bucketCol).parquet(stage2)
-        oversized.foreach { b =>
-          val src = new java.io.File(s"$stage2/$bucketCol=$b")
-          val dst = new java.io.File(tdir, s"$bucketCol=$b")
-          if (src.isDirectory) require(src.renameTo(dst), s"rename failed: $src")
-          else java.nio.file.Files.createDirectories(dst.toPath)
-        }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage2))
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-    }
+        compact: DataFrame => DataFrame, schema: org.apache.spark.sql.types.StructType): Unit =
+      BucketStore.append(spark, cur, nextDir, table, bucketCol,
+        deltaRows, compact, schema)
 
     def rewrite(table: String, bucketCol: String, touched: Seq[Int],
-        rows: DataFrame): Unit = {
-      val stage = s"$nextDir/_stage_$table"
-      rows.repartition(col(bucketCol))
-        .write.partitionBy(bucketCol).parquet(stage)
-      val tdir = new java.io.File(s"$nextDir/$table")
-      java.nio.file.Files.createDirectories(tdir.toPath)
-      touched.foreach { b =>
-        val src = new java.io.File(s"$stage/$bucketCol=$b")
-        val dst = new java.io.File(tdir, s"$bucketCol=$b")
-        if (src.isDirectory) {
-          require(src.renameTo(dst), s"rename failed: $src -> $dst")
-        } else java.nio.file.Files.createDirectories(dst.toPath)
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-      dirs(s"$cur/$table")
-        .filter(f => !touched.contains(bucketOf(f)))
-        .foreach(srcF => SnapshotRoot.linkDirInto(srcF,
-          new java.io.File(tdir, srcF.getName)))
-    }
+        rows: DataFrame): Unit =
+      BucketStore.rewrite(cur, nextDir, table, bucketCol, touched, rows)
 
     val touchedSpanRows = spark.read.schema(spansSchema).parquet(s"$cur/spans")
       .filter(col("dbucket").isin(spanBuckets.map(Integer.valueOf): _*))

@@ -48,7 +48,7 @@ object SegmentDedup {
     * the house fingerprint (md5 of whitespace-collapsed lowercase —
     * TextOps.exactDedup's normalization at segment grain). Whitespace-
     * only documents contribute no rows. */
-  private def segmentRows(docs: DataFrame, segments: Column, idCol: String,
+  private[ops] def segmentRows(docs: DataFrame, segments: Column, idCol: String,
       textCol: String): DataFrame =
     docs
       .filter(length(trim(col(textCol))) > 0)

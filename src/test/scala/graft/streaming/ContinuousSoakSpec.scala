@@ -78,6 +78,13 @@ class ContinuousSoakSpec extends SparkSpec {
       IncrementalSpans.applyDelta(spark, s"$p/spans", b, 8, 8, foldId = Some(fid))
       im.foldBatch(mv, b, foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
+      // periodic hygiene between folds (suites run sequentially, so
+      // this clobbers nothing live): 31 folds x 5 families on a
+      // local[4] test JVM accumulate enough not-yet-swept cache blocks
+      // late in the full suite to exhaust the unified pool — observed
+      // once as UNABLE_TO_ACQUIRE_MEMORY in a mid-fold HashAggregate.
+      // Performance hint only, not semantics (every store is on disk).
+      if (i % 10 == 9) spark.catalog.clearCache()
     }
 
     // ---- snapshot GC: every SnapshotRoot family retains <= 2 versions
