@@ -61,7 +61,12 @@ object ContinuousIngest {
       keyedOf: DataFrame => DataFrame,
       spanN: Int = 8, spanBuckets: Int = 64, nBuckets: Int = 64,
       checkpoint: Option[String] = None,
-      metrics: Option[(graft.api.MetricView, IncrementalMaterializer)] = None): Long = {
+      metrics: Option[(graft.api.MetricView, IncrementalMaterializer)] = None,
+      /** sixth family (r11): segment-level keeper state — streaming
+        * boilerplate removal (IncrementalSegments.applyDelta per
+        * batch; same ledger/retry contract as the siblings). */
+      segmentsRoot: Option[String] = None,
+      segmentN: Int = 16): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -87,6 +92,11 @@ object ContinuousIngest {
             })) ++ metrics.map { case (v, im) =>
             Folds.launch(b.sparkSession)(Folds.FamilyClock.time("metrics") {
               im.foldBatch(v, b, foldId = Some(fid))
+            })
+          } ++ segmentsRoot.map { sr =>
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("segments") {
+              graft.ops.IncrementalSegments.applyDelta(b.sparkSession, sr,
+                b, segmentN, nBuckets, foldId = Some(fid))
             })
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,

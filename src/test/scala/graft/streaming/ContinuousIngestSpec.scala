@@ -41,10 +41,31 @@ class ContinuousIngestSpec extends SparkSpec {
     val mv = cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
     val im = cat.incremental.get
     im.foldBatch(mv, corpus, foldId = Some("seed"))
+    // sixth family (r11): segment keeper state, seeded from the corpus
+    graft.ops.IncrementalSegments.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/segs")
     val n = ContinuousIngest.run(stream, s"$p/index", s"$p/state",
       s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
-      spanN = 8, spanBuckets = 16, metrics = Some((mv, im)))
+      spanN = 8, spanBuckets = 16, metrics = Some((mv, im)),
+      segmentsRoot = Some(s"$p/segs"))
     assert(n == 3, s"expected 3 microbatches, got $n")
+
+    // segment keepers: one claim per distinct fingerprint of the union,
+    // and the kept-segment TOTAL equals the batch dedup's (the keeper
+    // IDENTITY is arrival-order-dependent here — %4 batches are not
+    // id-ordered — but each distinct segment keeps exactly one copy
+    // under either rule)
+    val keepers = graft.ops.IncrementalSegments.readKeepers(spark, s"$p/segs")
+      .collect()
+    assert(keepers.map(_.getString(0)).distinct.length == keepers.length,
+      "one keeper per fingerprint")
+    val incKept = graft.ops.IncrementalSegments
+      .dedupFromState(spark, s"$p/segs")
+      .agg(sum("kept_segments")).head().getLong(0)
+    val batchKept = graft.ops.SegmentDedup.dedup(all,
+        graft.ops.SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
+      .agg(sum("kept_segments")).head().getLong(0)
+    assert(incKept == batchKept && incKept == keepers.length)
 
     // metrics rollup == batch partials over the union; a replayed fold
     // id no-ops (the ledger guard)
