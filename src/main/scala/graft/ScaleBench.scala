@@ -258,6 +258,30 @@ object ScaleBench {
     val incSpansBase = incSpansProbe(baseDir)
     val incSpansScaled = incSpansProbe(scaleDir)
 
+    // FIXED-DELTA incremental-SEGMENTS probe (r11): same geometry as
+    // the spans probe (two disjoint pinned ~1% deltas folded
+    // sequentially, min). The fold's corpus-proportional residuals are
+    // two slim streams — the fbucket-pruned keeper semi-scan and the
+    // new-ids guard's dbucket-pruned doc-store count; everything
+    // written is O(delta).
+    def incSegsProbe(dir: String): Double = {
+      val st = java.nio.file.Files.createTempDirectory("graft_scale_incsegs").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.IncrementalSegments.writeState(
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), col("source"), col("text")), st)
+      Seq(7L, 17L).map { m =>
+        val delta = graft.model.Tables.documents(spark, baseDir)
+          .filter(col("doc_id") % 100 === m)
+          .select(col("doc_id"), col("source"), col("text"))
+        val t0 = System.nanoTime()
+        graft.ops.IncrementalSegments.applyDelta(spark, st, delta)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incSegsBase = incSegsProbe(baseDir)
+    val incSegsScaled = incSegsProbe(scaleDir)
+
     // FIXED-DELTA incremental-DRIFT probe (r10): fold a pinned delta
     // batch into the persisted corpus profile of a growing corpus
     // (baseline build untimed — the offline job). The fold scans only
@@ -306,7 +330,7 @@ object ScaleBench {
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}}}""")
     spark.stop()
   }
 
