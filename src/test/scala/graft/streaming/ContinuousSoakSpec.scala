@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.model.Tables
-import graft.ops.{ConnectedComponents, DriftStore, DupSpans, IncrementalClusters, IncrementalDedup, IncrementalSpans, SnapshotRoot}
+import graft.ops.{ConnectedComponents, DriftStore, DupSpans, IncrementalClusters, IncrementalDedup, IncrementalSegments, IncrementalSpans, SnapshotRoot}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,8 @@ class ContinuousSoakSpec extends SparkSpec {
     DriftStore.writeProfile(corpus, s"$p/drift")
     IncrementalSpans.writeState(corpus.select("doc_id", "text"), s"$p/spans",
       n = 8, nBuckets = 8)
+    IncrementalSegments.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/segs", nBuckets = 8)
     // fifth family (r11): the corpus metrics rollup folds every batch
     val cat = new graft.api.MetricViewCatalog(spark,
       { case "documents" => docs; case n => sys.error(s"no source $n") },
@@ -77,6 +79,8 @@ class ContinuousSoakSpec extends SparkSpec {
       DriftStore.applyDelta(spark, s"$p/drift", b, foldId = Some(fid))
       IncrementalSpans.applyDelta(spark, s"$p/spans", b, 8, 8, foldId = Some(fid))
       im.foldBatch(mv, b, foldId = Some(fid))
+      IncrementalSegments.applyDelta(spark, s"$p/segs",
+        b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
       // periodic hygiene between folds (suites run sequentially, so
       // this clobbers nothing live): 31 folds x 5 families on a
@@ -94,11 +98,19 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(versionDirs(s"$p/state/keys").size <= 2)
     assert(versionDirs(s"$p/metrics/mv_corpus/by_source_lang").size <= 2,
       "metrics rollup versions must GC")
+    assert(versionDirs(s"$p/segs").size <= 2, "segment store versions must GC")
 
     // ---- compaction keeps file counts bounded under continuous folding
     val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
     assert(keyFiles <= 33, s"cluster key index grew to $keyFiles files")
     val spanCur = SnapshotRoot.currentDir(s"$p/spans")
+    val segCur = SnapshotRoot.currentDir(s"$p/segs")
+    for (table <- Seq("keepers", "docs")) {
+      val worst = Option(new java.io.File(s"$segCur/$table").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
+      assert(worst <= 17, s"segment $table bucket grew to $worst files")
+    }
     for (table <- Seq("grams", "gramdf", "docs")) {
       val worst = Option(new java.io.File(s"$spanCur/$table").listFiles())
         .getOrElse(Array.empty).filter(_.isDirectory)
@@ -131,6 +143,15 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(IncrementalSpans.readSpans(spark, s"$p/spans")
       .collect().map(_.toSeq).toSet ==
       DupSpans.duplicateSpans(docs, n = 8).collect().map(_.toSeq).toSet)
+    // 31-fold keeper state: one keeper per distinct segment, kept total
+    // == batch dedup over everything (count equality holds under ANY
+    // arrival order; identity needs id-ordered folds)
+    val incKept = IncrementalSegments.dedupFromState(spark, s"$p/segs")
+      .agg(sum("kept_segments")).head().getLong(0)
+    val batchKept = graft.ops.SegmentDedup.dedup(docs,
+        graft.ops.SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
+      .agg(sum("kept_segments")).head().getLong(0)
+    assert(incKept == batchKept, s"kept totals: inc $incKept vs batch $batchKept")
     cat.materializer.get.markBuilt(mv)
     assert(mv.query(Seq("source"), Seq("doc_count", "char_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
