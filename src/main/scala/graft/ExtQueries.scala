@@ -1450,6 +1450,127 @@ object ExtQueries {
       |             / count(*), 6) AS avg_logp
       |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- BM25 retrieval
+
+  /** The fixed audit probe for the BM25 queries: one rare term (df≈5%
+    * of the corpus — high idf, drives the ranking) plus three
+    * corpus-common terms, so the score mixes a discriminative match
+    * with tf/length normalization effects. */
+  private val Bm25Probe = "dup merge stream window"
+
+  /** BM25 lexical retrieval ([[graft.ops.Bm25]]): top-15 documents for
+    * the audit probe — the keyword-side complement of the ANN queries
+    * (eval-set mining / "documents like this" curation audits). The
+    * (score desc, doc_id asc) total order makes the cut deterministic. */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Card(Bm25.scores(
+      Tables.documents(s, dir).select("doc_id", "source", "text"), Bm25Probe))
+
+  /** Rank card over a [[graft.ops.Bm25]] score frame — shared by the
+    * batch, indexed, and incremental queries so all three gate against
+    * the same oracle SQL. Result-grain window (matched docs only). */
+  private def bm25Card(scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 15)
+      .select("rank", "doc_id", "source", "n_terms", "score")
+      .orderBy("rank")
+  }
+
+  private val stagedBm25Idx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedBm25Inc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BM25 served from the persisted inverted index
+    * ([[graft.ops.Bm25Index]], staged once per JVM/dir): the probe
+    * reads only the query terms' hash-buckets — no corpus scan. Gated
+    * by the SAME oracle SQL as the batch query: the hash match proves
+    * indexed == batch. */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Idx, dir, "graft_bm25_idx") { p =>
+      Bm25Index.writeState(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), s"$p/state")
+    }
+    bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
+  }
+
+  /** Incrementally-maintained BM25 index: state built on the first
+    * id-quartile, three folds absorb the rest, probe from the
+    * maintained store — same oracle SQL, so the hash gate IS the
+    * fold == rebuild contract (exact under ANY arrival order: every
+    * index table is purely additive). */
+  def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Inc, dir, "graft_bm25_inc") { p =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val ids = docs.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val t = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+      val t0 = System.nanoTime()
+      Bm25Index.writeState(docs.filter(col("doc_id") < t(0)), s"$p/state")
+      val tState = System.nanoTime()
+      Seq(
+        docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
+        docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
+        docs.filter(col("doc_id") >= t(2)))
+        .zipWithIndex.foreach { case (b, i) =>
+          Bm25Index.applyDelta(s, s"$p/state", b, foldId = Some(s"b$i"))
+        }
+      stageTimings("q_bm25_incremental") = Seq(
+        "write_state" -> (tState - t0) / 1e9,
+        "fold" -> (System.nanoTime() - tState) / 1e9)
+    }
+    bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
+  }
+
+  /** The BM25 math re-derived in DuckDB — idf and each (doc, term)
+    * contribution 6dp-fixed as DECIMAL(18,6) with per-doc sums in
+    * exact decimal arithmetic, mirroring [[graft.ops.Bm25]]'s
+    * determinism contract term for term (same literal constants, same
+    * association, IEEE doubles both sides). */
+  val bm25Sql: String =
+    """WITH q AS (
+      |  SELECT * FROM (VALUES ('dup'), ('merge'), ('stream'), ('window')) AS t(w)
+      |), tk AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS dl,
+      |         unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), tf AS (
+      |  SELECT doc_id, source, dl, w, count(*) AS tf
+      |  FROM tk JOIN q USING (w) GROUP BY 1, 2, 3, 4
+      |), stats AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), df AS (
+      |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |), idf AS (
+      |  SELECT w,
+      |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                       / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+      |              AS DECIMAL(18,6)) AS idf
+      |  FROM df, stats
+      |), scored AS (
+      |  SELECT doc_id, source,
+      |         CAST(round(CAST(idf AS DOUBLE)
+      |                    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |                    / (CAST(tf AS DOUBLE)
+      |                       + 1.2 * ((1.0 - 0.75)
+      |                                + 0.75 * (CAST(dl AS DOUBLE)
+      |                                          / (CAST(tot AS DOUBLE) / n)))), 6)
+      |              AS DECIMAL(18,6)) AS c
+      |  FROM tf JOIN idf USING (w), stats
+      |), ds AS (
+      |  SELECT doc_id, source, count(*) AS n_terms,
+      |         CAST(sum(c) AS DOUBLE) AS score
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT * FROM (
+      |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+      |         doc_id, source, n_terms, score
+      |  FROM ds
+      |) WHERE rank <= 15 ORDER BY rank""".stripMargin
+
   /** SemDeDup (r11, [[graft.ops.SemDeDup]]): semantic near-dup removal
     * over the embedding table — per-cell curation card. θ = 0.42 here:
     * the synthetic embeddings top out near cosine 0.51, so a
@@ -2953,6 +3074,9 @@ object ExtQueries {
     "q_semdedup"          -> (semDedup _),
     "q_live_metrics"      -> (liveMetrics _),
     "q_unigram_quality"   -> (unigramQuality _),
+    "q_bm25"              -> (bm25 _),
+    "q_bm25_indexed"      -> (bm25Indexed _),
+    "q_bm25_incremental"  -> (bm25Incremental _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -3014,6 +3138,12 @@ object ExtQueries {
     "q_semdedup"          -> semDedupSql,
     "q_live_metrics"      -> liveMetricsSql,
     "q_unigram_quality"   -> unigramQualitySql,
+    "q_bm25"              -> bm25Sql,
+    // the persisted-index probe and the incrementally-folded index must
+    // reproduce the batch scores exactly — same oracle, so the hash
+    // gates ARE the indexed == batch and fold == rebuild contracts
+    "q_bm25_indexed"      -> bm25Sql,
+    "q_bm25_incremental"  -> bm25Sql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     "q_pricing_summary"   -> pricingSummarySql,

@@ -68,7 +68,10 @@ object ScaleBench {
     // oracle-pinned k=8 makes within-cell pairs grow quadratically by
     // design — the scale path (k ∝ corpus, IVF-style coarse
     // assignment) is documented in SCALE.md.
-    "q_passage_dedup", "q_budget_sample", "q_unigram_quality")
+    "q_passage_dedup", "q_budget_sample", "q_unigram_quality",
+    // batch BM25: the (doc, query-term) partial-agg shuffle + the
+    // stats scan — should sweep scan-bound like the unigram scorer
+    "q_bm25")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
@@ -282,6 +285,30 @@ object ScaleBench {
     val incSegsBase = incSegsProbe(baseDir)
     val incSegsScaled = incSegsProbe(scaleDir)
 
+    // FIXED-DELTA incremental-BM25 probe (r11): fold a pinned ~1%
+    // delta into the inverted index of a growing corpus. Every index
+    // table is purely additive (postings/df-partials/doclen/stats),
+    // so the only corpus-proportional read is the new-ids guard's
+    // dbucket-pruned doclen semi-scan — the ratio should sit in the
+    // drift/ANN near-flat band.
+    def incBm25Probe(dir: String): Double = {
+      val st = java.nio.file.Files.createTempDirectory("graft_scale_incbm25").toString
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.Bm25Index.writeState(
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), col("source"), col("text")), st)
+      Seq(7L, 17L).map { m =>
+        val delta = graft.model.Tables.documents(spark, baseDir)
+          .filter(col("doc_id") % 100 === m)
+          .select(col("doc_id"), col("source"), col("text"))
+        val t0 = System.nanoTime()
+        graft.ops.Bm25Index.applyDelta(spark, st, delta)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incBm25Base = incBm25Probe(baseDir)
+    val incBm25Scaled = incBm25Probe(scaleDir)
+
     // FIXED-DELTA incremental-DRIFT probe (r10): fold a pinned delta
     // batch into the persisted corpus profile of a growing corpus
     // (baseline build untimed — the offline job). The fold scans only
@@ -330,7 +357,7 @@ object ScaleBench {
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}},"inc_bm25_fixed_delta":{"base_sec":${f"$incBm25Base%.3f"},"scaled_sec":${f"$incBm25Scaled%.3f"},"ratio":${f"${incBm25Scaled / incBm25Base}%.2f"}}}""")
     spark.stop()
   }
 

@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 lexical retrieval (Robertson & Zaragoza 2009, the Okapi
+  * formulation with Lucene's +1-inside-the-log idf so scores stay
+  * positive) — the keyword-side complement to the ANN embedding path:
+  * a curation pipeline uses it to pull "documents like this probe" for
+  * audit, eval-set mining, and targeted decontamination.
+  *
+  * score(d, q) = Σ over DISTINCT query terms w present in d of
+  *   idf(w) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+  *   idf(w) = ln((N − df + 0.5)/(df + 0.5) + 1).
+  *
+  * Determinism contract (what makes this hash-oracle-able): idf is
+  * rounded to 6dp ONCE and fixed as DECIMAL(18,6); each (doc, term)
+  * contribution is one deterministic double expression (every
+  * operand exact: tf/dl/N are integers, avgdl the quotient of two
+  * exact integers) rounded to 6dp and fixed as DECIMAL(18,6); a
+  * document's score is the EXACT decimal sum of its term
+  * contributions. Cross-row double addition never happens, so the
+  * result is identical at any partitioning and re-derivable by any
+  * engine with IEEE doubles ([[graft.ExtQueries.bm25Sql]]).
+  *
+  * Scale shape (batch): one (doc, term) partial-agg shuffle builds tf
+  * (map-side combine collapses repeats), dl rides the same pass as a
+  * within-doc count, df aggregates the tf table at vocab grain, and
+  * the query-term filter broadcasts (a handful of literals) — the
+  * corpus is never shuffled at token grain and non-matching docs drop
+  * at the semi-join. Top-k is a total-order (score desc, doc_id asc)
+  * limit: rows:k, never a global sort of the corpus.
+  *
+  * The persisted form ([[Bm25Index]]) serves the same scores without
+  * touching the corpus: posting lists keyed by term hash-bucket, so a
+  * probe reads only the query terms' buckets. */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (doc_id, carry..., dl, w, tf) — per-document term frequencies and
+    * length over whitespace tokens; token-free documents excluded. dl
+    * is computed NARROW (array size before the explode) and rides the
+    * group keys (functionally dependent on the doc), so the only
+    * shuffle is the (doc, term) partial aggregate. */
+  def termFreqs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", carry: Seq[String] = Seq("source")): DataFrame = {
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+    base.select((col(idCol) +: carry.map(col)) ++ Seq(
+        size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("w")): _*)
+      .groupBy((col(idCol) +: carry.map(col)) ++ Seq(col("dl"), col("w")): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** 6dp-fixed idf per term, from (w, df) rows + the corpus size. */
+  def idf(dfTable: DataFrame, nDocs: Long): DataFrame =
+    dfTable.select(col("w"),
+      round(log((lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+        .cast("decimal(18,6)").as("idf"))
+
+  /** One (doc, term) BM25 contribution, 6dp-fixed. `avgdl` is the
+    * exact-integer quotient sum(dl)/N computed by the caller. */
+  private def contribution(avgdl: Double): Column =
+    round(col("idf").cast("double")
+        * (col("tf").cast("double") * lit(K1 + 1.0))
+        / (col("tf").cast("double")
+           + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / lit(avgdl)))),
+      6).cast("decimal(18,6)")
+
+  /** Per-document scores for `query` over `docs`: (doc_id, carry...,
+    * n_terms matched, score). Only documents containing at least one
+    * distinct query term appear. */
+  def scores(docs: DataFrame, query: String, idCol: String = "doc_id",
+      textCol: String = "text", carry: Seq[String] = Seq("source")): DataFrame = {
+    val qTerms = queryTerms(query)
+    // cached: tf appears twice in the terminal plan (contribution join
+    // + df derivation) and aliased subplans are not deduped
+    val tf = Persists.cache(
+      termFreqs(docs, idCol, textCol, carry)
+        .filter(col("w").isin(qTerms: _*)))
+    // N and Σdl over ALL scoreable docs (not just matches): one
+    // corpus-grain narrow aggregate, driver metadata
+    val stats = docs.filter(length(trim(col(textCol))) > 0)
+      .select(size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+    val nDocs = stats.getLong(0)
+    require(nDocs > 0, "empty corpus")
+    scoreMatches(tf, dfOf(tf), nDocs, stats.getLong(1), idCol, carry)
+  }
+
+  /** Distinct, order-stable query terms (classic BM25 sums over the
+    * query's distinct terms). */
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+
+  /** (w, df) from a query-term-filtered tf table — df counts DOCS. */
+  private def dfOf(tf: DataFrame): DataFrame =
+    tf.groupBy("w").agg(count(lit(1)).as("df"))
+
+  /** Shared scoring tail: tf rows (already restricted to query terms)
+    * + df + corpus stats → per-doc (n_terms, score). Both the batch
+    * and the indexed path land here, so indexed == batch by
+    * construction. */
+  private[ops] def scoreMatches(tf: DataFrame, dfTable: DataFrame,
+      nDocs: Long, totDl: Long, idCol: String,
+      carry: Seq[String]): DataFrame = {
+    val avgdl = totDl.toDouble / nDocs
+    tf.join(idf(dfTable, nDocs), "w")
+      .withColumn("__c", contribution(avgdl))
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(count(lit(1)).as("n_terms"),
+        sum("__c").cast("double").as("score"))
+  }
+}
+
+/** Persisted BM25 inverted index — the continuous form of [[Bm25]]:
+  * posting lists, document-frequency partials, doc lengths, and corpus
+  * stats under one [[SnapshotRoot]], folded per arrival batch, so a
+  * probe never touches the corpus and ingest pays O(delta) per batch.
+  *
+  * Layout (all append-only via [[BucketStore.append]] — hard-link +
+  * O(delta) file moves, per-bucket compaction):
+  *  - `postings` (w, doc_id, tf, dl, source, wbucket): term-hash
+  *    buckets, dl/source denormalized so scoring needs no doc join;
+  *  - `df` (w, df, wbucket): PARTIAL increments — reads sum them,
+  *    compaction collapses them (the gramdf idiom);
+  *  - `doclen` (doc_id, dl, dbucket): serves the new-ids guard;
+  *  - `stats` (n_docs, tot_dl, sbucket=0): summable 1-row partials —
+  *    N and Σdl at probe time cost a metadata-scale scan.
+  *
+  * Because every table is purely ADDITIVE, fold == rebuild holds
+  * exactly under ANY arrival order — no ordering caveat like the
+  * segment keeper's first-observed rule. A single pointer flip commits
+  * all four tables; an applied-fold ledger makes replays no-op.
+  *
+  * Probe ([[scoresFromState]]): query terms → wbucket literals →
+  * partition-pruned postings/df reads (only the query's buckets are
+  * listed or read) → [[Bm25.scoreMatches]]. Probe cost scales with the
+  * matched posting lists, never the corpus. Stopword-grade terms have
+  * corpus-sized posting lists; callers cap them with `maxDfRatio`
+  * (drop query terms with df > ratio·N — the standard guard; WAND-style
+  * dynamic pruning would go here if exact top-k under huge lists were
+  * needed). */
+object Bm25Index {
+
+  private val postingsSchema = StructType(Seq(
+    StructField("w", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("source", StringType), StructField("wbucket", IntegerType)))
+  private val dfSchema = StructType(Seq(
+    StructField("w", StringType), StructField("df", LongType),
+    StructField("wbucket", IntegerType)))
+  private val doclenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("dbucket", IntegerType)))
+  private val statsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("tot_dl", LongType),
+    StructField("sbucket", IntegerType)))
+
+  private def wbucket(w: Column, n: Int) =
+    pmod(xxhash64(w), lit(n.toLong)).cast("int")
+  private def dbucket(id: Column, n: Int) =
+    pmod(id.cast("long"), lit(n.toLong)).cast("int")
+
+  private def paramsLine(nBuckets: Int) = s"nBuckets=$nBuckets"
+
+  private def requireSameParams(root: String, nBuckets: Int): Unit = {
+    val p = java.nio.file.Paths.get(root, "_params")
+    val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    require(stored == paramsLine(nBuckets),
+      s"bm25-index params mismatch: store has '$stored', caller wants " +
+        s"'${paramsLine(nBuckets)}' — a mismatched bucket count probes the wrong dirs")
+  }
+
+  /** The four index tables for a batch of docs (no store read). The tf
+    * frame is cached for the four table writes (the fold posture —
+    * epoch sweep reclaims any over-registration). */
+  private def derive(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = Persists.cacheFor(
+      Bm25.termFreqs(docs).withColumn("wbucket", wbucket(col("w"), nBuckets)), 4)
+    val postings = tf.select("w", "doc_id", "tf", "dl", "source", "wbucket")
+    val dfP = tf.groupBy("w", "wbucket").agg(count(lit(1)).as("df"))
+      .select("w", "df", "wbucket")
+    val dlens = tf.groupBy("doc_id").agg(first("dl").as("dl"))
+    val doclen = dlens.withColumn("dbucket", dbucket(col("doc_id"), nBuckets))
+    val stats = dlens
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      .withColumn("sbucket", lit(0))
+    (postings, dfP, doclen, stats)
+  }
+
+  private def sumDf(rows: DataFrame): DataFrame =
+    rows.groupBy("w", "wbucket").agg(sum("df").as("df"))
+      .select("w", "df", "wbucket")
+  private def sumStats(rows: DataFrame): DataFrame =
+    rows.groupBy("sbucket").agg(sum("n_docs").as("n_docs"),
+        sum("tot_dl").as("tot_dl"))
+      .select("n_docs", "tot_dl", "sbucket")
+
+  /** Batch-build the index from `docs` (doc_id, source, text). */
+  def writeState(docs: DataFrame, root: String, nBuckets: Int = 64): Unit = {
+    val (postings, dfP, doclen, stats) = derive(docs, nBuckets)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v1 = s"$root/v1"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(Bucketing.writePartitioned(postings, s"$v1/postings", Seq("wbucket"))),
+      Future(Bucketing.writePartitioned(dfP, s"$v1/df", Seq("wbucket"))),
+      Future(Bucketing.writePartitioned(doclen, s"$v1/doclen", Seq("dbucket"))),
+      Future(Bucketing.writePartitioned(stats, s"$v1/stats", Seq("sbucket"))))
+      .foreach(Await.result(_, Duration.Inf))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_params"),
+      paramsLine(nBuckets).getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
+      "v1".getBytes("UTF-8"))
+  }
+
+  private def ledgerOf(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, "_applied_folds")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+    else Seq.empty[String]
+  }
+
+  /** Fold one arrival batch (doc_id, source, text): guard (delta ids
+    * must be new — pruned to the delta's doc buckets), then append the
+    * batch's postings / df partials / doc lengths / stats partial.
+    * O(delta) bytes written; the only corpus-proportional read is the
+    * guard's dbucket-pruned doclen semi-join. */
+  def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
+      nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+    requireSameParams(root, nBuckets)
+    val cur = SnapshotRoot.currentDir(root)
+    val applied = ledgerOf(cur)
+    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+
+    val d = Persists.cacheFor(
+      delta.select(col("doc_id"), col("source"), col("text")), 64)
+    val meta = d.agg(count(lit(1)).as("n"),
+        count_distinct(col("doc_id")).as("nd"),
+        collect_set(dbucket(col("doc_id"), nBuckets)).as("db")).head()
+    require(meta.getLong(0) == meta.getLong(1),
+      s"delta has ${meta.getLong(0)} rows but ${meta.getLong(1)} distinct doc ids")
+    val dBuckets = meta.getSeq[Int](2)
+    val overlap = spark.read.schema(doclenSchema).parquet(s"$cur/doclen")
+      .filter(col("dbucket").isin(dBuckets.map(Integer.valueOf): _*))
+      .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+    require(overlap == 0L,
+      s"$overlap delta doc_id(s) already present — delta ids must be new")
+
+    val (postings, dfP, doclen, stats) = derive(d, nBuckets)
+    val next = SnapshotRoot.nextVersion(root)
+    val nextDir = s"$root/$next"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(BucketStore.append(spark, cur, nextDir, "postings", "wbucket",
+        postings, identity, postingsSchema)),
+      Future(BucketStore.append(spark, cur, nextDir, "df", "wbucket",
+        dfP, sumDf, dfSchema)),
+      Future(BucketStore.append(spark, cur, nextDir, "doclen", "dbucket",
+        doclen, identity, doclenSchema)),
+      Future(BucketStore.append(spark, cur, nextDir, "stats", "sbucket",
+        stats, sumStats, statsSchema)))
+      .foreach(Await.result(_, Duration.Inf))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(nextDir, "_applied_folds"),
+      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
+    SnapshotRoot.flipAndGc(root, next)
+  }
+
+  /** Score `query` from the maintained index — [[Bm25.scores]] output,
+    * identical values, no corpus read: postings and df reads prune to
+    * the query terms' wbuckets (literal partition predicates), stats
+    * is a metadata-scale sum. `maxDfRatio` drops query terms whose df
+    * exceeds ratio·N (stopword guard; None scores every term). */
+  def scoresFromState(spark: SparkSession, root: String, query: String,
+      nBuckets: Int = 64, maxDfRatio: Option[Double] = None): DataFrame = {
+    requireSameParams(root, nBuckets)
+    val cur = SnapshotRoot.currentDir(root)
+    val qTerms = Bm25.queryTerms(query)
+    // bucket ids via the ENGINE's own xxhash64 (a local 1-task job over
+    // the literal terms) — guaranteed identical to the write-side
+    // bucketing, no reimplementation to drift
+    val qBuckets = {
+      import spark.implicits._
+      qTerms.toDF("w").select(wbucket(col("w"), nBuckets).as("b"))
+        .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    }
+
+    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+      .agg(sum("n_docs"), sum("tot_dl")).head()
+    require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
+    val nDocs = st.getLong(0); val totDl = st.getLong(1)
+
+    val dfAll = spark.read.schema(dfSchema).parquet(s"$cur/df")
+      .filter(col("wbucket").isin(qBuckets: _*))
+      .filter(col("w").isin(qTerms: _*))
+      .groupBy("w").agg(sum("df").as("df"))
+    val keep = maxDfRatio match {
+      case Some(r) => dfAll.filter(col("df").cast("double") <= lit(r) * nDocs)
+      case None => dfAll
+    }
+    val tf = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+      .filter(col("wbucket").isin(qBuckets: _*))
+      .filter(col("w").isin(qTerms: _*))
+      .join(broadcast(keep.select("w")), Seq("w"), "left_semi")
+      .select("w", "doc_id", "tf", "dl", "source")
+    Bm25.scoreMatches(tf, keep, nDocs, totDl, "doc_id", Seq("source"))
+  }
+}

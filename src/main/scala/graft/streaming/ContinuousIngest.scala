@@ -66,7 +66,12 @@ object ContinuousIngest {
         * boilerplate removal (IncrementalSegments.applyDelta per
         * batch; same ledger/retry contract as the siblings). */
       segmentsRoot: Option[String] = None,
-      segmentN: Int = 16): Long = {
+      segmentN: Int = 16,
+      /** seventh family (r11): the BM25 inverted index — streaming
+        * lexical-search serving ([[graft.ops.Bm25Index.applyDelta]];
+        * purely additive tables, so its fold==rebuild holds under any
+        * batch order; same ledger/retry contract). */
+      bm25Root: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -97,6 +102,11 @@ object ContinuousIngest {
             Folds.launch(b.sparkSession)(Folds.FamilyClock.time("segments") {
               graft.ops.IncrementalSegments.applyDelta(b.sparkSession, sr,
                 b, segmentN, nBuckets, foldId = Some(fid))
+            })
+          } ++ bm25Root.map { br =>
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("bm25") {
+              graft.ops.Bm25Index.applyDelta(b.sparkSession, br,
+                b, nBuckets, foldId = Some(fid))
             })
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tiny: DataFrame = Seq(
+    (1L, "srcA", "cat dog cat"),
+    (2L, "srcA", "dog bird"),
+    (3L, "srcB", "fish")).toDF("doc_id", "source", "text")
+
+  private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  test("scores match the hand formula on a tiny corpus") {
+    val s = Bm25.scores(tiny, "cat bird")
+      .select("doc_id", "source", "n_terms", "score").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 2: tf=1, dl=2 = avgdl → the length norm cancels exactly and
+    // the score IS idf(bird) = round(ln((3-1+0.5)/1.5 + 1), 6)
+    assert(s(2L).getDouble(3) == 0.980829)
+    assert(s(2L).getLong(2) == 1L)
+    // doc 1 matches only 'cat' with tf=2 (longer doc, tf saturation
+    // still wins): 0.980829 * 4.4/3.65
+    assert(s(1L).getDouble(3) > s(2L).getDouble(3))
+    assert(s(1L).getLong(2) == 1L)
+    // doc 3 matches nothing and must be absent
+    assert(!s.contains(3L))
+  }
+
+  test("query terms dedupe and token-free docs are excluded") {
+    val withEmpty = tiny.union(Seq((4L, "srcB", "   ")).toDF())
+    val dup = Bm25.scores(withEmpty, "bird bird BIRD")
+    val once = Bm25.scores(withEmpty, "bird")
+    assert(rows(dup) == rows(once))
+    assert(!dup.collect().map(_.getLong(0)).contains(4L))
+  }
+
+  test("indexed probe == batch scores on the documents fixture") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 16)
+    val batch = Bm25.scores(docs, "dup merge stream")
+    val probe = Bm25Index.scoresFromState(spark, root, "dup merge stream", nBuckets = 16)
+    assert(rows(batch) == rows(probe))
+    assert(batch.count() > 0)
+  }
+
+  test("fold == rebuild: additive tables make the contract exact") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val mid = ids(ids.length / 2); val q3 = ids(3 * ids.length / 4)
+
+    val inc = java.nio.file.Files.createTempDirectory("graft-bm25-inc").toString + "/s"
+    Bm25Index.writeState(docs.filter(col("doc_id") < mid), inc, nBuckets = 16)
+    // out-of-ID-order folds on purpose: additive state is order-free
+    Bm25Index.applyDelta(spark, inc, docs.filter(col("doc_id") >= q3),
+      nBuckets = 16, foldId = Some("b0"))
+    Bm25Index.applyDelta(spark, inc,
+      docs.filter(col("doc_id") >= mid && col("doc_id") < q3),
+      nBuckets = 16, foldId = Some("b1"))
+
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString + "/s"
+    Bm25Index.writeState(docs, full, nBuckets = 16)
+
+    val q = "dup merge stream window"
+    assert(rows(Bm25Index.scoresFromState(spark, inc, q, nBuckets = 16)) ==
+      rows(Bm25Index.scoresFromState(spark, full, q, nBuckets = 16)))
+
+    // replayed fold no-ops: ledger short-circuits before any write
+    val verBefore = SnapshotRoot.currentDir(inc)
+    Bm25Index.applyDelta(spark, inc, docs.filter(col("doc_id") >= q3),
+      nBuckets = 16, foldId = Some("b0"))
+    assert(SnapshotRoot.currentDir(inc) == verBefore)
+
+    // guard: a delta re-using an absorbed id must throw, store intact
+    val ex = intercept[IllegalArgumentException] {
+      Bm25Index.applyDelta(spark, inc, docs.limit(1), nBuckets = 16,
+        foldId = Some("b2"))
+    }
+    assert(ex.getMessage.contains("must be new"))
+    assert(SnapshotRoot.currentDir(inc) == verBefore)
+  }
+
+  test("maxDfRatio drops stopword-grade query terms") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-stop").toString + "/s"
+    Bm25Index.writeState(Seq(
+      (1L, "a", "the cat"), (2L, "a", "the dog"), (3L, "a", "the the bird"))
+      .toDF("doc_id", "source", "text"), root, nBuckets = 8)
+    val capped = Bm25Index.scoresFromState(spark, root, "the cat",
+      nBuckets = 8, maxDfRatio = Some(0.5))
+    val catOnly = Bm25Index.scoresFromState(spark, root, "cat", nBuckets = 8)
+    assert(rows(capped) == rows(catOnly),
+      "'the' (df=N) must be dropped at ratio 0.5, leaving the 'cat' scores")
+  }
+
+  test("probe prunes the postings scan to the query terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-prune").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Bm25Index.scoresFromState(spark, root, "dup", nBuckets = 16)
+      val scans = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths.exists(
+          _.toString.contains("postings")) => s
+      }
+      assert(scans.nonEmpty, "postings scan not found in plan")
+      scans.foreach { scan =>
+        val staticFilters = scan.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        assert(staticFilters.nonEmpty,
+          "query-bucket predicate must reach the postings scan as a PartitionFilter:\n" + scan)
+        val selected = scan.relation.location.listFiles(staticFilters, Nil).size
+        assert(selected == 1, s"one term must read exactly its bucket dir, got $selected")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -44,11 +44,24 @@ class ContinuousIngestSpec extends SparkSpec {
     // sixth family (r11): segment keeper state, seeded from the corpus
     graft.ops.IncrementalSegments.writeState(
       corpus.select("doc_id", "source", "text"), s"$p/segs")
+    // seventh family (r11): the BM25 inverted index, seeded likewise
+    // (default bucket count — must match the daemon's shared nBuckets)
+    graft.ops.Bm25Index.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/bm25")
     val n = ContinuousIngest.run(stream, s"$p/index", s"$p/state",
       s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
       spanN = 8, spanBuckets = 16, metrics = Some((mv, im)),
-      segmentsRoot = Some(s"$p/segs"))
+      segmentsRoot = Some(s"$p/segs"),
+      bm25Root = Some(s"$p/bm25"))
     assert(n == 3, s"expected 3 microbatches, got $n")
+
+    // BM25 index: the stream-maintained scores equal a same-corpus
+    // batch scoring (additive tables — exact under any arrival order)
+    assert(graft.ops.Bm25Index
+      .scoresFromState(spark, s"$p/bm25", "dup merge stream")
+      .collect().map(_.toSeq).toSet ==
+      graft.ops.Bm25.scores(all.select("doc_id", "source", "text"),
+        "dup merge stream").collect().map(_.toSeq).toSet)
 
     // segment keepers: one claim per distinct fingerprint of the union,
     // and the kept-segment TOTAL equals the batch dedup's (the keeper
