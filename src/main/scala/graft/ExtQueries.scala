@@ -1450,6 +1450,52 @@ object ExtQueries {
       |             / count(*), 6) AS avg_logp
       |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  /** Bigram-LM quality ([[graft.ops.BigramLm]], r11): the order-1
+    * perplexity filter's per-source card — same shape as the unigram
+    * card so the two filters read side by side. */
+  def bigramQuality(s: SparkSession, dir: String): DataFrame =
+    BigramLm.scores(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        min("logp").as("min_logp"),
+        max("logp").as("max_logp"),
+        round(sum(col("logp").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logp"))
+      .orderBy("source")
+
+  val bigramQualitySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents
+      |  WHERE len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_transform(range(len(t) - 1), i -> t[i+1])) AS w1,
+      |         unnest(list_transform(range(len(t) - 1), i -> t[i+2])) AS w2
+      |  FROM tk
+      |), dbc AS (
+      |  SELECT doc_id, source, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3, 4
+      |), vocab AS (
+      |  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM dbc GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM vocab GROUP BY 1
+      |), lp AS (
+      |  SELECT w1, w2,
+      |         CAST(round(ln(CAST(cb AS DOUBLE) / ch), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM vocab JOIN hist USING (w1)
+      |), ds AS (
+      |  SELECT doc_id, source,
+      |         round(CAST(sum(CAST(c AS DECIMAL(18,0)) * lp) AS DOUBLE)
+      |               / sum(c), 6) AS logp
+      |  FROM dbc JOIN lp USING (w1, w2) GROUP BY 1, 2
+      |)
+      |SELECT source, count(*) AS docs,
+      |       min(logp) AS min_logp, max(logp) AS max_logp,
+      |       round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+      |             / count(*), 6) AS avg_logp
+      |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------- BM25 retrieval
 
   /** The fixed audit probe for the BM25 queries: one rare term (df≈5%
@@ -3074,6 +3120,7 @@ object ExtQueries {
     "q_semdedup"          -> (semDedup _),
     "q_live_metrics"      -> (liveMetrics _),
     "q_unigram_quality"   -> (unigramQuality _),
+    "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
     "q_bm25_incremental"  -> (bm25Incremental _),
@@ -3138,6 +3185,7 @@ object ExtQueries {
     "q_semdedup"          -> semDedupSql,
     "q_live_metrics"      -> liveMetricsSql,
     "q_unigram_quality"   -> unigramQualitySql,
+    "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
     // reproduce the batch scores exactly — same oracle, so the hash

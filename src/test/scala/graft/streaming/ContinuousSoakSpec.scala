@@ -61,6 +61,8 @@ class ContinuousSoakSpec extends SparkSpec {
       n = 8, nBuckets = 8)
     IncrementalSegments.writeState(
       corpus.select("doc_id", "source", "text"), s"$p/segs", nBuckets = 8)
+    graft.ops.Bm25Index.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/bm25", nBuckets = 8)
     // fifth family (r11): the corpus metrics rollup folds every batch
     val cat = new graft.api.MetricViewCatalog(spark,
       { case "documents" => docs; case n => sys.error(s"no source $n") },
@@ -81,9 +83,11 @@ class ContinuousSoakSpec extends SparkSpec {
       im.foldBatch(mv, b, foldId = Some(fid))
       IncrementalSegments.applyDelta(spark, s"$p/segs",
         b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
+      graft.ops.Bm25Index.applyDelta(spark, s"$p/bm25",
+        b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
       // periodic hygiene between folds (suites run sequentially, so
-      // this clobbers nothing live): 31 folds x 5 families on a
+      // this clobbers nothing live): 31 folds x 7 families on a
       // local[4] test JVM accumulate enough not-yet-swept cache blocks
       // late in the full suite to exhaust the unified pool — observed
       // once as UNABLE_TO_ACQUIRE_MEMORY in a mid-fold HashAggregate.
@@ -99,6 +103,7 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(versionDirs(s"$p/metrics/mv_corpus/by_source_lang").size <= 2,
       "metrics rollup versions must GC")
     assert(versionDirs(s"$p/segs").size <= 2, "segment store versions must GC")
+    assert(versionDirs(s"$p/bm25").size <= 2, "bm25 index versions must GC")
 
     // ---- compaction keeps file counts bounded under continuous folding
     val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
@@ -116,6 +121,13 @@ class ContinuousSoakSpec extends SparkSpec {
         .getOrElse(Array.empty).filter(_.isDirectory)
         .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
       assert(worst <= 17, s"span $table bucket grew to $worst files")
+    }
+    val bm25Cur = SnapshotRoot.currentDir(s"$p/bm25")
+    for (table <- Seq("postings", "df", "doclen", "stats")) {
+      val worst = Option(new java.io.File(s"$bm25Cur/$table").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
+      assert(worst <= 17, s"bm25 $table bucket grew to $worst files")
     }
 
     // ---- flat per-fold time: the last third must not cost more than
@@ -152,6 +164,14 @@ class ContinuousSoakSpec extends SparkSpec {
         graft.ops.SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
       .agg(sum("kept_segments")).head().getLong(0)
     assert(incKept == batchKept, s"kept totals: inc $incKept vs batch $batchKept")
+    // 31-fold BM25 index == batch scoring over everything (additive
+    // tables — exact under any arrival order, 30 compactions included)
+    assert(graft.ops.Bm25Index
+      .scoresFromState(spark, s"$p/bm25", "dup merge stream", nBuckets = 8)
+      .collect().map(_.toSeq).toSet ==
+      graft.ops.Bm25.scores(docs.select("doc_id", "source", "text"),
+        "dup merge stream").collect().map(_.toSeq).toSet,
+      "31-fold bm25 index == batch scores")
     cat.materializer.get.markBuilt(mv)
     assert(mv.query(Seq("source"), Seq("doc_count", "char_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
