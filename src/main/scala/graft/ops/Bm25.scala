@@ -150,7 +150,9 @@ object Bm25Index {
   private val postingsSchema = StructType(Seq(
     StructField("w", StringType), StructField("doc_id", LongType),
     StructField("tf", LongType), StructField("dl", LongType),
-    StructField("source", StringType), StructField("wbucket", IntegerType)))
+    StructField("source", StringType),
+    StructField("positions", ArrayType(IntegerType)),
+    StructField("wbucket", IntegerType)))
   private val dfSchema = StructType(Seq(
     StructField("w", StringType), StructField("df", LongType),
     StructField("wbucket", IntegerType)))
@@ -163,6 +165,16 @@ object Bm25Index {
 
   private def wbucket(w: Column, n: Int) =
     pmod(xxhash64(w), lit(n.toLong)).cast("int")
+
+  /** Bucket ids for literal terms via the ENGINE's own xxhash64 (a
+    * local 1-task job) — guaranteed identical to the write-side
+    * bucketing, no reimplementation to drift. */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String],
+      nBuckets: Int): Seq[Integer] = {
+    import spark.implicits._
+    terms.distinct.toDF("w").select(wbucket(col("w"), nBuckets).as("b"))
+      .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+  }
   private def dbucket(id: Column, n: Int) =
     pmod(id.cast("long"), lit(n.toLong)).cast("int")
 
@@ -178,11 +190,24 @@ object Bm25Index {
 
   /** The four index tables for a batch of docs (no store read). The tf
     * frame is cached for the four table writes (the fold posture —
-    * epoch sweep reclaims any over-registration). */
+    * epoch sweep reclaims any over-registration). Postings carry the
+    * term's POSITIONS in the doc (0-based, sorted) so the index also
+    * serves exact-phrase probes ([[phraseFromState]]); tf/dl here must
+    * stay definitionally identical to [[Bm25.termFreqs]] — the
+    * indexed==batch score spec gates that. */
   private def derive(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf = Persists.cacheFor(
-      Bm25.termFreqs(docs).withColumn("wbucket", wbucket(col("w"), nBuckets)), 4)
-    val postings = tf.select("w", "doc_id", "tf", "dl", "source", "wbucket")
+      docs.filter(length(trim(col("text"))) > 0)
+        .withColumn("__t", TextOps.tokens(lower(col("text"))))
+        .select(col("doc_id"), col("source"),
+          size(col("__t")).cast("long").as("dl"),
+          posexplode(col("__t")).as(Seq("pos", "w")))
+        .groupBy("doc_id", "source", "dl", "w")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .withColumn("wbucket", wbucket(col("w"), nBuckets)), 4)
+    val postings = tf.select("w", "doc_id", "tf", "dl", "source",
+      "positions", "wbucket")
     val dfP = tf.groupBy("w", "wbucket").agg(count(lit(1)).as("df"))
       .select("w", "df", "wbucket")
     val dlens = tf.groupBy("doc_id").agg(first("dl").as("dl"))
@@ -289,14 +314,7 @@ object Bm25Index {
     requireSameParams(root, nBuckets)
     val cur = SnapshotRoot.currentDir(root)
     val qTerms = Bm25.queryTerms(query)
-    // bucket ids via the ENGINE's own xxhash64 (a local 1-task job over
-    // the literal terms) — guaranteed identical to the write-side
-    // bucketing, no reimplementation to drift
-    val qBuckets = {
-      import spark.implicits._
-      qTerms.toDF("w").select(wbucket(col("w"), nBuckets).as("b"))
-        .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    }
+    val qBuckets = bucketsOf(spark, qTerms, nBuckets)
 
     val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
       .agg(sum("n_docs"), sum("tot_dl")).head()
@@ -317,5 +335,39 @@ object Bm25Index {
       .join(broadcast(keep.select("w")), Seq("w"), "left_semi")
       .select("w", "doc_id", "tf", "dl", "source")
     Bm25.scoreMatches(tf, keep, nDocs, totDl, "doc_id", Seq("source"))
+  }
+
+  /** Exact-phrase probe from the positional postings — (doc_id,
+    * source, n_hits) for every document containing `phrase` as
+    * consecutive tokens, without touching the corpus text: the i-th
+    * phrase term's posting list is read (bucket-pruned), the per-doc
+    * lists join on doc_id (k-1 joins for a k-term phrase, each side
+    * already pruned to one term), and a phrase start is a position p
+    * in term 0's list with p+i present in term i's list for every i —
+    * in-row codegen HOFs over the sorted position arrays. The
+    * decontamination/audit workhorse: "which documents contain this
+    * eval sentence verbatim" at posting-list cost. */
+  def phraseFromState(spark: SparkSession, root: String, phrase: String,
+      nBuckets: Int = 64): DataFrame = {
+    requireSameParams(root, nBuckets)
+    val cur = SnapshotRoot.currentDir(root)
+    val terms = phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val qBuckets = bucketsOf(spark, terms, nBuckets)
+    val posts = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+      .filter(col("wbucket").isin(qBuckets: _*))
+    def readFor(w: String) = posts.filter(col("w") === w)
+    val base = readFor(terms.head)
+      .select(col("doc_id"), col("source"), col("positions").as("p0"))
+    val joined = terms.indices.tail.foldLeft(base) { (acc, i) =>
+      acc.join(readFor(terms(i))
+        .select(col("doc_id"), col("positions").as(s"p$i")), "doc_id")
+    }
+    val starts = terms.indices.tail.foldLeft(col("p0")) { (c, i) =>
+      filter(c, p => array_contains(col(s"p$i"), p + i))
+    }
+    joined.select(col("doc_id"), col("source"),
+        size(starts).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
   }
 }

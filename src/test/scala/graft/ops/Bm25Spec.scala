@@ -97,6 +97,47 @@ class Bm25Spec extends SparkSpec {
       "'the' (df=N) must be dropped at ratio 0.5, leaving the 'cat' scores")
   }
 
+  test("phrase probe: index-derived hits == brute-force text scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-phrase").toString + "/s"
+    Bm25Index.writeState(Seq(
+      (1L, "a", "slow hash batch x slow hash batch"), // 2 hits
+      (2L, "a", "slow hash x batch"),                 // terms present, not adjacent
+      (3L, "b", "x slow hash batch"),                 // 1 hit
+      (4L, "b", "hash batch slow"),                   // wrong order
+      (5L, "b", "slow slow hash batch")               // overlap edge: 1 hit
+    ).toDF("doc_id", "source", "text"), root, nBuckets = 8)
+    val hits = Bm25Index.phraseFromState(spark, root, "slow hash batch", nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L, 5L -> 1L))
+    // repeated-term phrase: positions must shift per occurrence index
+    val rep = Bm25Index.phraseFromState(spark, root, "slow slow hash", nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep == Map(5L -> 1L))
+    // single-term phrase degenerates to tf
+    val one = Bm25Index.phraseFromState(spark, root, "slow", nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("phrase probe on the fixture == token-trigram scan") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-phrf").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 16)
+    // brute force: count trigram windows equal to the phrase
+    val toks = TextOps.tokens(lower(col("text")))
+    val brute = docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("__t", toks)
+      .filter(size(col("__t")) >= 3) // sequence(0, n) descends for n < 0
+      .select(col("doc_id"), col("source"),
+        size(filter(sequence(lit(0), size(col("__t")) - 3),
+          i => element_at(col("__t"), i + 1) === "table" &&
+            element_at(col("__t"), i + 2) === "value" &&
+            element_at(col("__t"), i + 3) === "part")).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+    assert(rows(Bm25Index.phraseFromState(spark, root, "table value part",
+        nBuckets = 16)) == rows(brute))
+  }
+
   test("probe prunes the postings scan to the query terms' buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
