@@ -484,6 +484,100 @@ object ExtQueries {
       |       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
       |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- interval joins
+
+  /** Purchase BURSTS (48 h-gap sessions over each user's purchase
+    * events) shared by both interval-join queries. */
+  private def bursts(ev: DataFrame, eventType: String, prefix: String): DataFrame =
+    Sessionize(ev.filter(col("event_type") === eventType), gapSeconds = 172800L)
+      .select(col("user_id"), col("session_idx").as(s"${prefix}_idx"),
+        col("session_start").as(s"${prefix}_start"),
+        col("session_end").as(s"${prefix}_end"))
+
+  /** Error events inside each user's purchase bursts — the
+    * point-in-interval range join
+    * ([[graft.ops.IntervalJoin.pointInInterval]], day-wide bins, keyed
+    * by user) aggregated to a per-burst error card. The oracle is the
+    * NAIVE BETWEEN join over the same burst derivation, so the hash
+    * gate proves the bin-bucketed equi-join plan loses and duplicates
+    * nothing vs the quadratic plan it replaces. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchase = bursts(ev, "purchase", "p")
+    val errs = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts", "value")
+    IntervalJoin.pointInInterval(errs, purchase, "ts",
+        "p_start", "p_end", binWidth = 86400000000L, keys = Seq("user_id"))
+      .groupBy(col("user_id"), col("p_idx").as("session_idx"))
+      .agg(count(lit(1)).as("n_errors"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("err_value"),
+        min("ts").as("first_error"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Shared oracle CTE: the 48 h-gap burst windows for one event type
+    * (the sessionize oracle's derivation, filtered and with µs gap
+    * 172800000000). */
+  private def burstCteSql(eventType: String, alias: String): String =
+    s"""$alias AS (
+      |  SELECT user_id,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx,
+      |         ts
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
+      |                THEN 1 ELSE 0 END AS is_new
+      |    FROM events WHERE event_type = '$eventType'
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |  )
+      |), ${alias}w AS (
+      |  SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end
+      |  FROM $alias GROUP BY 1, 2
+      |)""".stripMargin
+
+  val intervalJoinSql: String =
+    s"""WITH ${burstCteSql("purchase", "p")}
+      |SELECT e.user_id, b.session_idx,
+      |       count(*) AS n_errors,
+      |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS err_value,
+      |       min(e.ts) AS first_error
+      |FROM events e JOIN pw b ON e.user_id = b.user_id
+      |  AND e.ts >= b.session_start AND e.ts <= b.session_end
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Overlapping (click-burst, view-burst) window pairs per user from
+    * the interval-overlap range join
+    * ([[graft.ops.IntervalJoin.intervalOverlap]] — both sides explode
+    * to day bins, candidates dedup to the canonical shared bin), with
+    * the exact overlap duration in integer-µs arithmetic. Oracle: the
+    * naive O(n·m) overlap join over the same two burst CTEs. */
+  def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    IntervalJoin.intervalOverlap(bursts(ev, "click", "c"), bursts(ev, "view", "v"),
+        "c_start", "c_end", "v_start", "v_end",
+        binWidth = 86400000000L, keys = Seq("user_id"))
+      .select(col("user_id"), col("c_idx"), col("v_idx"),
+        ((least(unix_micros(col("c_end")), unix_micros(col("v_end"))) -
+          greatest(unix_micros(col("c_start")), unix_micros(col("v_start"))))
+          / lit(1e6)).as("overlap_s"))
+      .orderBy("user_id", "c_idx", "v_idx")
+  }
+
+  val intervalOverlapSql: String =
+    s"""WITH ${burstCteSql("click", "c")},
+      |${burstCteSql("view", "v")}
+      |SELECT c.user_id, c.session_idx AS c_idx, v.session_idx AS v_idx,
+      |       (least(epoch_us(c.session_end), epoch_us(v.session_end)) -
+      |        greatest(epoch_us(c.session_start), epoch_us(v.session_start))) / 1e6
+      |         AS overlap_s
+      |FROM cw c JOIN vw v ON c.user_id = v.user_id
+      |  AND c.session_start <= v.session_end
+      |  AND v.session_start <= c.session_end
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Structured-Streaming surface in the driver contract: watermarked
     * tumbling-window agg over events driven by Trigger.AvailableNow into
     * a memory sink. The append-mode result IS deterministic — after the
@@ -1496,6 +1590,64 @@ object ExtQueries {
       |             / count(*), 6) AS avg_logp
       |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  /** DSIR data selection ([[graft.ops.Dsir]], r11): score the
+    * non-English pool against an English-target hashed-ngram model and
+    * keep the 50 most target-like documents — the "make the crawl look
+    * like the reference corpus" card. The oracle re-derives the whole
+    * chain (md5 feature buckets, add-one smoothed bucket counts, 6dp
+    * log-ratio weights, exact decimal per-doc sums) in DuckDB. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    Dsir.scores(Tables.documents(s, dir), targetPred = col("lang") === "en",
+        buckets = 4096)
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        col("log_w"), col("log_w_per_feat"))
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .limit(50)
+
+  val dsirSelectSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, (lang = 'en') AS is_t,
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), feats AS (
+      |  SELECT doc_id, source, is_t, unnest(t) AS g FROM tk
+      |  UNION ALL
+      |  SELECT doc_id, source, is_t,
+      |         unnest(list_transform(range(len(t) - 1),
+      |           i -> t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM tk WHERE len(t) >= 2
+      |), fb AS (
+      |  SELECT doc_id, source, is_t,
+      |         ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+      |        + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 4096 AS b
+      |  FROM feats
+      |), dbc AS (
+      |  SELECT doc_id, source, is_t, b, count(*) AS c FROM fb GROUP BY 1, 2, 3, 4
+      |), bc AS (
+      |  SELECT b, CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tc,
+      |            CAST(sum(CASE WHEN is_t THEN 0 ELSE c END) AS BIGINT) AS rc
+      |  FROM dbc GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(sum(tc) AS BIGINT) AS t, CAST(sum(rc) AS BIGINT) AS r FROM bc
+      |), lw AS (
+      |  SELECT b, CAST(round(
+      |           ln(CAST(tc + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))
+      |         - ln(CAST(rc + 1 AS DOUBLE) / CAST(r + 4096 AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS lw
+      |  FROM bc, tot
+      |), ds AS (
+      |  SELECT doc_id, source,
+      |         CAST(sum(c) AS BIGINT) AS n_feats,
+      |         CAST(sum(CAST(c AS DECIMAL(18,0)) * lw) AS DOUBLE) AS log_w,
+      |         round(CAST(sum(CAST(c AS DECIMAL(18,0)) * lw) AS DOUBLE)
+      |               / sum(c), 6) AS log_w_per_feat
+      |  FROM dbc JOIN lw USING (b) WHERE NOT is_t GROUP BY 1, 2
+      |)
+      |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
+      |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------- BM25 retrieval
 
   /** The fixed audit probe for the BM25 queries: one rare term (df≈5%
@@ -1567,6 +1719,36 @@ object ExtQueries {
     }
     bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
   }
+
+  /** Exact-phrase search from the positional index
+    * ([[graft.ops.Bm25Index.phraseFromState]], r11): every document
+    * containing the probe phrase as consecutive tokens, with its hit
+    * count, served from posting lists alone. The oracle re-derives the
+    * hits from RAW TEXT (a token-trigram scan), so the hash gate
+    * proves index-derived == text-derived occurrence-for-occurrence. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Idx, dir, "graft_bm25_idx") { p =>
+      Bm25Index.writeState(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), s"$p/state")
+    }
+    Bm25Index.phraseFromState(s, s"$path/state", "small query line")
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), hits AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(range(len(t) - 2),
+      |               i -> t[i+1] = 'small' AND t[i+2] = 'query'
+      |                    AND t[i+3] = 'line')) AS BIGINT) AS n_hits
+      |  FROM tk
+      |)
+      |SELECT doc_id, source, n_hits FROM hits WHERE n_hits > 0
+      |ORDER BY n_hits DESC, doc_id""".stripMargin
 
   /** The BM25 math re-derived in DuckDB — idf and each (doc, term)
     * contribution 6dp-fixed as DECIMAL(18,6) with per-doc sums in
@@ -3120,12 +3302,16 @@ object ExtQueries {
     "q_semdedup"          -> (semDedup _),
     "q_live_metrics"      -> (liveMetrics _),
     "q_unigram_quality"   -> (unigramQuality _),
+    "q_dsir"              -> (dsirSelect _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
     "q_bm25_incremental"  -> (bm25Incremental _),
+    "q_phrase_search"     -> (phraseSearch _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
+    "q_interval_join"     -> (intervalJoin _),
+    "q_interval_overlap"  -> (intervalOverlapQ _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_revenue_by_nation" -> (revenueByNation _),
     "q_top_parts"         -> (topParts _),
@@ -3185,6 +3371,7 @@ object ExtQueries {
     "q_semdedup"          -> semDedupSql,
     "q_live_metrics"      -> liveMetricsSql,
     "q_unigram_quality"   -> unigramQualitySql,
+    "q_dsir"              -> dsirSelectSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
@@ -3192,8 +3379,16 @@ object ExtQueries {
     // gates ARE the indexed == batch and fold == rebuild contracts
     "q_bm25_indexed"      -> bm25Sql,
     "q_bm25_incremental"  -> bm25Sql,
+    // the oracle derives phrase hits from RAW TEXT; the engine serves
+    // them from posting lists — the hash gate proves the positional
+    // index reproduces the text scan
+    "q_phrase_search"     -> phraseSearchSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
+    // both oracles are the NAIVE quadratic range joins the binned
+    // equi-join plan replaces — the hash gates prove plan equivalence
+    "q_interval_join"     -> intervalJoinSql,
+    "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
     "q_top_parts"         -> topPartsSql,

@@ -71,7 +71,15 @@ object ScaleBench {
     "q_passage_dedup", "q_budget_sample", "q_unigram_quality",
     // batch BM25: the (doc, query-term) partial-agg shuffle + the
     // stats scan — should sweep scan-bound like the unigram scorer
-    "q_bm25")
+    "q_bm25",
+    // r11 late additions: the binned interval joins (replicas add
+    // USERS with flat per-user event density, so bursts, points and
+    // matched pairs all grow linearly — the bin equi-join should sweep
+    // ~linear where the naive quadratic plan would sweep ~R²) and the
+    // DSIR scorer (bucket grain is FIXED at 4096 whatever the corpus,
+    // so the model stays broadcast-sized; the doc-bucket shuffle is
+    // the linear term)
+    "q_interval_join", "q_interval_overlap", "q_dsir")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
