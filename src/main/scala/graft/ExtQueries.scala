@@ -1648,6 +1648,35 @@ object ExtQueries {
       |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
       |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
 
+  private val stagedDsirStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental DSIR ([[graft.ops.DsirStore]]): the model counts fold
+    * in three deterministic arrival batches (`doc_id % 3`), then the
+    * full pool is scored FROM THE STORE. Oracle = the batch q_dsir SQL
+    * verbatim — the hash gate IS the fold==rebuild contract (exact
+    * element-wise count sums make it hold under any arrival order). */
+  def dsirIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pred = col("lang") === "en"
+    val path = stagedTempDir(stagedDsirStore, dir, "graft_dsir_store") { p =>
+      val docs = Tables.documents(s, dir)
+      val t0 = System.nanoTime()
+      DsirStore.writeCounts(docs.filter(col("doc_id") % 3 === 0), pred, s"$p/s")
+      val t1 = System.nanoTime()
+      DsirStore.applyDelta(s, s"$p/s", docs.filter(col("doc_id") % 3 === 1),
+        pred, foldId = Some("b1"))
+      DsirStore.applyDelta(s, s"$p/s", docs.filter(col("doc_id") % 3 === 2),
+        pred, foldId = Some("b2"))
+      stageTimings("q_dsir_incremental") = Seq(
+        "write_counts" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+    DsirStore.scoresFromState(s, s"$path/s", Tables.documents(s, dir), pred)
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        col("log_w"), col("log_w_per_feat"))
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .limit(50)
+  }
+
   // ---------------------------------------------------------- BM25 retrieval
 
   /** The fixed audit probe for the BM25 queries: one rare term (df≈5%
@@ -3303,6 +3332,7 @@ object ExtQueries {
     "q_live_metrics"      -> (liveMetrics _),
     "q_unigram_quality"   -> (unigramQuality _),
     "q_dsir"              -> (dsirSelect _),
+    "q_dsir_incremental"  -> (dsirIncremental _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
@@ -3372,6 +3402,9 @@ object ExtQueries {
     "q_live_metrics"      -> liveMetricsSql,
     "q_unigram_quality"   -> unigramQualitySql,
     "q_dsir"              -> dsirSelectSql,
+    // the incremental entry runs the BATCH SQL: the hash gate IS the
+    // fold==rebuild contract for the persisted model counts
+    "q_dsir_incremental"  -> dsirSelectSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must

@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * against the B-row weight table, one doc-grain aggregate. The two
   * corpus totals are a 1-row collect (driver metadata). Selection
   * downstream is `ORDER BY score LIMIT k` (TakeOrdered — per-partition
-  * heaps, no global sort) or a threshold filter. */
+  * heaps, no global sort) or a threshold filter.
+  *
+  * The model counts are plain summable longs, so they also persist and
+  * FOLD incrementally ([[DsirStore]] — fit the reference model once,
+  * keep it current at O(delta), score any candidate pool against the
+  * stored state). */
 object Dsir {
 
   /** Unigram + bigram features of a token array, built in-row (narrow,
@@ -41,31 +46,38 @@ object Dsir {
     concat(tokens, when(size(tokens) >= 2, bigrams).otherwise(array()))
   }
 
-  /** Per-document DSIR log importance weights for the RAW pool (docs
-    * NOT matching `targetPred`): (idCol, carry..., n_feats, log_w,
-    * log_w_per_feat). Higher = more target-like. Documents with no
-    * tokens are excluded; the target docs themselves are the model,
-    * not the pool. */
-  def scores(docs: DataFrame, targetPred: Column, buckets: Int = 4096,
-      idCol: String = "doc_id", textCol: String = "text",
-      carry: Seq[String] = Seq("source")): DataFrame = {
+  /** One row per (doc, feature bucket): (idCol, carry..., __t, b, c).
+    * The single token-derived shuffle in the operator — map-side
+    * combined at (doc, bucket) grain. */
+  private[ops] def docBucketCounts(docs: DataFrame, targetPred: Column,
+      buckets: Int, idCol: String, textCol: String,
+      carry: Seq[String]): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val base = docs.filter(length(trim(col(textCol))) > 0)
       .withColumn("__t", coalesce(targetPred, lit(false)))
-    val fb = base.select((col(idCol) +: carry.map(col)) ++ Seq(col("__t"),
+    base.select((col(idCol) +: carry.map(col)) ++ Seq(col("__t"),
       explode(feats(TextOps.tokens(lower(col(textCol))))).as("g")): _*)
       .withColumn("b", Sampling.md5Bucket(col("g")) % buckets)
-    val dbc = Persists.cacheFor(
-      fb.groupBy((col(idCol) +: carry.map(col)) ++ Seq(col("__t"), col("b")): _*)
-        .agg(count(lit(1)).as("c")), 2)
-    val bc = Persists.cacheFor(
-      dbc.groupBy("b").agg(
-        sum(when(col("__t"), col("c")).otherwise(0L)).as("tc"),
-        sum(when(!col("__t"), col("c")).otherwise(0L)).as("rc")), 2)
-    val tot = bc.agg(sum("tc"), sum("rc")).head()
+      .groupBy((col(idCol) +: carry.map(col)) ++ Seq(col("__t"), col("b")): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Bucket-grain model counts (b, tc, rc) — ≤ `buckets` rows. */
+  private[ops] def modelOf(dbc: DataFrame): DataFrame =
+    dbc.groupBy("b").agg(
+      sum(when(col("__t"), col("c")).otherwise(0L)).as("tc"),
+      sum(when(!col("__t"), col("c")).otherwise(0L)).as("rc"))
+
+  /** Score the raw-pool rows of `dbc` against `model`. `model` must be
+    * registered for 2 actions by the caller (the totals head() here +
+    * the terminal action). */
+  private[ops] def scoreAgainst(dbc: DataFrame, model: DataFrame,
+      buckets: Int, idCol: String, carry: Seq[String]): DataFrame = {
+    val tot = model.agg(sum("tc"), sum("rc")).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+      "target predicate matched no features — no model to fit")
     val (t, r) = (tot.getLong(0), tot.getLong(1))
-    require(t > 0, "target predicate matched no features — no model to fit")
-    val lw = bc.select(col("b"),
+    val lw = model.select(col("b"),
       round(log((col("tc") + 1).cast("double") / lit((t + buckets).toDouble)) -
         log((col("rc") + 1).cast("double") / lit((r + buckets).toDouble)), 6)
         .cast("decimal(18,6)").as("lw"))
@@ -77,5 +89,19 @@ object Dsir {
       .withColumn("log_w_per_feat",
         round(col("__s").cast("double") / col("n_feats"), 6))
       .drop("__s")
+  }
+
+  /** Per-document DSIR log importance weights for the RAW pool (docs
+    * NOT matching `targetPred`): (idCol, carry..., n_feats, log_w,
+    * log_w_per_feat). Higher = more target-like. Documents with no
+    * tokens are excluded; the target docs themselves are the model,
+    * not the pool. */
+  def scores(docs: DataFrame, targetPred: Column, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text",
+      carry: Seq[String] = Seq("source")): DataFrame = {
+    val dbc = Persists.cacheFor(
+      docBucketCounts(docs, targetPred, buckets, idCol, textCol, carry), 2)
+    val model = Persists.cacheFor(modelOf(dbc), 2)
+    scoreAgainst(dbc, model, buckets, idCol, carry)
   }
 }
