@@ -337,6 +337,28 @@ object ScaleBench {
     val incDriftBase = incDriftProbe(baseDir)
     val incDriftScaled = incDriftProbe(scaleDir)
 
+    // FIXED-DELTA incremental-DSIR probe (late r11): fold a pinned
+    // delta's hashed-ngram bucket counts into a model fitted on a
+    // growing corpus. The fold scans only the delta and rewrites a
+    // ≤ B-row store, so like drift the ratio should sit at ~1.
+    def incDsirProbe(dir: String): Double = {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_scale_incdsir").toString + "/s"
+      val pred = col("lang") === "en"
+      val docs = graft.model.Tables.documents(spark, dir)
+      graft.ops.DsirStore.writeCounts(
+        docs.filter(col("doc_id") % 10 =!= 7), pred, st)
+      val delta = graft.model.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") % 10 === 7)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.DsirStore.applyDelta(spark, st, delta, pred)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val incDsirBase = incDsirProbe(baseDir)
+    val incDsirScaled = incDsirProbe(scaleDir)
+
     // TOP-K EVICTION-REGIME probe (r10): graft_topk with distinct keys
     // ≫ capacity, so each partition's sketch spends the scan displacing
     // counters — the lazy-heap eviction's per-update cost is what's
@@ -365,7 +387,7 @@ object ScaleBench {
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}},"inc_bm25_fixed_delta":{"base_sec":${f"$incBm25Base%.3f"},"scaled_sec":${f"$incBm25Scaled%.3f"},"ratio":${f"${incBm25Scaled / incBm25Base}%.2f"}}}""")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}},"inc_bm25_fixed_delta":{"base_sec":${f"$incBm25Base%.3f"},"scaled_sec":${f"$incBm25Scaled%.3f"},"ratio":${f"${incBm25Scaled / incBm25Base}%.2f"}},"inc_dsir_fixed_delta":{"base_sec":${f"$incDsirBase%.3f"},"scaled_sec":${f"$incDsirScaled%.3f"},"ratio":${f"${incDsirScaled / incDsirBase}%.2f"}}}""")
     spark.stop()
   }
 

@@ -71,7 +71,15 @@ object ContinuousIngest {
         * lexical-search serving ([[graft.ops.Bm25Index.applyDelta]];
         * purely additive tables, so its fold==rebuild holds under any
         * batch order; same ledger/retry contract). */
-      bm25Root: Option[String] = None): Long = {
+      bm25Root: Option[String] = None,
+      /** eighth family (late r11): the DSIR importance model — each
+        * batch's hashed-ngram bucket counts fold into the stored
+        * (b, tc, rc) model ([[graft.ops.DsirStore.applyDelta]] —
+        * element-wise sums, exact under any order), so candidate
+        * scoring always runs against a model that has seen the whole
+        * corpus. The Column is the target predicate (the caller's
+        * cross-fold contract). */
+      dsir: Option[(String, org.apache.spark.sql.Column)] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -107,6 +115,11 @@ object ContinuousIngest {
             Folds.launch(b.sparkSession)(Folds.FamilyClock.time("bm25") {
               graft.ops.Bm25Index.applyDelta(b.sparkSession, br,
                 b, nBuckets, foldId = Some(fid))
+            })
+          } ++ dsir.map { case (dr, pred) =>
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("dsir") {
+              graft.ops.DsirStore.applyDelta(b.sparkSession, dr,
+                b, pred, foldId = Some(fid))
             })
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,

@@ -48,12 +48,23 @@ class ContinuousIngestSpec extends SparkSpec {
     // (default bucket count — must match the daemon's shared nBuckets)
     graft.ops.Bm25Index.writeState(
       corpus.select("doc_id", "source", "text"), s"$p/bm25")
+    // eighth family (late r11): the DSIR importance model
+    val dsirPred = col("lang") === "en"
+    graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
     val n = ContinuousIngest.run(stream, s"$p/index", s"$p/state",
       s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
       spanN = 8, spanBuckets = 16, metrics = Some((mv, im)),
       segmentsRoot = Some(s"$p/segs"),
-      bm25Root = Some(s"$p/bm25"))
+      bm25Root = Some(s"$p/bm25"),
+      dsir = Some((s"$p/dsir", dsirPred)))
     assert(n == 3, s"expected 3 microbatches, got $n")
+
+    // DSIR model: stream-folded counts score identically to a model
+    // fitted on the union in one shot (element-wise count sums are
+    // exact under any arrival order)
+    assert(graft.ops.DsirStore.scoresFromState(spark, s"$p/dsir", all, dsirPred)
+      .collect().map(_.toSeq).toSet ==
+      graft.ops.Dsir.scores(all, dsirPred).collect().map(_.toSeq).toSet)
 
     // BM25 index: the stream-maintained scores equal a same-corpus
     // batch scoring (additive tables — exact under any arrival order)

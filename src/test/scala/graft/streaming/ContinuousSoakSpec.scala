@@ -63,6 +63,8 @@ class ContinuousSoakSpec extends SparkSpec {
       corpus.select("doc_id", "source", "text"), s"$p/segs", nBuckets = 8)
     graft.ops.Bm25Index.writeState(
       corpus.select("doc_id", "source", "text"), s"$p/bm25", nBuckets = 8)
+    val dsirPred = col("lang") === "en"
+    graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
     // fifth family (r11): the corpus metrics rollup folds every batch
     val cat = new graft.api.MetricViewCatalog(spark,
       { case "documents" => docs; case n => sys.error(s"no source $n") },
@@ -85,6 +87,8 @@ class ContinuousSoakSpec extends SparkSpec {
         b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
       graft.ops.Bm25Index.applyDelta(spark, s"$p/bm25",
         b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
+      graft.ops.DsirStore.applyDelta(spark, s"$p/dsir", b, dsirPred,
+        foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
       // periodic hygiene between folds (suites run sequentially, so
       // this clobbers nothing live): 31 folds x 7 families on a
@@ -104,6 +108,7 @@ class ContinuousSoakSpec extends SparkSpec {
       "metrics rollup versions must GC")
     assert(versionDirs(s"$p/segs").size <= 2, "segment store versions must GC")
     assert(versionDirs(s"$p/bm25").size <= 2, "bm25 index versions must GC")
+    assert(versionDirs(s"$p/dsir").size <= 2, "dsir model versions must GC")
 
     // ---- compaction keeps file counts bounded under continuous folding
     val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
@@ -172,6 +177,12 @@ class ContinuousSoakSpec extends SparkSpec {
       graft.ops.Bm25.scores(docs.select("doc_id", "source", "text"),
         "dup merge stream").collect().map(_.toSeq).toSet,
       "31-fold bm25 index == batch scores")
+    // 31-fold DSIR model == one-shot fit over everything (element-wise
+    // count sums — exact under any arrival order)
+    assert(graft.ops.DsirStore.scoresFromState(spark, s"$p/dsir", docs, dsirPred)
+      .collect().map(_.toSeq).toSet ==
+      graft.ops.Dsir.scores(docs, dsirPred).collect().map(_.toSeq).toSet,
+      "31-fold dsir model == batch scores")
     cat.materializer.get.markBuilt(mv)
     assert(mv.query(Seq("source"), Seq("doc_count", "char_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
