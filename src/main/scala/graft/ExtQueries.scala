@@ -1648,6 +1648,34 @@ object ExtQueries {
       |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
       |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Overlapping retrieval chunks ([[graft.ops.Chunking]], late r11):
+    * every document fanned out to 64-token windows at stride 48 — the
+    * RAG-export unit. The oracle re-derives starts, counts and the
+    * joined chunk text in DuckDB, so the hash gate pins the exact
+    * boundary arithmetic (coverage of the tail, the short-doc single
+    * chunk, the overlap region) across engines. */
+  def chunksExport(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunks(Tables.documents(s, dir), window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  val chunksExportSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), ks AS (
+      |  SELECT doc_id, source, t, len(t) AS n,
+      |         CAST(floor((greatest(len(t) - 64, 0) + 47) / 48.0) AS INT) AS k
+      |  FROM tk
+      |)
+      |SELECT doc_id, source, CAST(i AS INT) AS chunk_id,
+      |       k + 1 AS n_chunks, CAST(i * 48 AS INT) AS chunk_start,
+      |       CAST(least(64, n - i * 48) AS INT) AS n_tokens,
+      |       array_to_string(list_slice(t, i * 48 + 1, least(i * 48 + 64, n)), ' ')
+      |         AS chunk_text
+      |FROM ks, unnest(range(k + 1)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   private val stagedDsirStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Incremental DSIR ([[graft.ops.DsirStore]]): the model counts fold
@@ -1747,6 +1775,17 @@ object ExtQueries {
         "fold" -> (System.nanoTime() - tState) / 1e9)
     }
     bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
+  }
+
+  /** Phrase probe served from the INCREMENTALLY-built index (the
+    * q_bm25_incremental staging — state + three folds): same raw-text
+    * oracle as q_phrase_search, so the hash gate proves the positional
+    * postings survive the fold path occurrence-for-occurrence too. */
+  def phraseSearchIncremental(s: SparkSession, dir: String): DataFrame = {
+    bm25Incremental(s, dir) // ensure the staged fold-built index exists
+    val path = stagedBm25Inc.get(dir)
+    Bm25Index.phraseFromState(s, s"$path/state", "small query line")
+      .orderBy(col("n_hits").desc, col("doc_id"))
   }
 
   /** Exact-phrase search from the positional index
@@ -3333,11 +3372,13 @@ object ExtQueries {
     "q_unigram_quality"   -> (unigramQuality _),
     "q_dsir"              -> (dsirSelect _),
     "q_dsir_incremental"  -> (dsirIncremental _),
+    "q_chunks"            -> (chunksExport _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
     "q_bm25_incremental"  -> (bm25Incremental _),
     "q_phrase_search"     -> (phraseSearch _),
+    "q_phrase_search_incremental" -> (phraseSearchIncremental _),
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_interval_join"     -> (intervalJoin _),
@@ -3405,6 +3446,7 @@ object ExtQueries {
     // the incremental entry runs the BATCH SQL: the hash gate IS the
     // fold==rebuild contract for the persisted model counts
     "q_dsir_incremental"  -> dsirSelectSql,
+    "q_chunks"            -> chunksExportSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
@@ -3416,6 +3458,9 @@ object ExtQueries {
     // them from posting lists — the hash gate proves the positional
     // index reproduces the text scan
     "q_phrase_search"     -> phraseSearchSql,
+    // same raw-text oracle: the gate proves the positional postings
+    // survive the incremental fold path occurrence-for-occurrence
+    "q_phrase_search_incremental" -> phraseSearchSql,
     "q_lang_id"           -> langIdSql,
     "q_sessionize"        -> sessionizeSql,
     // both oracles are the NAIVE quadratic range joins the binned
