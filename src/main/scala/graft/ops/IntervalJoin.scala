@@ -42,8 +42,14 @@ import org.apache.spark.sql.types._
   * raise the cap or widen the bins deliberately).
   *
   * Time columns may be TimestampType (binned on exact integer
-  * microseconds — no FP), DateType (days), or any integral type;
-  * `binWidth` is in those units. Closed-interval semantics
+  * microseconds), DateType (days), or any integral type; `binWidth`
+  * is in those units. `floor(t / w)` runs in double arithmetic, which
+  * is provably exact for |units| < 2⁵³ (proof sketch: for a = qw − r,
+  * 1 ≤ r < w, the quotient's distance to the next integer is r/w ≥
+  * a·2⁻⁵³/w·… > ulp/2, so it never rounds up) — that covers µs
+  * timestamps until year ~2250 and every day-number; only raw integral
+  * keys beyond 2⁵³ would need an exact-decimal bin, which no time
+  * domain produces. Closed-interval semantics
   * ([lo, hi], SQL BETWEEN) on both variants; NULL endpoints and
   * inverted intervals (hi < lo) match nothing, like their SQL
   * predicates. Intervals at or beyond corpus scale stay fully
