@@ -29,7 +29,7 @@ import org.apache.spark.sql.streaming.Trigger
   * rescans.
   *
   * Order within a batch matters only for dedup (match before absorb —
-  * the [[ContinuousDedup]] contract); the four families are
+  * the [[ContinuousDedup]] contract); the families are
   * otherwise independent and could fan out in parallel on a real
   * cluster. The batch is RETRYABLE as a group (r11, ADVICE r10): a
   * content-derived fold id ([[Folds.contentFoldId]] — stable across
@@ -86,7 +86,7 @@ object ContinuousIngest {
         val b = batch.persist()
         try Folds.contentFoldId(b).foreach { fid =>
           batches.incrementAndGet()
-          // the four families are independent (own state roots, own
+          // the families are independent (own state roots, own
           // ledgers) — fan them out when the session has headroom
           // (r11; Folds.launch runs inline on small sessions): on a
           // retry each family skips or re-runs individually, so
