@@ -1777,6 +1777,26 @@ object ExtQueries {
     bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
   }
 
+  /** Exact top-15 via MaxScore dynamic pruning
+    * ([[graft.ops.Bm25Index.topKFromState]]): the probe mixes one rare
+    * term with three stopword-grade terms (df ≈ 0.8·N — exactly what
+    * `maxDfRatio` would drop), and the oracle is UNPRUNED full scoring
+    * over the whole corpus, so the hash gate proves the pruned path
+    * changes nothing while only fully scoring the rare term's
+    * matches. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Idx, dir, "graft_bm25_idx") { p =>
+      Bm25Index.writeState(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), s"$p/state")
+    }
+    val top = Bm25Index.topKFromState(s, s"$path/state", Bm25TopKProbe, k = 15)
+    bm25Card(top)
+  }
+
+  private val Bm25TopKProbe = "dup the part order"
+
+  val bm25TopKSql: String = bm25SqlFor(Seq("dup", "the", "part", "order"))
+
   /** Phrase probe served from the INCREMENTALLY-built index (the
     * q_bm25_incremental staging — state + three folds): same raw-text
     * oracle as q_phrase_search, so the hash gate proves the positional
@@ -1823,9 +1843,15 @@ object ExtQueries {
     * exact decimal arithmetic, mirroring [[graft.ops.Bm25]]'s
     * determinism contract term for term (same literal constants, same
     * association, IEEE doubles both sides). */
-  val bm25Sql: String =
-    """WITH q AS (
-      |  SELECT * FROM (VALUES ('dup'), ('merge'), ('stream'), ('window')) AS t(w)
+  val bm25Sql: String = bm25SqlFor(Seq("dup", "merge", "stream", "window"))
+
+  /** The BM25 oracle, parametrized by probe terms — shared by the
+    * four-path family (batch / indexed / incremental / top-k): ONE
+    * full-scoring SQL per probe, so every engine path gates against
+    * unpruned, whole-corpus scoring. */
+  def bm25SqlFor(terms: Seq[String]): String =
+    raw"""WITH q AS (
+      |  SELECT * FROM (VALUES ${terms.map(t => s"('$t')").mkString(", ")}) AS t(w)
       |), tk AS (
       |  SELECT doc_id, source,
       |         CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS dl,
@@ -3377,6 +3403,7 @@ object ExtQueries {
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
     "q_bm25_incremental"  -> (bm25Incremental _),
+    "q_bm25_topk"         -> (bm25TopK _),
     "q_phrase_search"     -> (phraseSearch _),
     "q_phrase_search_incremental" -> (phraseSearchIncremental _),
     "q_lang_id"           -> (langId _),
@@ -3457,6 +3484,8 @@ object ExtQueries {
     // the oracle derives phrase hits from RAW TEXT; the engine serves
     // them from posting lists — the hash gate proves the positional
     // index reproduces the text scan
+    // UNPRUNED full scoring: the gate proves MaxScore pruning is exact
+    "q_bm25_topk"         -> bm25TopKSql,
     "q_phrase_search"     -> phraseSearchSql,
     // same raw-text oracle: the gate proves the positional postings
     // survive the incremental fold path occurrence-for-occurrence

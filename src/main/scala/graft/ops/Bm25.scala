@@ -337,6 +337,104 @@ object Bm25Index {
     Bm25.scoreMatches(tf, keep, nDocs, totDl, "doc_id", Seq("source"))
   }
 
+  /** Diagnostic: how many essential terms the last [[topKFromState]]
+    * probe needed before the MaxScore bound closed (1 = maximal
+    * pruning; |query terms| = it fell back to full scoring). */
+  @volatile var lastEssentialTerms: Int = 0
+
+  /** EXACT top-k BM25 from the index without aggregating every
+    * matching document — the MaxScore family of dynamic pruning
+    * (Turtle & Flood 1995; the WAND bound of Broder et al. 2003),
+    * re-expressed in Spark's batch shape. This is the answer to
+    * stopword-grade query terms that [[scoresFromState]]'s
+    * `maxDfRatio` guard simply DROPS: here they keep contributing to
+    * scores, but never drag the whole corpus through the shuffle.
+    *
+    * Per-term impact bound: contribution < idf(w)·(k1+1) (tf→∞ makes
+    * the saturation factor approach k1+1), padded for the engine's
+    * 6dp roundings. Terms are ordered by bound descending and an
+    * ESSENTIAL prefix S grows from 1: only documents matching ≥1
+    * essential term are fully scored (the non-essential terms'
+    * posting reads are doc-pruned by a semi-join — their corpus-sized
+    * lists are scanned columnar but never shuffled at list scale),
+    * and the loop stops when the kth best score θ strictly exceeds
+    * Σ bounds over non-essential terms: a document with no essential
+    * term scores ≤ that sum < θ, so it cannot enter the top k — the
+    * result equals full scoring exactly (spec-gated, and q_bm25_topk
+    * hash-gates it against the full-scoring oracle). A rare+stopword
+    * probe closes at |S| = 1; the worst case degrades to full
+    * scoring, never to a wrong answer.
+    *
+    * `k` is driver-sized by contract (the loop collects the k
+    * candidate scores to fix θ). Returns (doc_id, source, n_terms,
+    * score) — the [[Bm25.scores]] shape, already cut to the top k by
+    * (score desc, doc_id asc). */
+  def topKFromState(spark: SparkSession, root: String, query: String,
+      k: Int, nBuckets: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireSameParams(root, nBuckets)
+    val cur = SnapshotRoot.currentDir(root)
+    val qTerms = Bm25.queryTerms(query)
+    val qBuckets = bucketsOf(spark, qTerms, nBuckets)
+
+    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+      .agg(sum("n_docs"), sum("tot_dl")).head()
+    require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
+    val nDocs = st.getLong(0); val totDl = st.getLong(1)
+
+    def postingsFor(terms: Seq[String]) = {
+      val tb = bucketsOf(spark, terms, nBuckets)
+      spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+        .filter(col("wbucket").isin(tb: _*))
+        .filter(col("w").isin(terms: _*))
+    }
+    val dfAll = spark.read.schema(dfSchema).parquet(s"$cur/df")
+      .filter(col("wbucket").isin(qBuckets: _*))
+      .filter(col("w").isin(qTerms: _*))
+      .groupBy("w").agg(sum("df").as("df"))
+    // |query|-row driver metadata: df per present term → impact bounds.
+    // The pad covers the engine's two 6dp roundings (idf + per-row
+    // contribution) with orders of magnitude to spare — the bound only
+    // needs to stay an upper bound, not to be tight.
+    val dfMap = dfAll.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ub = dfMap.map { case (w, df) =>
+      w -> (math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+        * (Bm25.K1 + 1.0) + 1e-4)
+    }
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_terms", LongType), StructField("score", DoubleType)))
+    val ordered = dfMap.keys.toSeq.sortBy(w => (-ub(w), w))
+    if (ordered.isEmpty) {
+      lastEssentialTerms = 0
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    }
+    var e = 1
+    while (true) {
+      val essential = ordered.take(e)
+      val restBound = ordered.drop(e).map(ub).sum
+      val matched = postingsFor(essential).select("doc_id").distinct()
+      val tfAll = postingsFor(ordered)
+        .join(matched, Seq("doc_id"), "left_semi")
+        .select("w", "doc_id", "tf", "dl", "source")
+      val scored = Bm25.scoreMatches(tfAll, dfAll, nDocs, totDl,
+        "doc_id", Seq("source"))
+      val top = scored.orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k).collect()
+      val theta =
+        if (top.length >= k) top.map(_.getDouble(3)).min
+        else Double.NegativeInfinity
+      if (restBound < theta || e == ordered.size) {
+        lastEssentialTerms = e
+        return spark.createDataFrame(
+          java.util.Arrays.asList(top: _*), outSchema)
+      }
+      e += 1
+    }
+    sys.error("unreachable")
+  }
+
   /** Exact-phrase probe from the positional postings — (doc_id,
     * source, n_hits) for every document containing `phrase` as
     * consecutive tokens, without touching the corpus text: the i-th

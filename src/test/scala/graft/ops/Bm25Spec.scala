@@ -138,6 +138,54 @@ class Bm25Spec extends SparkSpec {
         nBuckets = 16)) == rows(brute))
   }
 
+  test("MaxScore top-k == full scoring; rare+stopword probe closes at |S|=1") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-topk").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 16)
+    val probe = "dup the part order"
+    val got = Bm25Index.topKFromState(spark, root, probe, k = 15, nBuckets = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(Bm25Index.lastEssentialTerms == 1,
+      s"rare+stopword probe should close on the rare term alone, " +
+        s"needed ${Bm25Index.lastEssentialTerms}")
+    val full = Bm25Index.scoresFromState(spark, root, probe, nBuckets = 16)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(15)
+      .collect().map(_.toSeq).toSeq
+    assert(got == full, "pruned top-k must equal full-scoring top-k exactly")
+  }
+
+  test("MaxScore expands the essential set when the bound can't close") {
+    // four equal-impact terms: after scoring docs matching the first,
+    // the remaining bound (3 terms' worth) exceeds theta, forcing
+    // expansion — and the result must STILL equal full scoring
+    val docs = (1L to 40L).map { i =>
+      val w = Seq("alpha", "beta", "gamma", "delta")(((i - 1) % 4).toInt)
+      (i, "s", s"$w filler${i}a filler${i}b filler${i}c")
+    }.toDF("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-topk2").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 8)
+    val probe = "alpha beta gamma delta"
+    val got = Bm25Index.topKFromState(spark, root, probe, k = 20, nBuckets = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(Bm25Index.lastEssentialTerms > 1, "equal-impact terms must expand S")
+    val full = Bm25Index.scoresFromState(spark, root, probe, nBuckets = 8)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .collect().map(_.toSeq).toSeq
+    assert(got == full)
+  }
+
+  test("MaxScore edges: fewer matches than k; absent-term probes") {
+    val docs = Seq((1L, "s", "lonely words here"), (2L, "s", "other text rows"))
+      .toDF("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-topk3").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 8)
+    val few = Bm25Index.topKFromState(spark, root, "lonely", k = 10, nBuckets = 8)
+    assert(few.count() == 1, "k > matches returns all matches")
+    val none = Bm25Index.topKFromState(spark, root, "absent ghost", k = 5, nBuckets = 8)
+    assert(none.isEmpty && none.columns.toSeq ==
+      Seq("doc_id", "source", "n_terms", "score"))
+  }
+
   test("probe prunes the postings scan to the query terms' buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
