@@ -104,6 +104,30 @@ object IntervalJoin {
       .drop("__bin")
   }
 
+  /** Left-outer point-in-interval: every `points` row appears at least
+    * once; interval columns are null where nothing contained it — the
+    * "enrich events with an optional context window" shape. Composed
+    * as the inner bin join plus an anti-join add-back keyed on
+    * `pointIdCols` (a unique key of the points side — required
+    * because a bare anti-join on all columns would collapse duplicate
+    * point rows). Same cost shape as the inner join plus one
+    * broadcast-able anti-join on the matched keys. */
+  def pointInIntervalLeft(points: DataFrame, intervals: DataFrame,
+      pointIdCols: Seq[String], pointCol: String, loCol: String,
+      hiCol: String, binWidth: Long, keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 4096L): DataFrame = {
+    require(pointIdCols.nonEmpty, "pointIdCols must name a unique point key")
+    val inner = pointInInterval(points, intervals, pointCol, loCol, hiCol,
+      binWidth, keys, maxBinsPerInterval)
+    val unmatched = points
+      .join(inner.select(pointIdCols.map(col): _*).distinct(),
+        pointIdCols, "left_anti")
+    val ivalCols = inner.columns.filterNot(points.columns.contains)
+    val padded = ivalCols.foldLeft(unmatched) { (df, c) =>
+      df.withColumn(c, lit(null).cast(inner.schema(c).dataType)) }
+    inner.unionByName(padded.select(inner.columns.map(col): _*))
+  }
+
   /** All overlapping pairs: `[loL, hiL] ∩ [loR, hiR] ≠ ∅` (closed;
     * touching endpoints overlap) with equality on `keys`. Each pair
     * emitted exactly once — candidates dedup to the canonical shared

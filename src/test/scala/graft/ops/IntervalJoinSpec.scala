@@ -71,6 +71,20 @@ class IntervalJoinSpec extends SparkSpec {
       rows(naive.select("user_id", "event_id", "session_idx")))
   }
 
+  test("left-outer variant == naive LEFT range join") {
+    val pts = Seq((1L, 5L), (2L, 500L), (3L, 8L)).toDF("pid", "t")
+    val ivs = Seq((10L, 0L, 10L), (11L, 7L, 9L)).toDF("iid", "lo", "hi")
+    val got = IntervalJoin.pointInIntervalLeft(pts, ivs, Seq("pid"),
+      "t", "lo", "hi", binWidth = 4L)
+    val naive = pts.join(ivs,
+      col("t") >= col("lo") && col("t") <= col("hi"), "left")
+    assert(rows(got) == rows(naive.select(got.columns.map(col): _*)))
+    // the unmatched point survives with null interval columns
+    assert(got.filter(col("pid") === 2L && col("iid").isNull).count() == 1)
+    // the doubly-matched point appears twice
+    assert(got.filter(col("pid") === 3L).count() == 2)
+  }
+
   test("plan: bin equi-join shuffles — never nested-loop/cartesian") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
