@@ -548,6 +548,31 @@ object ExtQueries {
       |WHERE e.event_type = 'error'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Left-outer interval enrichment: EVERY error event, with its
+    * containing purchase-burst window where one exists (null window
+    * columns otherwise) — [[graft.ops.IntervalJoin.pointInIntervalLeft]]
+    * keyed on the event id. Oracle: the naive LEFT range join. */
+  def intervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts")
+    IntervalJoin.pointInIntervalLeft(errs, bursts(ev, "purchase", "p"),
+        Seq("event_id"), "ts", "p_start", "p_end",
+        binWidth = 86400000000L, keys = Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("p_idx"),
+        col("p_start"), col("p_end"))
+      .orderBy("user_id", "event_id", "p_idx")
+  }
+
+  val intervalJoinLeftSql: String =
+    s"""WITH ${burstCteSql("purchase", "p")}
+      |SELECT e.user_id, e.event_id, b.session_idx AS p_idx,
+      |       b.session_start AS p_start, b.session_end AS p_end
+      |FROM events e LEFT JOIN pw b ON e.user_id = b.user_id
+      |  AND e.ts >= b.session_start AND e.ts <= b.session_end
+      |WHERE e.event_type = 'error'
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Overlapping (click-burst, view-burst) window pairs per user from
     * the interval-overlap range join
     * ([[graft.ops.IntervalJoin.intervalOverlap]] — both sides explode
@@ -3409,6 +3434,7 @@ object ExtQueries {
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_interval_join"     -> (intervalJoin _),
+    "q_interval_left"     -> (intervalJoinLeft _),
     "q_interval_overlap"  -> (intervalOverlapQ _),
     "q_pricing_summary"   -> (pricingSummary _),
     "q_revenue_by_nation" -> (revenueByNation _),
@@ -3495,6 +3521,7 @@ object ExtQueries {
     // both oracles are the NAIVE quadratic range joins the binned
     // equi-join plan replaces — the hash gates prove plan equivalence
     "q_interval_join"     -> intervalJoinSql,
+    "q_interval_left"     -> intervalJoinLeftSql,
     "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,
     "q_revenue_by_nation" -> revenueByNationSql,
