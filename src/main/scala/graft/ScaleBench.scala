@@ -79,7 +79,13 @@ object ScaleBench {
     // DSIR scorer (bucket grain is FIXED at 4096 whatever the corpus,
     // so the model stays broadcast-sized; the doc-bucket shuffle is
     // the linear term)
-    "q_interval_join", "q_interval_overlap", "q_dsir")
+    "q_interval_join", "q_interval_overlap", "q_dsir",
+    // chunking is a pure narrow fan-out (linearity control like
+    // q_pii); the left-outer interval join adds the anti add-back; the
+    // MaxScore top-k's claim is SUB-linearity — the essential-term
+    // matches grow linearly but stopword lists are only doc-pruned
+    // scans, and k stays fixed
+    "q_chunks", "q_interval_left", "q_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")

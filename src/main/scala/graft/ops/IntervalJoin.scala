@@ -82,6 +82,22 @@ object IntervalJoin {
     sequence(loB, guarded)
   }
 
+  /** Pick a bin width from the data: the median interval length
+    * (approx, one aggregate over the intervals side — run it once and
+    * reuse; this is the offline tuning step, not part of the join
+    * plan). The median balances the two failure modes the width knob
+    * trades: much-wider bins → every interval lands in ~1 bin but
+    * points drag in many false candidates; much-narrower bins → tight
+    * candidates but wide intervals explode to many rows. Zero-length
+    * medians clamp to 1. */
+  def suggestBinWidth(intervals: DataFrame, loCol: String,
+      hiCol: String): Long = {
+    val len = units(intervals, hiCol) - units(intervals, loCol)
+    val row = intervals.filter(len >= 0).select(len.as("__len"))
+      .agg(expr("approx_percentile(__len, 0.5)")).head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
   /** Attach every `intervals` row containing each `points` row:
     * `points.pointCol ∈ [loCol, hiCol]` (+ equality on `keys`). Inner
     * join; output = point columns ++ interval columns (keys once).

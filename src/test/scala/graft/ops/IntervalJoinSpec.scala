@@ -102,6 +102,23 @@ class IntervalJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("suggestBinWidth: ~median interval length; degenerate cases clamp") {
+    val ivs = (1 to 101).map(i => (i.toLong, 0L, i.toLong * 10))
+      .toDF("iid", "lo", "hi")
+    val w = IntervalJoin.suggestBinWidth(ivs, "lo", "hi")
+    assert(w == 510L, s"median of 10..1010 step 10 is 510, got $w")
+    // suggested width must keep the join exact (it only tunes cost)
+    val pts = Seq((1L, 5L), (2L, 500L), (3L, 1009L)).toDF("pid", "t")
+    val got = IntervalJoin.pointInInterval(pts, ivs, "t", "lo", "hi", w)
+    val naive = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(got.count() == naive.count())
+    val zero = Seq((1L, 7L, 7L)).toDF("iid", "lo", "hi")
+    assert(IntervalJoin.suggestBinWidth(zero, "lo", "hi") == 1L,
+      "zero-length median clamps to 1")
+    val empty = zero.filter(col("iid") < 0)
+    assert(IntervalJoin.suggestBinWidth(empty, "lo", "hi") == 1L)
+  }
+
   test("guards: over-wide interval fails loudly; doubles refused") {
     val pts = Seq((1L, 5L)).toDF("pid", "t")
     val wide = Seq((1L, 0L, 10000000L)).toDF("iid", "lo", "hi")
