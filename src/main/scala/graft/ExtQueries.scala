@@ -1673,6 +1673,50 @@ object ExtQueries {
       |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
       |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Corpus snapshot diff ([[graft.ops.CorpusDiff]], late r11): two
+    * deterministic versions of the documents table (v1 drops the
+    * `%10==3` ids; v2 drops `%10==4` and edits every `%7==0` text), the
+    * per-source added/removed/changed/unchanged card. Oracle: the same
+    * md5-fingerprint full-outer join in DuckDB. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val oldV = docs.filter(col("doc_id") % 10 =!= 3)
+    val newV = docs.filter(col("doc_id") % 10 =!= 4)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    CorpusDiff.diff(oldV, newV)
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source", "status")
+  }
+
+  val corpusDiffSql: String =
+    """WITH oldv AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 3
+      |), newv AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 4
+      |), o AS (
+      |  SELECT doc_id, source, md5(coalesce(CAST(text AS VARCHAR), '<NULL>')) AS fp
+      |  FROM oldv
+      |), n AS (
+      |  SELECT doc_id, source, md5(coalesce(CAST(text AS VARCHAR), '<NULL>')) AS fp
+      |  FROM newv
+      |), j AS (
+      |  SELECT doc_id, coalesce(n.source, o.source) AS source,
+      |         CASE WHEN o.fp IS NULL THEN 'added'
+      |              WHEN n.fp IS NULL THEN 'removed'
+      |              WHEN o.fp <> n.fp THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n USING (doc_id)
+      |)
+      |SELECT source, status, count(*) AS n_docs,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Overlapping retrieval chunks ([[graft.ops.Chunking]], late r11):
     * every document fanned out to 64-token windows at stride 48 — the
     * RAG-export unit. The oracle re-derives starts, counts and the
@@ -3424,6 +3468,7 @@ object ExtQueries {
     "q_dsir"              -> (dsirSelect _),
     "q_dsir_incremental"  -> (dsirIncremental _),
     "q_chunks"            -> (chunksExport _),
+    "q_corpus_diff"       -> (corpusDiff _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
@@ -3500,6 +3545,7 @@ object ExtQueries {
     // fold==rebuild contract for the persisted model counts
     "q_dsir_incremental"  -> dsirSelectSql,
     "q_chunks"            -> chunksExportSql,
+    "q_corpus_diff"       -> corpusDiffSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
