@@ -1673,6 +1673,52 @@ object ExtQueries {
       |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
       |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Split-leakage card (late r11): duplicate content spanning
+    * train/val/test boundaries — THE eval-hygiene number (a test doc
+    * whose duplicate sits in train is memorization, not
+    * generalization). The fingerprint is the md5 of the first 8
+    * tokens: exact whole-doc fingerprints catch only verbatim copies
+    * (this fixture has none — every dup is perturbed), while shared
+    * openings catch boilerplate and near-dup leakage at exact-match
+    * cost, the standard cheap screen before a minhash-grade audit.
+    * Collapse to distinct (fp, split), self-join within the
+    * fingerprint, count per unordered split pair — all stages
+    * fingerprint-scale; text never crosses a shuffle. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(lower(col("text")))
+    val fps = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(md5(concat_ws(" ", slice(toks, 1, 8))).as("fp"),
+        Sampling.splitAssign(col("doc_id")).as("split"))
+    val d = fps.select("fp", "split").distinct()
+    val a = d.select(col("fp"), col("split").as("split_a"))
+    val b = d.select(col("fp"), col("split").as("split_b"))
+    a.join(b, "fp").filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String =
+    """WITH f AS (
+      |  SELECT md5(array_to_string(list_slice(
+      |           string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), 1, 8), ' ')) AS fp,
+      |         ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1) * 4096
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1) * 256
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1) * 16
+      |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100 AS pct
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), d AS (
+      |  SELECT DISTINCT fp,
+      |         CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM f
+      |)
+      |SELECT a.split AS split_a, b.split AS split_b,
+      |       count(*) AS shared_fingerprints
+      |FROM d a JOIN d b ON a.fp = b.fp AND a.split < b.split
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Corpus snapshot diff ([[graft.ops.CorpusDiff]], late r11): two
     * deterministic versions of the documents table (v1 drops the
     * `%10==3` ids; v2 drops `%10==4` and edits every `%7==0` text), the
@@ -3469,6 +3515,7 @@ object ExtQueries {
     "q_dsir_incremental"  -> (dsirIncremental _),
     "q_chunks"            -> (chunksExport _),
     "q_corpus_diff"       -> (corpusDiff _),
+    "q_split_leakage"     -> (splitLeakage _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
@@ -3546,6 +3593,7 @@ object ExtQueries {
     "q_dsir_incremental"  -> dsirSelectSql,
     "q_chunks"            -> chunksExportSql,
     "q_corpus_diff"       -> corpusDiffSql,
+    "q_split_leakage"     -> splitLeakageSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
