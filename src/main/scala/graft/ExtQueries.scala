@@ -1673,6 +1673,59 @@ object ExtQueries {
       |SELECT doc_id, source, n_feats, log_w, log_w_per_feat
       |FROM ds ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin
 
+  /** N-gram novelty card (late r11): per source, what fraction of its
+    * 8-token grams appear NOWHERE else in the corpus — "how much new
+    * content does this feed actually add", the acquisition-side
+    * complement of the duplicate-overlap matrix. Grams are per-doc
+    * DISTINCT (the [[graft.ops.DupSpans]] convention — raw-case
+    * tokens, space-joined), so df counts documents; novelty = grams
+    * with df == 1. One (doc, gram) collapse + one gram-grain df
+    * aggregate — the exact-substring machinery's cost envelope. */
+  def noveltyCard(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+    val dgs = Persists.cacheFor(d.select(col("doc_id"), col("source"),
+      explode(array_distinct(expr(
+        s"transform(sequence(0, size(tk) - $n), i -> array_join(slice(tk, i + 1, $n), ' '))")))
+        .as("g")), 2)
+    val dfT = dgs.groupBy("g").agg(count(lit(1)).as("df"))
+    dgs.join(dfT, "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_scored"),
+        sum("n_grams").as("total_grams"),
+        sum("uniq").as("unique_grams"),
+        round(sum("uniq").cast("double") / sum("n_grams"), 6).as("novelty_frac"))
+      .orderBy("source")
+  }
+
+  val noveltyCardSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 8
+      |), g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+      |  FROM tk, unnest(range(len(t) - 7)) AS u(i)
+      |), df AS (
+      |  SELECT g, count(*) AS df FROM g GROUP BY g
+      |), per AS (
+      |  SELECT doc_id, source, count(*) AS n_grams,
+      |         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS uniq
+      |  FROM g JOIN df USING (g) GROUP BY 1, 2
+      |)
+      |SELECT source, count(*) AS docs_scored,
+      |       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+      |       CAST(sum(uniq) AS BIGINT) AS unique_grams,
+      |       round(CAST(sum(uniq) AS DOUBLE) / sum(n_grams), 6) AS novelty_frac
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   /** Split-leakage card (late r11): duplicate content spanning
     * train/val/test boundaries — THE eval-hygiene number (a test doc
     * whose duplicate sits in train is memorization, not
@@ -3516,6 +3569,7 @@ object ExtQueries {
     "q_chunks"            -> (chunksExport _),
     "q_corpus_diff"       -> (corpusDiff _),
     "q_split_leakage"     -> (splitLeakage _),
+    "q_novelty"           -> (noveltyCard _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
@@ -3594,6 +3648,7 @@ object ExtQueries {
     "q_chunks"            -> chunksExportSql,
     "q_corpus_diff"       -> corpusDiffSql,
     "q_split_leakage"     -> splitLeakageSql,
+    "q_novelty"           -> noveltyCardSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must
