@@ -1726,6 +1726,63 @@ object ExtQueries {
       |       round(CAST(sum(uniq) AS DOUBLE) / sum(n_grams), 6) AS novelty_frac
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental novelty (late r11): the novelty card for an ARRIVAL
+    * batch, served from the span state's maintained gram-df store
+    * ([[graft.ops.IncrementalSpans.readGramDf]] — append-only partials
+    * sum to exact whole-corpus doc-frequencies after any fold
+    * sequence) instead of a corpus re-gram. The oracle is the BATCH
+    * novelty derivation restricted to the delta's docs, so the hash
+    * gate proves maintained-df == recomputed-df through the per-source
+    * rollup. At scale the slim (g, df) store would prefilter on the
+    * delta's gram bloom (the span fold's own trick); at result grain
+    * the plain join is already gram-hash-bucket-prunable. */
+  def noveltyIncremental(s: SparkSession, dir: String): DataFrame = {
+    dupSpansIncremental(s, dir) // ensure the staged fold-built state
+    val path = stagedIncSpans.get(dir)
+    val n = 8
+    val dgs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> array_join(slice(tk, i + 1, $n), ' '))")))
+          .as("g"))
+    dgs.join(IncrementalSpans.readGramDf(s, path), "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_scored"),
+        sum("n_grams").as("total_grams"),
+        sum("uniq").as("unique_grams"),
+        round(sum("uniq").cast("double") / sum("n_grams"), 6).as("novelty_frac"))
+      .orderBy("source")
+  }
+
+  val noveltyIncrementalSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |         string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) >= 8
+      |), g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+      |  FROM tk, unnest(range(len(t) - 7)) AS u(i)
+      |), df AS (
+      |  SELECT g, count(*) AS df FROM g GROUP BY g
+      |), per AS (
+      |  SELECT doc_id, source, count(*) AS n_grams,
+      |         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS uniq
+      |  FROM g JOIN df USING (g) WHERE doc_id % 10 = 7 GROUP BY 1, 2
+      |)
+      |SELECT source, count(*) AS docs_scored,
+      |       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+      |       CAST(sum(uniq) AS BIGINT) AS unique_grams,
+      |       round(CAST(sum(uniq) AS DOUBLE) / sum(n_grams), 6) AS novelty_frac
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   /** Split-leakage card (late r11): duplicate content spanning
     * train/val/test boundaries — THE eval-hygiene number (a test doc
     * whose duplicate sits in train is memorization, not
@@ -3570,6 +3627,7 @@ object ExtQueries {
     "q_corpus_diff"       -> (corpusDiff _),
     "q_split_leakage"     -> (splitLeakage _),
     "q_novelty"           -> (noveltyCard _),
+    "q_novelty_incremental" -> (noveltyIncremental _),
     "q_bigram_quality"    -> (bigramQuality _),
     "q_bm25"              -> (bm25 _),
     "q_bm25_indexed"      -> (bm25Indexed _),
@@ -3649,6 +3707,9 @@ object ExtQueries {
     "q_corpus_diff"       -> corpusDiffSql,
     "q_split_leakage"     -> splitLeakageSql,
     "q_novelty"           -> noveltyCardSql,
+    // batch derivation restricted to the delta docs: the gate proves
+    // the maintained gram-df store == a whole-corpus re-gram
+    "q_novelty_incremental" -> noveltyIncrementalSql,
     "q_bigram_quality"    -> bigramQualitySql,
     "q_bm25"              -> bm25Sql,
     // the persisted-index probe and the incrementally-folded index must

@@ -150,6 +150,16 @@ object IncrementalSpans {
       "v1".getBytes("UTF-8"))
   }
 
+  /** The live (g, df) gram doc-frequency table — append-only partials
+    * summed, so readers see exact whole-corpus df after any fold
+    * sequence. Serves downstream df consumers (novelty scoring,
+    * boilerplate screens) from the maintained state instead of a
+    * corpus re-gram. */
+  def readGramDf(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(gramdfSchema)
+      .parquet(s"${SnapshotRoot.currentDir(root)}/gramdf")
+      .groupBy("g").agg(sum("df").as("df"))
+
   /** The live span output (the [[DupSpans.duplicateSpans]] shape). */
   def readSpans(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(spansSchema)
