@@ -887,6 +887,51 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination over embeddings: vectors with vec_id %
+    * 50 == 0 play the eval set (the [[decontam]] convention); every
+    * corpus vector reports how many eval embeddings sit within cosine
+    * 0.3 and which one is nearest — the leakage screen for
+    * paraphrased/translated eval content that shares no n-gram with
+    * its source. Eval rows themselves hit at cosine 1.0 (a training
+    * doc identical to an eval doc IS contamination), so no self
+    * exclusion. Cosines are the exact left-to-right double fold on
+    * both engines, so the theta cut and the argmax tie-break are
+    * bit-reproducible. */
+  def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Decontamination.semanticScan(
+        corpus = emb, evalSet = emb.filter(col("vec_id") % 50 === 0),
+        theta = 0.3)
+      .orderBy("vec_id")
+  }
+
+  lazy val decontamSemanticSql: String = {
+    val cos = s"${dotFold("c.embedding", "ev.embedding")} / " +
+      s"(sqrt(${dotFold("c.embedding", "c.embedding")}) * " +
+      s"sqrt(${dotFold("ev.embedding", "ev.embedding")}))"
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+       |), hit AS (
+       |  SELECT c.vec_id, ev.eval_id, $cos AS cos_raw
+       |  FROM embeddings c CROSS JOIN ev
+       |  WHERE $cos >= 0.3
+       |), agg AS (
+       |  SELECT vec_id, count(*) AS n_eval_hits FROM hit GROUP BY 1
+       |), top AS (
+       |  SELECT vec_id, eval_id AS top_eval_id, round(cos_raw, 6) AS top_cosine
+       |  FROM (SELECT vec_id, eval_id, cos_raw,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos_raw DESC, eval_id ASC) AS rn
+       |        FROM hit) r WHERE rn = 1
+       |)
+       |SELECT e.vec_id, coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+       |       t.top_eval_id, t.top_cosine,
+       |       a.n_eval_hits IS NOT NULL AS contaminated
+       |FROM embeddings e
+       |LEFT JOIN agg a USING (vec_id) LEFT JOIN top t USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** As-of join: every purchase event picks up the user's most recent
     * click at-or-before it (ts + value). Oracled against DuckDB's
     * native ASOF LEFT JOIN. */
@@ -2165,6 +2210,75 @@ object ExtQueries {
        |       count(d.vec_id) AS dropped
        |FROM assign LEFT JOIN dropped d USING (vec_id)
        |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** Corpus cluster-mixture card: distributed Lloyd k-means (k=6,
+    * 3 iterations) over the embeddings, then per-cluster size, exact-
+    * decimal inertia, and dominant label + purity. The whole loop is
+    * partitioning-invariant (decimal-sum means) and replayed by the
+    * oracle as 3 unrolled CTE iterations — the hash gate proves a
+    * multi-round DISTRIBUTED fixpoint is bit-reproducible
+    * cross-engine, init through final card. */
+  def kmeansCard(s: SparkSession, dir: String): DataFrame =
+    KMeans.card(Tables.embeddings(s, dir), k = 6, iters = 3, dim = 64)
+      .orderBy("cluster")
+
+  lazy val kmeansCardSql: String = {
+    // the engine's exact left-to-right Σ(v_i − c_i)² fold
+    def d2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip($v, $c), pr -> " +
+        s"(CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) * " +
+        s"(CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)))), " +
+        s"(acc, x) -> acc + x)"
+    val iters = (1 to 3).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, c.cl,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${d2("e.embedding", "c.c")} ASC, c.cl ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c${i - 1} c) t WHERE rn = 1
+         |), u$i AS (
+         |  SELECT cl, j,
+         |         CAST(sum(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+         |           / count(*) AS m
+         |  FROM a$i CROSS JOIN js GROUP BY cl, j
+         |), n$i AS (
+         |  SELECT cl, list(m ORDER BY j) AS c FROM u$i GROUP BY cl
+         |), c$i AS (
+         |  SELECT p.cl, coalesce(n.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN n$i n USING (cl)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT row_number() OVER (
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 6) seed
+       |), js AS (
+       |  SELECT unnest(range(1, 65)) AS j
+       |), $iters, af AS (
+       |  SELECT vec_id, label, cl, d2 FROM (
+       |    SELECT e.vec_id, e.label, c.cl,
+       |           ${d2("e.embedding", "c.c")} AS d2,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${d2("e.embedding", "c.c")} ASC, c.cl ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c3 c) t WHERE rn = 1
+       |), sz AS (
+       |  SELECT cl AS cluster, count(*) AS size,
+       |         round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia
+       |  FROM af GROUP BY 1
+       |), lb AS (
+       |  SELECT cluster, label AS top_label, c AS topc FROM (
+       |    SELECT cl AS cluster, label, count(*) AS c,
+       |           row_number() OVER (PARTITION BY cl
+       |             ORDER BY count(*) DESC, label ASC) AS rn
+       |    FROM af GROUP BY cl, label) t WHERE rn = 1
+       |)
+       |SELECT CAST(s.cluster AS INT) AS cluster, s.size, s.inertia,
+       |       l.top_label, round(CAST(l.topc AS DOUBLE) / s.size, 6) AS purity
+       |FROM sz s JOIN lb l USING (cluster) ORDER BY cluster""".stripMargin
   }
 
   /** Winnowing (rolling-hash) fingerprint dedup: docs sharing
@@ -3670,6 +3784,8 @@ object ExtQueries {
     "q_asof_join"         -> (asofJoin _),
     "q_decontam"          -> (decontam _),
     "q_decontam_bloom"    -> (decontamBloom _),
+    "q_decontam_semantic" -> (decontamSemantic _),
+    "q_kmeans"            -> (kmeansCard _),
     "q_repetition"        -> (repetition _),
     "q_tfidf_terms"       -> (tfidfTopTerms _),
     "q_stream_window"     -> (streamWindow _),
@@ -3780,6 +3896,8 @@ object ExtQueries {
     "q_asof_join"         -> asofJoinSql,
     "q_decontam"          -> decontamSql,
     "q_decontam_bloom"    -> decontamSql,
+    "q_decontam_semantic" -> decontamSemanticSql,
+    "q_kmeans"            -> kmeansCardSql,
     "q_dedup_winnow"      -> winnowDedupSql,
     "q_repetition"        -> repetitionSql,
     "q_dedup_simhash"     -> simhashSql,

@@ -114,4 +114,47 @@ object Decontamination {
         coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
         (coalesce(col("n_hit_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Semantic decontamination: flag training rows whose EMBEDDING sits
+    * within cosine `theta` of any evaluation-set embedding — the guard
+    * for the leakage the n-gram scan can't see (paraphrased,
+    * translated, or re-templated eval content shares no 8-gram with
+    * its source but lands next to it in embedding space; verbatim
+    * copies are cosine 1.0, so this subsumes exact-match too).
+    *
+    * Scale shape mirrors [[scan]]: the eval side is always tiny (a
+    * benchmark battery is thousands of items vs a billions-row
+    * corpus), so it is broadcast and every corpus partition streams
+    * once through a BroadcastNestedLoopJoin — the corpus is never
+    * shuffled, and the pair stage is O(|corpus| × |eval|) exact
+    * scoring, the same regime as [[Similarity.bruteForceTopK]]. The
+    * post-filter aggregate is keyed on the corpus id, whose hit rows
+    * are at most |corpus| (map-side combinable). Cosines use the
+    * engine's exact left-to-right double fold ([[Similarity.cosine]]),
+    * so the theta comparison and the (cosine desc, eval_id asc)
+    * argmax tie-break are bit-reproducible cross-engine.
+    *
+    * Output, one row per corpus row: (idCol, n_eval_hits,
+    * top_eval_id, top_cosine, contaminated) — top_* null when clean. */
+  def semanticScan(corpus: DataFrame, evalSet: DataFrame, theta: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(theta > -1.0 && theta <= 1.0, s"theta must be in (-1, 1], got $theta")
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val e = broadcast(evalSet.select(col(idCol).as("__eval_id"), col(vecCol).as("__ev")))
+    val hits = c.crossJoin(e)
+      .withColumn("__cos", Similarity.cosine(col("__cv"), col("__ev")))
+      .filter(col("__cos") >= theta)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_hits"),
+        // argmax by (cosine, then LOWEST eval id): struct max compares
+        // fields in order, so negate the id for the ascending tie-break
+        max(struct(col("__cos").as("c"), (-col("__eval_id")).as("ni"))).as("__top"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (-col("__top.ni")).as("top_eval_id"),
+        round(col("__top.c"), 6).as("top_cosine"),
+        col("n_eval_hits").isNotNull.as("contaminated"))
+  }
 }

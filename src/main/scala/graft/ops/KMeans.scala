@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the corpus
+  * clustering primitive behind cluster-then-sample curation (and the
+  * full-corpus refinement step [[IvfIndex.train]]'s driver-sample
+  * training deliberately skips: IVF only needs cell SHAPES; a
+  * corpus-mixture card wants centroids fitted to ALL the data).
+  *
+  * Every stage is a Spark job, so the fit scales with executors:
+  *  - init: the k lowest (md5(id), id)-rank vectors (the SemDeDup /
+  *    IvfIndex draw — TakeOrderedAndProject, driver metadata, no RNG);
+  *  - assign: one codegen scan ([[graft.functions.CentroidAssign]] —
+  *    a fused k·dim primitive loop per row against broadcast-literal
+  *    centroids; no join, no shuffle);
+  *  - update: ONE k-keyed shuffle per iteration (map-side-combined
+  *    partial sums: dim decimal columns + a count per cluster — k·dim
+  *    fixed-width cells cross the wire, never vectors), then a k-row
+  *    metadata collect.
+  *
+  * Determinism is the point: component sums use exact DECIMAL(27,12)
+  * arithmetic (each float widened to double exactly, then rounded once
+  * to 12 dp — the DSIR/unigram idiom), so the fitted centroids are
+  * PARTITIONING-INVARIANT — a 1-partition and a 1000-executor fit
+  * produce bit-identical centroids (float-sum means would drift with
+  * aggregation order and make every downstream assignment
+  * cluster-count-dependent), and DuckDB can replay the entire
+  * unrolled loop for the oracle (q_kmeans). Distance is the exact
+  * left-to-right `(v_i − c_i)²` fold; exact-tie assignments go to the
+  * lowest cluster index on both engines. Empty clusters keep their
+  * previous centroid (no RNG re-seed — determinism again).
+  */
+object KMeans {
+
+  /** Fitted centroids, k × dim doubles. */
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Interpreted HOF reference of the [[graft.functions.CentroidAssign]]
+    * kernel — executable semantic spec, asserted equal in KMeansSpec. */
+  def assignHof(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = aggregate(zip_with(vec, lit(c),
+        (v: Column, p: Column) => (v.cast("double") - p) * (v.cast("double") - p)),
+        lit(0.0), (acc: Column, x: Column) => acc + x)
+      struct(d2.as("d2"), lit(i).as("cluster"))
+    }
+    // array_min on struct(d2, cluster): smallest distance, ties to the
+    // lowest index — same total order as the native kernel's strict <
+    val best = array_min(array(dists: _*))
+    struct(best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
+  }
+
+  /** Deterministic init: the k lowest (md5(id), id)-rank vectors,
+    * widened to double. */
+  def init(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length == k, s"corpus has fewer than k=$k rows")
+    Model(rows)
+  }
+
+  /** `iters` Lloyd iterations over the FULL corpus. `dim` is the
+    * (fixed) vector width — the update aggregates one decimal column
+    * per dimension. */
+  def fit(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    require(iters >= 0 && k >= 1 && dim >= 1, s"bad params k=$k iters=$iters dim=$dim")
+    var model = init(corpus, k, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        graft.functions.CentroidAssign(col(vecCol), model.centroids)
+          .getField("cluster").as("__cl"),
+        col(vecCol).as("__v"))
+      val sums = (0 until dim).map { j =>
+        sum(element_at(col("__v"), j + 1).cast("double")
+          .cast("decimal(27,12)")).as(s"s$j")
+      }
+      val agg = assigned.groupBy(col("__cl"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = model.centroids.map(_.clone())
+      agg.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        var j = 0
+        while (j < dim) {
+          // exact decimal sum → nearest double → IEEE divide: the same
+          // three steps the oracle's CAST(sum AS DOUBLE)/count performs
+          next(cl)(j) = r.getDecimal(2 + j).doubleValue() / n
+          j += 1
+        }
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Per-row verdict frame: (idCol, cluster, d2) under `model`. */
+  def assign(corpus: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = graft.functions.CentroidAssign(col(vecCol), model.centroids)
+    corpus.select(col(idCol),
+      a.getField("cluster").as("cluster"), a.getField("d2").as("d2"))
+  }
+
+  /** Corpus cluster-mixture card: fit on the full corpus, then one row
+    * per non-empty cluster — size, exact-decimal inertia, dominant
+    * `labelCol` value (ties to the lowest label) and its purity
+    * fraction. The corpus-composition dashboard for cluster-balanced
+    * sampling and SemDeDup cell sizing. */
+  def card(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val model = fit(corpus, k, iters, dim, idCol, vecCol)
+    val a = graft.functions.CentroidAssign(col(vecCol), model.centroids)
+    val assigned = Persists.cacheFor(
+      corpus.select(col(idCol), col(labelCol),
+        a.getField("cluster").as("cluster"), a.getField("d2").as("d2")), 2)
+    val bySize = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("size"),
+        // 6dp-fixed per-row distances, exact decimal sum (house idiom:
+        // order-free, partitioning-invariant, DuckDB-replayable)
+        round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6)
+          .as("inertia"))
+    val byLabel = assigned.groupBy("cluster", labelCol)
+      .agg(count(lit(1)).as("__lc"))
+      .groupBy("cluster")
+      .agg(max(struct(col("__lc").as("c"), (-col(labelCol)).as("nl"))).as("__top"))
+      .select(col("cluster"), (-col("__top.nl")).as("top_label"),
+        col("__top.c").as("__topc"))
+    bySize.join(byLabel, "cluster")
+      .select(col("cluster"), col("size"), col("inertia"),
+        col("top_label"),
+        round(col("__topc").cast("double") / col("size"), 6).as("purity"))
+  }
+}

@@ -85,4 +85,49 @@ class DecontaminationSpec extends SparkSpec {
     assert(empty.filter(col("contaminated")).count() == 0)
     assert(empty.count() == train.count())
   }
+
+  test("semanticScan: theta cut, self-hit at 1.0, argmax tie-break, clean rows null") {
+    // hand geometry: e1=(1,0), e2=(0,1); corpus vectors with known cosines
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),       // cos(e1)=1, cos(e2)=0   → hit e1 only
+      (2L, Seq(1f, 1f)),       // cos=0.7071 to BOTH      → 2 hits, tie → eval 10
+      (3L, Seq(-1f, 0f)),      // cos(e1)=-1, cos(e2)=0   → clean at theta 0.5
+      (4L, Seq(0f, 2f)))       // cos(e2)=1               → hit e2 only
+      .toDF("vec_id", "embedding")
+    val evals = Seq((10L, Seq(1f, 0f)), (20L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Decontamination.semanticScan(corpus, evals, theta = 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.toList == List(
+      (1L, 1L, 10L, 1.0, true),
+      (2L, 2L, 10L, 0.707107, true), // equal cosines: LOWER eval id wins
+      (3L, 0L, -1L, -1.0, false),
+      (4L, 1L, 20L, 1.0, true)))
+  }
+
+  test("semanticScan plan broadcasts the eval set; corpus side never shuffles") {
+    val plan = graft.ExtQueries.decontamSemantic(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1500))
+  }
+
+  test("semanticScan: boundary cosine exactly at theta is IN (>=), just under is out") {
+    val corpus = Seq((1L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val evals = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    // exact pair cosine AS THE ENGINE COMPUTES IT: dot/(sqrt(aa)*sqrt(bb))
+    // = 1.0/(sqrt(2.0)*1.0) — same doubles, same operation order
+    val cos = 1.0 / (math.sqrt(2.0) * math.sqrt(1.0))
+    val atTheta = Decontamination.semanticScan(corpus, evals, theta = cos)
+      .filter(col("contaminated")).count()
+    assert(atTheta == 1L, "cos == theta must flag")
+    val above = Decontamination.semanticScan(corpus, evals,
+        theta = math.nextUp(cos))
+      .filter(col("contaminated")).count()
+    assert(above == 0L, "cos < theta must not flag")
+  }
 }
