@@ -64,11 +64,18 @@ object ScaleBench {
     // map-side-combinable keeper min is the skew claim under test),
     // token-budget sampling (bucketed prefix sum — no per-stratum
     // global sort), and the unigram scorer (vocab join; hot words are
-    // the skew control). SemDeDup is deliberately NOT swept: its
-    // oracle-pinned k=8 makes within-cell pairs grow quadratically by
-    // design — the scale path (k ∝ corpus, IVF-style coarse
-    // assignment) is documented in SCALE.md.
+    // the skew control).
     "q_passage_dedup", "q_budget_sample", "q_unigram_quality",
+    // r12: SemDeDup now auto-sizes k = max(8, n/targetCellSize), so
+    // expected cell size — and with it the within-cell pair stage —
+    // stays ~constant per row as the corpus grows (was oracle-pinned
+    // k=8 → O(n²/8) pairs, the r11 flagged scale knob). The residual
+    // superlinear term is the n·k anchor assignment (k ∝ n): at this
+    // sweep's scale it is a few GFLOP — if a future 100× sweep shows
+    // it dominating, the documented next step is IVF-style two-level
+    // assignment (√k coarse anchors, then fine anchors within the
+    // coarse cell) which cuts it to n·2√k.
+    "q_semdedup",
     // batch BM25: the (doc, query-term) partial-agg shuffle + the
     // stats scan — should sweep scan-bound like the unigram scorer
     "q_bm25",

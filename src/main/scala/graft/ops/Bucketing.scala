@@ -101,7 +101,19 @@ object Bucketing {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], dynamicOverwrite: Boolean = false): Unit = {
     require(partitionCols.nonEmpty)
-    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    // Cluster rows by the partition values first: without this, every
+    // upstream task holding rows for k partition values opens k output
+    // files, fanning |shuffle partitions| × |values| small files per
+    // table (a 64-bucket store written from 32 tasks emitted up to
+    // 2048 files — the r11 BM25 index-build bottleneck). One hash
+    // shuffle puts each value's rows in one task, so each partition
+    // directory lands as one file per write. At 100 TB grain a single
+    // file per partition value is the wrong trade (one task per value
+    // caps write parallelism); spark.sql.files.maxRecordsPerFile is
+    // the production knob for re-splitting — here bucket counts exceed
+    // core counts, so parallelism is preserved.
+    val w = df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
     // writer-level option beats the session conf, so one call site
     // opting in never flips the mode for unrelated writes
     (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)

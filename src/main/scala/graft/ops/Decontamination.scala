@@ -146,14 +146,18 @@ object Decontamination {
       .filter(col("__cos") >= theta)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_eval_hits"),
-        // argmax by (cosine, then LOWEST eval id): struct max compares
-        // fields in order, so negate the id for the ascending tie-break
-        max(struct(col("__cos").as("c"), (-col("__eval_id")).as("ni"))).as("__top"))
+        // argmax by (cosine desc, eval id asc) via min_by over
+        // struct(-cosine, id): negating the DOUBLE is always legal,
+        // and the id rides un-negated — so any orderable id type
+        // works (ADVICE r11: the old max(struct(c, -id)) silently
+        // null'd a string id through the implicit numeric cast)
+        min_by(struct(col("__eval_id").as("i"), col("__cos").as("c")),
+          struct((-col("__cos")).as("nc"), col("__eval_id").as("i"))).as("__top"))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
-        (-col("__top.ni")).as("top_eval_id"),
+        col("__top.i").as("top_eval_id"),
         round(col("__top.c"), 6).as("top_cosine"),
         col("n_eval_hits").isNotNull.as("contaminated"))
   }

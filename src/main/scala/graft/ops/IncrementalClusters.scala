@@ -179,10 +179,16 @@ object IncrementalClusters {
           pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket")): _*)
         .repartition(col("cbucket")),
       Seq("cbucket"))
-    SnapshotRoot.initRoot(s"$path/keys",
+    // size the initial key-index layout like compactKeys does (~64 MB
+    // files): the groupBy otherwise lands one file per shuffle task,
+    // and a small corpus then starts AT the compaction threshold — the
+    // first fold paid a pointless whole-index rewrite (r12; 24-byte
+    // slim rows → ~2.5M per 64 MB file)
+    val keys = Persists.cacheFor(
       keyRows(corpus, idCol, keyCols)
-        .groupBy("kidx", "k").agg(min("doc_id").as("min_id")),
-      Nil)
+        .groupBy("kidx", "k").agg(min("doc_id").as("min_id")), 2)
+    val keyFiles = math.max(1L, keys.count() / 2500000L).toInt
+    SnapshotRoot.initRoot(s"$path/keys", keys.repartition(keyFiles), Nil)
     java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("params"),
       paramsLine(nBuckets, keyCols).getBytes("UTF-8"))
   }
@@ -324,7 +330,14 @@ object IncrementalClusters {
     val srcIds = edges.select(col("src").as("doc_id")).distinct()
     val srcLab = labels.join(broadcast(srcIds), Seq("doc_id"))
       .select(col("doc_id"), col("component"))
-    val deltaIds = delta.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // un-deduped id stream for the driver path's collect and the
+    // overlap semi-join (a semi's broadcast build dedupes; shipping
+    // the raw stream drops a distinct shuffle from the fused job, and
+    // the collected rows serve BOTH guard counts — r12, was a
+    // separate delta_rows leg). The distinct frame survives for the
+    // distributed fallback, whose label join needs set semantics.
+    val deltaIdsAll = delta.select(col(idCol).cast("long").as("doc_id"))
+    val deltaIds = deltaIdsAll.distinct()
 
     // 4. micro-graph labels: src endpoints collapse to their corpus
     // component label (contraction preserves connectivity), delta ids
@@ -363,12 +376,10 @@ object IncrementalClusters {
     val pad = Seq(lit(0L).as("b"), lit(0L).as("c"))
     val taggedUnion = lEdges.select(lit("edge").as("t"), col("src").as("a"),
         col("dst").as("b"), col("__was_lab").cast("long").as("c"))
-      .unionByName(deltaIds.select((lit("did").as("t") +: col("doc_id").as("a") +: pad): _*))
+      .unionByName(deltaIdsAll.select((lit("did").as("t") +: col("doc_id").as("a") +: pad): _*))
       .unionByName(newKeys.groupBy().agg(count(lit(1)).as("a"))
         .select((lit("new_keys").as("t") +: col("a") +: pad): _*))
-      .unionByName(delta.groupBy().agg(count(lit(1)).as("a"))
-        .select((lit("delta_rows").as("t") +: col("a") +: pad): _*))
-      .unionByName(labels.join(broadcast(deltaIds), Seq("doc_id"), "left_semi")
+      .unionByName(labels.join(broadcast(deltaIdsAll), Seq("doc_id"), "left_semi")
         .groupBy().agg(count(lit(1)).as("a"))
         .select((lit("overlap").as("t") +: col("a") +: pad): _*))
     val lim = (math.min(microCcDriverLimit, Int.MaxValue.toLong - 8) + 4).toInt
@@ -398,8 +409,11 @@ object IncrementalClusters {
         def scalar(tag: String): Long = collected
           .collectFirst { case r if r.getString(0) == tag => r.getLong(1) }
           .getOrElse(0L)
-        val didIds = collected.filter(_.getString(0) == "did").map(_.getLong(1))
-        guard(scalar("delta_rows"), didIds.length.toLong, scalar("overlap"))
+        // did rows are the RAW id stream: length = delta row count,
+        // distinct size = id count — both guards from one leg
+        val didAll = collected.filter(_.getString(0) == "did").map(_.getLong(1))
+        val didIds = didAll.distinct
+        guard(didAll.length.toLong, didIds.length.toLong, scalar("overlap"))
         val edgeRows = collected.filter(_.getString(0) == "edge")
         val local = unionFindMinLabels(
           edgeRows.map(r => (r.getLong(1), r.getLong(2))))
@@ -489,6 +503,27 @@ object IncrementalClusters {
     org.apache.commons.io.FileUtils.deleteQuietly(nextDir)
     val stage = new java.io.File(s"$labelsRoot/.stage_$nextV")
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    // key append BEFORE the label flip (r11): with a fold ledger, a
+    // crash after the flip must not lose this delta's keys — a retry
+    // would see the ledger and skip the whole fold. Appending first
+    // means a crash between append and flip can duplicate key rows on
+    // retry, which downstream tolerates (edges distinct(), hit rows
+    // only serve min_id lookups); missing keys would not be. The
+    // append is independent of the label staging write (different
+    // table, reads the materialized newKeys cache), so the two jobs
+    // run CONCURRENTLY and both are awaited before the flip (r12).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val keyAppend = Future {
+      if (newKeysCount > 0)
+        // coalesce: the cached frame still carries its shuffle width
+        // (32 near-empty partitions → 32 tiny appended files per fold,
+        // which put every fold at the compaction threshold); one file
+        // per fold of delta-bounded new keys is the bounded-file-count
+        // contract the compactor assumes
+        newKeys.coalesce(1).write.mode("append").parquet(curKeysDir)
+    }
     rewritten.repartition(col("cbucket"))
       .write.partitionBy("cbucket").parquet(stage.toString)
     mark("stage-write")
@@ -508,14 +543,7 @@ object IncrementalClusters {
         java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    // key append BEFORE the label flip (r11): with a fold ledger, a
-    // crash after the flip must not lose this delta's keys — a retry
-    // would see the ledger and skip the whole fold. Appending first
-    // means a crash between append and flip can duplicate key rows on
-    // retry, which downstream tolerates (edges distinct(), hit rows
-    // only serve min_id lookups); missing keys would not be.
-    if (newKeysCount > 0)
-      newKeys.write.mode("append").parquet(curKeysDir)
+    Await.result(keyAppend, Duration.Inf)
     mark("key-append")
     // the fold ledger commits WITH the flip (written into the next
     // version dir first — the DriftStore atomicity pattern)
@@ -525,7 +553,8 @@ object IncrementalClusters {
     SnapshotRoot.flipAndGc(labelsRoot, nextV)
     mark("snapshot-flip")
     Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
-    compactKeys(spark, keysRoot, compactKeysAt)
+    mark("unpersist")
+    compactKeys(spark, keysRoot, compactKeysAt, dbg)
     mark("keys-compact")
   }
 
@@ -534,10 +563,12 @@ object IncrementalClusters {
     * under continuous operation, behind the same complete-snapshot +
     * pointer-flip contract as the label swap. Target file count tracks
     * data volume (~64 MB each), not the session's task width. */
-  private def compactKeys(spark: SparkSession, keysRoot: String, threshold: Int): Unit = {
+  private def compactKeys(spark: SparkSession, keysRoot: String,
+      threshold: Int, dbg: Boolean = false): Unit = {
     val cur = new java.io.File(SnapshotRoot.currentDir(keysRoot))
     val parts = Option(cur.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (dbg) println(s"[inccc] keys files: ${parts.length} (threshold $threshold)")
     if (parts.length <= threshold) return
     val targetFiles = math.max(1,
       math.ceil(parts.map(_.length).sum / (64.0 * 1024 * 1024)).toInt)

@@ -57,17 +57,24 @@ import org.apache.spark.sql.functions._
   *     O(affected) touched buckets; one atomic pointer flip commits
   *     all four ([[SnapshotRoot]] crash contract).
   *
-  * == Driver-action budget (r11) ==
-  * The fold runs exactly TWO collects (the IncrementalClusters
+  * == Driver-action budget (r12) ==
+  * The fold runs exactly ONE collect (the IncrementalClusters
   * fused-collect lesson: every separate driver action is a scheduler
-  * round-trip): one tagged-union aggregate over the cached delta
-  * serving the guard stats, the delta's id- and gram-bucket lists AND
-  * the bloom filter bytes; and one serving the overlap guard plus the
-  * touched-doc bucket list (which materializes the cached affected
-  * set). The four table writes then run CONCURRENTLY from driver
-  * threads — they touch disjoint table directories and local[n] (like
-  * a real cluster) overlaps small jobs instead of paying four
-  * serialized task-scheduling tails.
+  * round-trip): a tagged-union aggregate serving the delta-contract
+  * stats, the id-overlap guard and the touched-doc bucket list (which
+  * materializes the cached affected set). The three O(delta) appends
+  * launch CONCURRENTLY with that collect — they depend only on the
+  * delta caches, and staging files in the unflipped next version is
+  * not an observable mutation — so the critical path is
+  * guard-collect → span re-derive → span-bucket rewrite, with the
+  * appends hidden under it. r11 ran two serialized collects (the
+  * first built a bloom prefilter for the second's store scan), but
+  * the scan's broadcast semi-join against the exact delta hash set
+  * already paid the full broadcast, so the bloom bought nothing the
+  * semi didn't — dropping it removed a scheduler round-trip from the
+  * critical path. At a delta grain where the gram hash set outgrows a
+  * broadcast, reinstate the bloom as the ONLY filter (false-positive
+  * affected docs re-derive bit-identically).
   *
   * Equivalence contract (the oracle gate): after any fold sequence,
   * `spans` equals [[DupSpans.duplicateSpans]] over the union of
@@ -187,132 +194,35 @@ object IncrementalSpans {
     val d = Persists.cacheFor(delta.select(col("doc_id"), col("text")), 64)
     val dg = Persists.cacheFor(gramsOf(d, n), 64)
     // per-doc distinct gram stream — NARROW (array_distinct in-row):
-    // serves df accounting, the store append, the bloom and the match
-    // set without any corpus- or delta-wide distinct shuffle (r11)
+    // serves df accounting, the store append and the match set without
+    // any corpus- or delta-wide distinct shuffle (r11)
     val dgs = Persists.cacheFor(DupSpans.docGramSets(d, n), 64)
 
-    // ---- fused collect 1 (guards + fold metadata + bloom, ONE job):
-    // a tagged union of two one-row aggregates — the delta contract
-    // stats with the delta's id-bucket list, and the delta grams' hash-
-    // bucket list with the bloom filter the store scan prefilters on
-    // (built by Catalyst's own BloomFilterAggregate, the
-    // Decontamination.scanBloom precedent).
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val expectedGrams = 1L << 20
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedGrams, 0.02)
-    val bloomAgg = org.apache.spark.sql.GraftBridge.column(
-      BloomFilterAggregate(
-        org.apache.spark.sql.GraftBridge.expression(spark, xxhash64(col("g"))),
-        Literal(expectedGrams), Literal(numBits), 0, 0).toAggregateExpression())
-    val meta1 = d.agg(count(lit(1)).as("a"),
-        countDistinct(col("doc_id")).as("b"),
-        collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
-      .select(lit("stats").as("t"), col("a"), col("b"), col("arr"),
-        lit(null).cast("binary").as("bin"))
-      .unionByName(dgs.agg(
-          collect_set(gbucket(xxhash64(col("g")), nBuckets)).as("arr"),
-          bloomAgg.as("bin"))
-        .select(lit("grams").as("t"), lit(0L).as("a"), lit(0L).as("b"),
-          col("arr"), col("bin")))
-      .collect().map(r => r.getString(0) -> r).toMap
-    mark("collect-1")
-    val stats = meta1("stats")
-    require(stats.getLong(1) == stats.getLong(2),
-      s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct " +
-        "doc_id values — duplicate ids in one batch would corrupt the store")
-    val dBucketsDelta = stats.getSeq[Int](3).toArray
-    val gBuckets = meta1("grams").getSeq[Int](3).sorted
-    val bloom = Option(meta1("grams").getAs[Array[Byte]](4))
-
-    // ---- affected corpus docs: share ≥1 gram hash with the delta.
-    // The fixed-width hash store read is pruned to the delta grams'
-    // buckets, prefiltered by the bloom (codegen, no false negatives),
-    // and the surviving candidates meet the exact delta hash set in a
-    // broadcast join that removes the bloom's false positives. (A
-    // residual xxhash64 collision only widens the affected set — see
-    // the class doc.)
-    // no distinct: the semi-join's broadcast build dedupes, and a
-    // semi never multiplies matched store rows
-    val dghSet = dgs.select(xxhash64(col("g")).as("gh"))
-    val gramStore0 = spark.read.schema(gramsSchema).parquet(s"$cur/grams")
-      .filter(col("gbucket").isin(gBuckets.map(Integer.valueOf): _*))
-    val gramStore = bloom match {
-      case Some(bf) => gramStore0.filter(org.apache.spark.sql.GraftBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          Literal(bf, BinaryType),
-          org.apache.spark.sql.GraftBridge.expression(spark, col("gh")))))
-      case None => gramStore0.filter(lit(false)) // delta had zero grams
-    }
-    val touchedDocs = Persists.cacheFor(
-      gramStore.join(broadcast(dghSet), Seq("gh"), "left_semi")
-        .select("doc_id").distinct(), 64)
-
-    // ---- fused collect 2 (ONE job): the id-overlap guard (pruned to
-    // the delta's id buckets) + the touched docs' bucket list — the
-    // action that materializes the cached affected set.
-    val meta2 = spark.read.schema(docsSchema).parquet(s"$cur/docs")
-      .filter(col("dbucket").isin(dBucketsDelta.map(Integer.valueOf): _*))
-      .join(d.select("doc_id"), "doc_id")
-      .agg(count(lit(1)).as("a"))
-      .select(lit("overlap").as("t"), col("a"),
-        lit(null).cast("array<int>").as("arr"))
-      .unionByName(touchedDocs
-        .agg(collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
-        .select(lit("touched").as("t"), lit(0L).as("a"), col("arr")))
-      .collect().map(r => r.getString(0) -> r).toMap
-    mark("collect-2")
-    val overlap = meta2("overlap").getLong(1)
-    require(overlap == 0L,
-      s"$overlap delta doc_id(s) already present — delta ids must be new")
-    val dBucketsTouched =
-      Option(meta2("touched").getSeq[Int](2)).getOrElse(Seq.empty).toArray
-
-    // ---- re-derive spans for affected ∪ delta
-    val affectedText = spark.read.schema(docsSchema).parquet(s"$cur/docs")
-      .filter(col("dbucket").isin(dBucketsTouched.map(Integer.valueOf): _*))
-      .join(touchedDocs, "doc_id").select("doc_id", "text")
-    val affGrams = Persists.cacheFor(gramsOf(affectedText, n).unionByName(dg), 64)
-
-    // post-delta df for every gram of the affected set: stored df
-    // (slim store streamed through a broadcast semi-join of the grams
-    // we need) + the delta's per-gram distinct-doc contribution. The
-    // semi-join broadcasts the needed grams' 8-byte HASHES, not the
-    // strings (r11 — an affected-scale distinct-string broadcast was
-    // the fold's biggest shipped payload): a collision lets a stranger
-    // gram's df rows through, but df still groups by the exact string
-    // and the island join downstream is string-keyed, so extras drop
-    // harmlessly — same correctness argument as the hash-keyed store.
-    val needed = affGrams.select(xxhash64(col("g")).as("gh")).distinct()
-    // gramdf rows are PARTIAL increments (append-only store; the delta
-    // contributes one df=1 partial per (doc, gram) from the narrow
-    // per-doc distinct stream), so post-delta df is ONE sum over
-    // store ∪ delta partials — no per-delta pre-aggregate, no
-    // full-outer merge arithmetic (r11). The semi-join key is the
-    // gram HASH (8-byte broadcast, not affected-scale strings); a
-    // collision lets a stranger gram's partials through, but df still
-    // groups by the exact string and the island join downstream is
-    // string-keyed, so extras drop harmlessly.
-    val newDf = spark.read.schema(gramdfSchema).parquet(s"$cur/gramdf")
-      .select(col("g"), col("df"))
-      .unionByName(dgs.select(col("g"), lit(1L).as("df")))
-      .join(broadcast(needed), xxhash64(col("g")) === col("gh"), "left_semi")
-      .groupBy("g").agg(sum("df").as("df"))
-    val newSpans = Persists.cacheFor(
-      spansFrom(affGrams, newDf.filter(col("df") >= 2), n), 64)
-
-    // ---- next snapshot: rewrite touched buckets, hard-link the rest
+    // next snapshot dir first: the three APPEND-ONLY table writes
+    // (grams / gramdf / docs — pure O(delta), independent of the
+    // affected set) launch concurrently with the guard collect below
+    // (r12: they used to wait behind two serialized collects + the
+    // span re-derive, stretching the fold's critical path by their
+    // full cost). Staging files in the next version dir are not an
+    // observable mutation — the store IS the `_current` pointer, which
+    // only flips after every guard passed; a guard failure deletes the
+    // partial next dir and leaves readers on the complete snapshot.
     val next = SnapshotRoot.nextVersion(root)
     val nextDir = s"$root/$next"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
 
-    // per-doc distinct by construction — no shuffle before the
-    // bucket repartition (an intra-doc xxhash collision could leave a
-    // rare duplicate pair row; readers distinct/semi-join, harmless)
-    val deltaPairs = dgs.select(xxhash64(col("g")).as("gh"), col("doc_id"))
-    val spanBuckets = (dBucketsTouched ++ dBucketsDelta).distinct.sorted
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def timed[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally mark(f"$l took ${(System.nanoTime - t0) / 1e9}%.2f")
+    }
+    def append(table: String, bucketCol: String, deltaRows: DataFrame,
+        compact: DataFrame => DataFrame, schema: org.apache.spark.sql.types.StructType): Unit =
+      BucketStore.append(spark, cur, nextDir, table, bucketCol,
+        deltaRows, compact, schema)
 
     // Append-only stores (grams / gramdf / docs): a delta's grams hash
     // into EVERY bucket (millions of distinct grams per day-batch), so
@@ -324,62 +234,147 @@ object IncrementalSpans {
     // — and buckets whose file count passes `compactAt` are rolled up
     // (gramdf partials summed, pair/doc files merged) in one extra
     // partitioned write job, keeping file counts bounded under
-    // continuous folding. The spans table alone needs delete+insert
-    // semantics (affected docs' old rows must go), so it keeps the
-    // rewrite-touched-buckets path; its touched set is O(affected
-    // docs), not O(delta grams).
-    // file-level commit machinery shared with IncrementalSegments
-    // (extracted r11 — see BucketStore's scaladoc for the contract)
-    def append(table: String, bucketCol: String, deltaRows: DataFrame,
-        compact: DataFrame => DataFrame, schema: org.apache.spark.sql.types.StructType): Unit =
-      BucketStore.append(spark, cur, nextDir, table, bucketCol,
-        deltaRows, compact, schema)
-
-    def rewrite(table: String, bucketCol: String, touched: Seq[Int],
-        rows: DataFrame): Unit =
-      BucketStore.rewrite(cur, nextDir, table, bucketCol, touched, rows)
-
-    val touchedSpanRows = spark.read.schema(spansSchema).parquet(s"$cur/spans")
-      .filter(col("dbucket").isin(spanBuckets.map(Integer.valueOf): _*))
-      .join(touchedDocs, Seq("doc_id"), "left_anti")
-      .select("doc_id", "span_start", "span_end", "n_docs_max")
-      .unionByName(newSpans)
-      .withColumn("dbucket", dbucket(col("doc_id"), nBuckets))
-
-    // The four table writes are independent (disjoint directories) and
-    // each is a small job with a long scheduling tail — run them
-    // concurrently (the r11 fixed-cost fix; FIFO scheduling still
-    // overlaps jobs whose stages don't saturate the cluster).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    def timed[T](l: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      try f finally mark(f"$l took ${(System.nanoTime - t0) / 1e9}%.2f")
-    }
-    def launch(f: => Unit): Future[Unit] = Future(f)
-    val writes = Seq(
-      launch(timed("w-grams")(append("grams", "gbucket",
+    // continuous folding (BucketStore's contract, shared with
+    // IncrementalSegments).
+    // per-doc distinct by construction — no shuffle before the
+    // bucket repartition (an intra-doc xxhash collision could leave a
+    // rare duplicate pair row; readers distinct/semi-join, harmless)
+    val deltaPairs = dgs.select(xxhash64(col("g")).as("gh"), col("doc_id"))
+    val appends = Seq(
+      Future(timed("w-grams")(append("grams", "gbucket",
         deltaPairs.withColumn("gbucket", gbucket(col("gh"), nBuckets)),
         identity, gramsSchema))),
-      launch(timed("w-gramdf")(append("gramdf", "gbucket",
+      Future(timed("w-gramdf")(append("gramdf", "gbucket",
         dgs.select(col("g"), lit(1L).as("df"))
           .withColumn("gbucket", gbucket(xxhash64(col("g")), nBuckets)),
         rows => rows.groupBy("g", "gbucket").agg(sum("df").as("df"))
           .select("g", "df", "gbucket"),
         gramdfSchema))),
-      launch(timed("w-docs")(append("docs", "dbucket",
+      Future(timed("w-docs")(append("docs", "dbucket",
         d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
-        identity, docsSchema))),
-      launch(timed("w-spans")(rewrite("spans", "dbucket", spanBuckets.toIndexedSeq, touchedSpanRows))))
-    writes.foreach(Await.result(_, Duration.Inf))
-    mark("writes-done")
+        identity, docsSchema))))
 
-    // the ledger commits WITH the flip: written into the next version
-    // dir before the pointer moves (the DriftStore atomicity pattern)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(nextDir, "_applied_folds"),
-      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
-    SnapshotRoot.flipAndGc(root, next)
+    try {
+      // ---- affected corpus docs: share ≥1 gram hash with the delta.
+      // The fixed-width hash store streams through a broadcast
+      // semi-join against the exact delta hash set. (A residual
+      // xxhash64 collision only widens the affected set — see the
+      // class doc.) r12 dropped the r11 bloom prefilter + literal
+      // bucket pruning on this scan: both required a PRIOR driver
+      // collect (serializing two scheduler round-trips into the
+      // critical path), the broadcast semi-join that removed the
+      // bloom's false positives was already paying the full delta
+      // hash-set broadcast, and a day-scale delta's grams hash into
+      // every bucket, so the `isin` pruned nothing. At a delta grain
+      // where the gram hash set outgrows a broadcast, the bloom
+      // becomes the ONLY filter (false-positive affected docs merely
+      // re-derive their spans bit-identically) — that variant restores
+      // the two-phase shape, it never reinstates the exact broadcast.
+      // no distinct on the semi's build: the broadcast build dedupes,
+      // and a semi never multiplies matched store rows
+      val dghSet = dgs.select(xxhash64(col("g")).as("gh"))
+      val touchedDocs = Persists.cacheFor(
+        spark.read.schema(gramsSchema).parquet(s"$cur/grams")
+          .join(broadcast(dghSet), Seq("gh"), "left_semi")
+          .select("doc_id").distinct(), 64)
+
+      // ---- ONE fused guard collect (r12; was two serialized jobs):
+      // a tagged union of the delta-contract stats, the id-overlap
+      // guard (docs store semi-joined against the broadcast delta ids
+      // — no literal pruning, see above), and the touched docs' bucket
+      // list — the leg that materializes the cached affected set.
+      val meta = d.agg(count(lit(1)).as("a"),
+          countDistinct(col("doc_id")).as("b"),
+          collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
+        .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
+        .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
+          .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("a"))
+          .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
+            lit(null).cast("array<int>").as("arr")))
+        .unionByName(touchedDocs
+          .agg(collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
+          .select(lit("touched").as("t"), lit(0L).as("a"), lit(0L).as("b"),
+            col("arr")))
+        .collect().map(r => r.getString(0) -> r).toMap
+      mark("guard-collect")
+      val stats = meta("stats")
+      require(stats.getLong(1) == stats.getLong(2),
+        s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct " +
+          "doc_id values — duplicate ids in one batch would corrupt the store")
+      val overlap = meta("overlap").getLong(1)
+      require(overlap == 0L,
+        s"$overlap delta doc_id(s) already present — delta ids must be new")
+      val dBucketsTouched =
+        Option(meta("touched").getSeq[Int](3)).getOrElse(Seq.empty).toArray
+      val dBucketsDelta = stats.getSeq[Int](3).toArray
+
+      // ---- re-derive spans for affected ∪ delta
+      val affectedText = spark.read.schema(docsSchema).parquet(s"$cur/docs")
+        .filter(col("dbucket").isin(dBucketsTouched.map(Integer.valueOf): _*))
+        .join(touchedDocs, "doc_id").select("doc_id", "text")
+      val affGrams = Persists.cacheFor(gramsOf(affectedText, n).unionByName(dg), 64)
+
+      // post-delta df for every gram of the affected set: stored df
+      // (slim store streamed through a broadcast semi-join of the
+      // grams we need) + the delta's per-gram distinct-doc
+      // contribution. gramdf rows are PARTIAL increments (append-only
+      // store; the delta contributes one df=1 partial per (doc, gram)
+      // from the narrow per-doc distinct stream), so post-delta df is
+      // ONE sum over store ∪ delta partials — no per-delta
+      // pre-aggregate, no full-outer merge arithmetic (r11). The
+      // semi-join key is the gram HASH (8-byte broadcast, not
+      // affected-scale strings); a collision lets a stranger gram's
+      // partials through, but df still groups by the exact string and
+      // the island join downstream is string-keyed, so extras drop
+      // harmlessly — same correctness argument as the hash-keyed
+      // store.
+      val needed = affGrams.select(xxhash64(col("g")).as("gh")).distinct()
+      val newDf = spark.read.schema(gramdfSchema).parquet(s"$cur/gramdf")
+        .select(col("g"), col("df"))
+        .unionByName(dgs.select(col("g"), lit(1L).as("df")))
+        .join(broadcast(needed), xxhash64(col("g")) === col("gh"), "left_semi")
+        .groupBy("g").agg(sum("df").as("df"))
+      val newSpans = Persists.cacheFor(
+        spansFrom(affGrams, newDf.filter(col("df") >= 2), n), 64)
+      if (dbg) { // dissect: materialize the re-derive apart from the write
+        val t0 = System.nanoTime()
+        val (nt, ns) = (touchedDocs.count(), newSpans.count())
+        mark(f"newSpans compute took ${(System.nanoTime - t0) / 1e9}%.2f " +
+          s"(touched=$nt spans=$ns)")
+      }
+
+      // the spans table alone needs delete+insert semantics (affected
+      // docs' old rows must go), so it keeps the rewrite-touched-
+      // buckets path; its touched set is O(affected ∪ delta docs)
+      val spanBuckets = (dBucketsTouched ++ dBucketsDelta).distinct.sorted
+      val touchedSpanRows = spark.read.schema(spansSchema).parquet(s"$cur/spans")
+        .filter(col("dbucket").isin(spanBuckets.map(Integer.valueOf): _*))
+        .join(touchedDocs, Seq("doc_id"), "left_anti")
+        .select("doc_id", "span_start", "span_end", "n_docs_max")
+        .unionByName(newSpans)
+        .withColumn("dbucket", dbucket(col("doc_id"), nBuckets))
+      timed("w-spans")(BucketStore.rewrite(cur, nextDir, "spans", "dbucket",
+        spanBuckets.toIndexedSeq, touchedSpanRows))
+
+      appends.foreach(Await.result(_, Duration.Inf))
+      mark("writes-done")
+
+      // the ledger commits WITH the flip: written into the next
+      // version dir before the pointer moves (the DriftStore
+      // atomicity pattern)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(nextDir, "_applied_folds"),
+        (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
+      SnapshotRoot.flipAndGc(root, next)
+    } catch { case e: Throwable =>
+      // guard failure / any error before the flip: the store stays on
+      // the complete current snapshot; drop the partial next version
+      try appends.foreach(f => Await.ready(f, Duration.Inf))
+      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+      throw e
+    }
+
   }
 }

@@ -51,7 +51,14 @@ object KMeans {
     // array_min on struct(d2, cluster): smallest distance, ties to the
     // lowest index — same total order as the native kernel's strict <
     val best = array_min(array(dists: _*))
-    struct(best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
+    // malformed-vector contract matches the native kernel (ADVICE r11):
+    // a wrong-width vector or a null element yields a NULL struct —
+    // without the guard, zip_with's length padding null-poisons only
+    // SOME distances and array_min skips nulls, silently assigning
+    // among the well-formed ones
+    when(size(vec) === lit(centroids.head.length) &&
+        forall(vec, (x: Column) => x.isNotNull),
+      struct(best.getField("cluster").as("cluster"), best.getField("d2").as("d2")))
   }
 
   /** Deterministic init: the k lowest (md5(id), id)-rank vectors,
@@ -87,6 +94,12 @@ object KMeans {
         .collect()
       val next = model.centroids.map(_.clone())
       agg.foreach { r =>
+        // a null-cluster group = vectors CentroidAssign refused (wrong
+        // width or null element) — fail with the count instead of the
+        // bare NPE getInt would throw (ADVICE r11)
+        require(!r.isNullAt(0),
+          s"${r.getLong(1)} corpus vector(s) are malformed (width != $dim " +
+            "or contain nulls) — clean or filter before fit")
         val cl = r.getInt(0)
         val n = r.getLong(1).toDouble
         var j = 0
@@ -126,15 +139,24 @@ object KMeans {
     val bySize = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("size"),
         // 6dp-fixed per-row distances, exact decimal sum (house idiom:
-        // order-free, partitioning-invariant, DuckDB-replayable)
-        round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6)
+        // order-free, partitioning-invariant, DuckDB-replayable).
+        // DECIMAL(27,6): the per-row cast must hold the largest single
+        // d2, and (18,6) saturates to null at 1e12 — large-magnitude
+        // vectors would silently report null inertia (ADVICE r11)
+        round(sum(col("d2").cast("decimal(27,6)")).cast("double"), 6)
           .as("inertia"))
+    // dominant label via a count-desc/label-asc window — works for ANY
+    // orderable label type (ADVICE r11: the old max(struct(c, -label))
+    // needed a numeric label; a string silently negated to null) and
+    // is literally the oracle's row_number form
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("__lc").desc, col(labelCol).asc)
     val byLabel = assigned.groupBy("cluster", labelCol)
       .agg(count(lit(1)).as("__lc"))
-      .groupBy("cluster")
-      .agg(max(struct(col("__lc").as("c"), (-col(labelCol)).as("nl"))).as("__top"))
-      .select(col("cluster"), (-col("__top.nl")).as("top_label"),
-        col("__top.c").as("__topc"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col(labelCol).as("top_label"),
+        col("__lc").as("__topc"))
     bySize.join(byLabel, "cluster")
       .select(col("cluster"), col("size"), col("inertia"),
         col("top_label"),

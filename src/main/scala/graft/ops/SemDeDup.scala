@@ -13,21 +13,27 @@ import org.apache.spark.sql.functions._
   * Cells here are nearest-anchor regions where the anchors are the k
   * deterministically-drawn corpus vectors (lowest (md5(id), id) rank —
   * the IvfIndex seed idiom), NOT k-means iterates: the assignment is
-  * then a pure per-row expression over broadcast literals — engine-
+  * then a pure per-row expression over a broadcast literal — engine-
   * independent and DuckDB-oracle-able end to end, which a trained
   * centroid table would forfeit (and SemDeDup's quality is insensitive
   * to centroid optimality; the cell only scopes the pair search).
   *
   * Scale shape:
+  *  - k AUTO-SIZES with the corpus (r12, the embedNearDup lesson —
+  *    "LSH bucket width is a function of corpus size, never a
+  *    constant"): k = max(8, ⌈n / targetCellSize⌉) holds the EXPECTED
+  *    cell size constant, so the within-cell pair stage stays
+  *    O(n · targetCellSize) as the corpus grows instead of the
+  *    O(n²/k) a fixed k degrades to. Pass `k` explicitly to pin it;
   *  - anchor draw: TakeOrderedAndProject (per-partition top-k, driver
   *    merge) — k vectors of driver metadata, no shuffle;
-  *  - assignment: k literal dot products per row inside one codegen
-  *    scan — no shuffle, no join;
-  *  - pair search: one shuffle on the cell id; within-cell self-join
-  *    is the operator's intrinsic O(Σ|cell|²) — hold |cell| constant
-  *    by growing k ∝ corpus (anchors stay driver metadata for any
-  *    realistic k), and `maxCellSize` hard-caps the quadratic term:
-  *    oversize cells (embedding-space boilerplate) are reported
+  *  - assignment: one `transform` over the literal anchor array per
+  *    row — no shuffle, no join, and the expression tree is O(1) in k
+  *    (an auto-sized k in the hundreds would otherwise explode a
+  *    per-anchor-literal-column plan);
+  *  - pair search: one shuffle on the cell id; `maxCellSize` hard-caps
+  *    the quadratic term: oversize cells (embedding-space boilerplate,
+  *    possible under any k when mass concentrates) are reported
   *    un-deduped rather than allowed to quadratically dominate.
   *  - keep rule: v is dropped iff SOME lower-id cell-mate has
   *    cosine(u, v) ≥ θ — an EXISTS (left-semi) against the pair
@@ -35,29 +41,39 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
-  /** Per-vector verdict frame: (idCol, cell, kept). */
-  def semDedup(corpus: DataFrame, k: Int = 8, theta: Double = 0.95,
+  /** Per-vector verdict frame: (idCol, cell, kept). `k <= 0` (the
+    * default) auto-sizes k from the corpus count; an explicit k pins
+    * the cell count (the oracle-replay posture). */
+  def semDedup(corpus: DataFrame, k: Int = 0, theta: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxCellSize: Int = 100000): DataFrame = {
+      maxCellSize: Int = 100000, targetCellSize: Int = 250): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else math.max(8L,
+        (corpus.count() + targetCellSize - 1) / targetCellSize).toInt
+
     // deterministic anchor draw (see object doc); anums are 1-based in
     // draw order so the oracle's row_number reproduces them
-    val anchors: Array[(Int, Seq[Float])] = corpus
+    val anchors: Seq[(Int, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-      .limit(k)
+      .limit(kEff)
       .collect().zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Float](1)) }
+      .map { case (r, i) => (i + 1, r.getSeq[Float](1)) }.toSeq
     require(anchors.nonEmpty, "empty corpus")
 
-    // argmax-cosine cell as one per-row expression: max over
-    // struct(cos, -anum) picks highest cosine, ties to the LOWEST
-    // anchor number (mirrored by the oracle's ORDER BY c DESC, anum)
-    val scored = anchors.map { case (anum, vec) =>
+    // argmax-cosine cell as one per-row HOF over the literal anchor
+    // array: max over struct(cos, -anum) picks highest cosine, ties to
+    // the LOWEST anchor number (mirrored by the oracle's ORDER BY c
+    // DESC, anum). Identical doubles to a per-anchor column expansion
+    // — same dot-product fold, same divide — with a plan that stays
+    // O(1) as k grows (spec-gated against the expanded form).
+    val anchorsLit = typedLit(anchors)
+    val scoredArr = transform(anchorsLit, a =>
       struct(
-        Similarity.cosine(col(vecCol), typedLit(vec)).as("c"),
-        lit(-anum).as("na"))
-    }
-    val cellCol = -array_max(array(scored: _*)).getField("na")
+        Similarity.cosine(col(vecCol), a.getField("_2")).as("c"),
+        (-a.getField("_1")).as("na")))
+    val cellCol = -array_max(scoredArr).getField("na")
 
     val assigned = Persists.cacheFor(
       corpus.select(col(idCol), col(vecCol),

@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolated, repeated measurement of the staged incremental folds —
+  * the measurement harness VERDICT r11 task 1 asked for: each family's
+  * state build + fold runs alone (fresh temp dirs per rep, n reps),
+  * printing per-stage times per rep so a regression can be separated
+  * from ambient host drift without reverse-engineering the full bench.
+  *
+  * Usage: `sbt "runMain graft.tools.StageProbe [family ...]"` with
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_STAGE_RUNS (default 5).
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STAGE_RUNS", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val families = if (args.nonEmpty) args.toSet else Set("spans", "clusters")
+
+    def tmp(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      p.toString
+    }
+    def timed(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"  $label%-14s $t%8.2f s")
+      t
+    }
+
+    if (families("spans")) {
+      println(s"== spans (n=$reps) ==")
+      for (r <- 1 to reps) {
+        val p = tmp("probe_spans")
+        println(s" rep $r")
+        timed("write_state") { graft.ops.IncrementalSpans.writeState(
+          docs.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"), p) }
+        timed("fold") { graft.ops.IncrementalSpans.applyDelta(
+          spark, p, docs.filter(col("doc_id") % 10 === 7)) }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+
+    if (families("clusters")) {
+      println(s"== clusters (n=$reps) ==")
+      for (r <- 1 to reps) {
+        val p = tmp("probe_clusters")
+        println(s" rep $r")
+        val quality = graft.ops.TextOps.textStats(docs)
+          .select(col("doc_id"), col("quality_score"))
+        val keyed = graft.ExtQueries.clusterKeyedOf(docs).join(quality, "doc_id")
+        timed("write_state") { graft.ops.IncrementalClusters.writeState(
+          keyed.filter(col("doc_id") % 10 =!= 7), "doc_id", Seq("k1", "k2"),
+          p, carryCols = Seq("quality_score")) }
+        timed("fold") { graft.ops.IncrementalClusters.applyDelta(spark, p,
+          keyed.filter(col("doc_id") % 10 === 7), "doc_id", Seq("k1", "k2")) }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+
+    if (families("bm25")) {
+      println(s"== bm25 (n=$reps) ==")
+      for (r <- 1 to reps) {
+        val p = tmp("probe_bm25")
+        println(s" rep $r")
+        val t = docs.stat.approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.01)
+          .map(_.toLong)
+        timed("write_state") { graft.ops.Bm25Index.writeState(
+          docs.filter(col("doc_id") < t(0)), s"$p/state") }
+        timed("fold") {
+          Seq(
+            docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
+            docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
+            docs.filter(col("doc_id") >= t(2)))
+            .zipWithIndex.foreach { case (b, i) =>
+              graft.ops.Bm25Index.applyDelta(spark, s"$p/state", b,
+                foldId = Some(s"b$i"))
+            }
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+
+    spark.stop()
+  }
+}

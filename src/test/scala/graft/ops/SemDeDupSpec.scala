@@ -52,4 +52,28 @@ class SemDeDupSpec extends SparkSpec {
     val cells = out.select("cell").distinct().collect().map(_.getInt(0)).toSet
     assert(cells.forall(c => c >= 1 && c <= 3))
   }
+
+  test("auto-k contract: k grows with the corpus, floors at 8") {
+    // 40 vectors / targetCellSize 5 → k = 8 (exactly the floor);
+    // targetCellSize 4 → k = 10 — cells auto-size so the expected
+    // cell population stays ~targetCellSize as the corpus grows
+    val many = (1L to 40L).map(i =>
+      i -> Seq((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat, 1f))
+    val k8 = SemDeDup.semDedup(frame(many), theta = 0.999, targetCellSize = 5)
+      .select(max("cell")).head().getInt(0)
+    assert(k8 <= 8 && k8 >= 1)
+    val k10 = SemDeDup.semDedup(frame(many), theta = 0.999, targetCellSize = 4)
+      .select(max("cell")).head().getInt(0)
+    assert(k10 <= 10 && k10 > 8, s"expected a cell id in (8, 10], got $k10")
+  }
+
+  test("auto-k equals an explicitly pinned k of the same size (one path)") {
+    // the fixture scales resolve auto-k to the floor — the oracle's
+    // LIMIT 8 draw — so q_semdedup stays byte-identical after r12
+    val auto = SemDeDup.semDedup(frame(base), theta = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    val pinned = SemDeDup.semDedup(frame(base), k = 8, theta = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    assert(auto == pinned)
+  }
 }
