@@ -603,6 +603,46 @@ object ExtQueries {
       |  AND v.session_start <= c.session_end
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** The interval join through its SQL TVF surface
+    * ([[graft.sqlext.OpsTvf]], r12 — VERDICT r11 task 7): the same
+    * per-burst error card as q_interval_join, but the range join is
+    * reached from pure SQL via `graft_interval_join(...)` over temp
+    * views. Gated by the SAME oracle as the DataFrame path, so the
+    * hash match proves SQL == DataFrame == naive BETWEEN join. */
+  def sqlIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    bursts(ev, "purchase", "p").createOrReplaceTempView("graft_ij_purchase")
+    ev.filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts", "value")
+      .createOrReplaceTempView("graft_ij_errors")
+    s.sql(
+      """SELECT user_id, p_idx AS session_idx, count(*) AS n_errors,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS err_value,
+        |       min(ts) AS first_error
+        |FROM graft_interval_join('graft_ij_errors', 'graft_ij_purchase',
+        |  'ts', 'p_start', 'p_end', 86400000000, 'user_id')
+        |GROUP BY user_id, p_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+  }
+
+  /** BM25 retrieval through its SQL TVF surface ([[graft.sqlext
+    * .OpsTvf]], r12): the q_bm25 rank card, but scored from the
+    * persisted index via `graft_bm25(root, query)` in pure SQL — the
+    * probe plan inherits the DataFrame path's bucket pruning. Same
+    * oracle as q_bm25/q_bm25_indexed: SQL == indexed == batch. */
+  def sqlBm25(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Idx, dir, "graft_bm25_idx") { p =>
+      Bm25Index.writeState(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), s"$p/state")
+    }
+    s.sql(
+      s"""SELECT rank, doc_id, source, n_terms, score FROM (
+         |  SELECT doc_id, source, n_terms, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM graft_bm25('$path/state', '$Bm25Probe')
+         |) WHERE rank <= 15 ORDER BY rank""".stripMargin)
+  }
+
   /** Structured-Streaming surface in the driver contract: watermarked
     * tumbling-window agg over events driven by Trigger.AvailableNow into
     * a memory sink. The append-mode result IS deterministic — after the
@@ -1106,9 +1146,7 @@ object ExtQueries {
   def passageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val path = stagedTempDir(stagedIncSegs, dir, "graft_inc_segs") { p =>
       val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
-      val ids = docs.select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
-      val t = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+      val t = quartileSplits(docs)
       val t0 = System.nanoTime()
       graft.ops.IncrementalSegments.writeState(
         docs.filter(col("doc_id") < t(0)), s"$p/state")
@@ -1193,6 +1231,42 @@ object ExtQueries {
   val stageTimings =
     scala.collection.concurrent.TrieMap[String, Seq[(String, Double)]]()
 
+  /** Three id split points partitioning the corpus into ~quartiles for
+    * the state-build + 3-folds incremental harnesses. Distributed
+    * Greenwald–Khanna sketch (`approxQuantile`), NOT a driver-side
+    * sort-and-collect of every doc_id (VERDICT r11 task 6 — the old
+    * form was the last corpus-sized collect in main): the fold ==
+    * rebuild contracts hold under ANY monotone split, so a ±1%-rank
+    * split point changes batch sizes marginally and results not at
+    * all. */
+  private def quartileSplits(docs: DataFrame): Seq[Long] =
+    docs.stat.approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.01)
+      .map(_.toLong).toSeq
+
+  // every staging registry, so [[clearStaging]] can reset them all —
+  // keep in sync with the `stagedTempDir` call sites
+  private lazy val stagingRegistries = Seq(
+    stagedDriftStore, stagedEvents, stagedIncSegs, stagedPairs,
+    stagedIncIndex, stagedDsirStore, stagedBm25Idx, stagedBm25Inc,
+    stagedClusters, stagedIncSpans, stagedIncClusters, stagedStreamCur,
+    stagedLiveMetrics, stagedIvf, stagedIvfInc, stagedFpStore)
+
+  /** Drop every per-(JVM, dir) staged artifact so the NEXT invocation
+    * of each staged query re-runs its full staging pipeline into a
+    * fresh temp dir. This is the bench's dedicated stage-measurement
+    * lever (VERDICT r11 tasks 1/5): per-stage costs are re-measured
+    * n≥5 times by clearing between reps, instead of being n=1 samples
+    * inside a contended full sweep. Deletes the old temp dirs. */
+  def clearStaging(): Unit = stagingRegistries.foreach { reg =>
+    reg.values().forEach { p =>
+      try java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      catch { case _: Throwable => () }
+    }
+    reg.clear()
+  }
+
   private def stagedTempDir(
       registry: java.util.concurrent.ConcurrentHashMap[String, String],
       dir: String, prefix: String)(build: String => Unit): String =
@@ -1208,8 +1282,14 @@ object ExtQueries {
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val path = stagedTempDir(stagedPairs, dir, "graft_minhash_pairs") { p =>
+      val t0 = System.nanoTime()
       MinHashLSH.candidatePairs(Tables.documents(s, dir))
         .write.mode("overwrite").parquet(p)
+      // the staging pipeline is the honest q_dedup_minhash cost; sweep
+      // samples after the first replay the staged parquet (r12: the
+      // bench's dedicated stage pass re-measures this n≥5)
+      stageTimings("q_dedup_minhash") = Seq(
+        "pipeline" -> (System.nanoTime() - t0) / 1e9)
     }
     s.read.parquet(path)
   }
@@ -1918,6 +1998,62 @@ object ExtQueries {
       |       CAST(max(doc_id) AS BIGINT) AS max_id
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val stagedFpStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Maintained fingerprint state ([[graft.ops.FingerprintStore]],
+    * r12 — VERDICT r11 task 8): built on the `%10 != 7` docs, the rest
+    * folds in, shared by the two state-served cards below. Text is
+    * hashed once per document at ingest; the cards read fixed-width
+    * stored rows. */
+  private def fpState(s: SparkSession, dir: String): String =
+    stagedTempDir(stagedFpStore, dir, "graft_fp_store") { p =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val t0 = System.nanoTime()
+      graft.ops.FingerprintStore.writeState(
+        docs.filter(col("doc_id") % 10 =!= 7), s"$p/state")
+      val t1 = System.nanoTime()
+      graft.ops.FingerprintStore.applyDelta(s, s"$p/state",
+        docs.filter(col("doc_id") % 10 === 7), foldId = Some("b0"))
+      stageTimings("q_split_leakage_incremental") = Seq(
+        "write_state" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+
+  /** Split-leakage card from the maintained store — gated by the SAME
+    * oracle SQL as the batch card: the hash match IS the
+    * "maintained state == raw-text recompute" contract. */
+  def splitLeakageIncremental(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FingerprintStore.splitLeakageCard(s, s"${fpState(s, dir)}/state")
+
+  /** Corpus diff served from the maintained store: the OLD side is the
+    * stored fingerprints for the `%10 != 3` snapshot (no old-text
+    * re-hash — its own state, built + folded), the new side hashes
+    * fresh. Same oracle SQL as q_corpus_diff. */
+  def corpusDiffIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedFpStore, s"$dir#oldv", "graft_fp_oldv") { p =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val oldV = docs.filter(col("doc_id") % 10 =!= 3)
+      val t0 = System.nanoTime()
+      graft.ops.FingerprintStore.writeState(
+        oldV.filter(col("doc_id") % 2 === 0), s"$p/state")
+      val t1 = System.nanoTime()
+      graft.ops.FingerprintStore.applyDelta(s, s"$p/state",
+        oldV.filter(col("doc_id") % 2 =!= 0), foldId = Some("b0"))
+      stageTimings("q_corpus_diff_incremental") = Seq(
+        "write_state" -> (t1 - t0) / 1e9,
+        "fold" -> (System.nanoTime() - t1) / 1e9)
+    }
+    val docs = Tables.documents(s, dir)
+    val newV = docs.filter(col("doc_id") % 10 =!= 4)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.ops.FingerprintStore.diffAgainst(s, s"$path/state", newV)
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source", "status")
+  }
+
   /** Overlapping retrieval chunks ([[graft.ops.Chunking]], late r11):
     * every document fanned out to 64-token windows at stride 48 — the
     * RAG-export unit. The oracle re-derives starts, counts and the
@@ -2027,9 +2163,7 @@ object ExtQueries {
   def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
     val path = stagedTempDir(stagedBm25Inc, dir, "graft_bm25_inc") { p =>
       val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
-      val ids = docs.select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0))
-      val t = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+      val t = quartileSplits(docs)
       val t0 = System.nanoTime()
       Bm25Index.writeState(docs.filter(col("doc_id") < t(0)), s"$p/state")
       val tState = System.nanoTime()
@@ -2170,7 +2304,10 @@ object ExtQueries {
     * raw (un-rounded) cosine, and both engines compute the identical
     * double fold, so the θ-set matches exactly at any value. */
   def semDedup(s: SparkSession, dir: String): DataFrame =
-    SemDeDup.semDedup(Tables.embeddings(s, dir), k = 8, theta = 0.42)
+    // auto-k: at the fixture scales (500–2000 vectors / targetCellSize
+    // 250) this resolves to the oracle's LIMIT 8 anchor draw; at sweep
+    // scale it grows with the corpus (SemDeDup's r12 scale contract)
+    SemDeDup.semDedup(Tables.embeddings(s, dir), theta = 0.42)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         count(when(col("kept"), 1)).as("kept"),
@@ -2267,7 +2404,7 @@ object ExtQueries {
        |    FROM embeddings e CROSS JOIN c3 c) t WHERE rn = 1
        |), sz AS (
        |  SELECT cl AS cluster, count(*) AS size,
-       |         round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia
+       |         round(CAST(sum(CAST(d2 AS DECIMAL(27,6))) AS DOUBLE), 6) AS inertia
        |  FROM af GROUP BY 1
        |), lb AS (
        |  SELECT cluster, label AS top_label, c AS topc FROM (
@@ -2395,6 +2532,7 @@ object ExtQueries {
     * instead of re-running the fixpoint. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val path = stagedTempDir(stagedClusters, dir, "graft_dedup_clusters") { p =>
+      val tcc0 = System.nanoTime()
       val keyed = clusterKeyed(s, dir)
       val edges = ConnectedComponents.keyEdges(keyed, "doc_id", Seq("k1", "k2"))
       // checkEvery=1: keyEdges graphs are hub-shaped and hub-min init
@@ -2414,6 +2552,10 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("component"),
           count(lit(1)).over(wComp).as("cluster_size"))
         .write.mode("overwrite").parquet(p)
+      // the CC compute + staging write is the honest q_dedup_clusters
+      // cost; sweep repeats replay the parquet (see q_dedup_minhash)
+      stageTimings("q_dedup_clusters") = Seq(
+        "cc_label" -> (System.nanoTime() - tcc0) / 1e9)
     }
     s.read.parquet(path)
   }
@@ -2720,23 +2862,23 @@ object ExtQueries {
 
   private val stagedStreamCur = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Streaming continuous dedup end-to-end (r10, VERDICT r9 task 5):
-    * docs with `doc_id % 4 = 0` are the offline-indexed corpus
-    * (band index + cluster label store, quality carried); the REST
-    * arrive as a stream of three document batches (a file source with
-    * `maxFilesPerTrigger=1` over three staged files) that
-    * [[graft.streaming.ContinuousDedup]] drains under
-    * `Trigger.AvailableNow`: each microbatch is matched against the
-    * index (pairs appended to the log), absorbed into it, and folded
-    * into the label store — keys and quality derived IN-batch. The
-    * output is the full curation funnel over the stream-maintained
-    * store, hash-oracled by the SAME batch curation SQL: per-fold
-    * equivalence composes across microbatches, so labels after the
-    * stream == batch CC over all documents, quality is a pure per-doc
-    * function, and the funnel stages are shared code with
-    * [[curation]]. */
-  def streamCuration(s: SparkSession, dir: String): DataFrame = {
-    val path = stagedTempDir(stagedStreamCur, dir, "graft_stream_cur") { p =>
+  /** The FULL ingest daemon end-to-end (r12 — this query used to drive
+    * only the dedup+clusters families; it now drains
+    * [[graft.streaming.ContinuousIngest]] with ALL EIGHT): docs with
+    * `doc_id % 4 = 0` are the offline-built corpus state — band index,
+    * cluster label store (quality carried), drift profile, span state,
+    * segment keepers, BM25 inverted index, DSIR model, and the corpus
+    * metric-view rollup — and the REST arrive as a stream of three
+    * document batches (a file source with `maxFilesPerTrigger=1`) that
+    * fold into every family per microbatch, sharing ONE persisted
+    * token frame (VERDICT r11 task 3). The output is the curation
+    * funnel over the stream-maintained label store, hash-oracled by
+    * the SAME batch curation SQL; the other families' fold==rebuild
+    * contracts are gated by ContinuousIngestSpec and their own oracle
+    * queries. Stage split: offline builds (index_state_feed) vs the
+    * 3-batch drain (stream_fold), plus per-family clocks. */
+  private def streamCurState(s: SparkSession, dir: String): String =
+    stagedTempDir(stagedStreamCur, dir, "graft_stream_cur") { p =>
       val docs = Tables.documents(s, dir)
       val keyedOf = (df: DataFrame) => clusterKeyedOf(df)
         .join(TextOps.textStats(df).select(col("doc_id"), col("quality_score")), "doc_id")
@@ -2745,6 +2887,23 @@ object ExtQueries {
       graft.ops.IncrementalDedup.writeIndex(corpus, s"$p/index")
       graft.ops.IncrementalClusters.writeState(keyedOf(corpus), "doc_id",
         Seq("k1", "k2"), s"$p/state", carryCols = Seq("quality_score"))
+      graft.ops.DriftStore.writeProfile(corpus, s"$p/drift")
+      graft.ops.IncrementalSpans.writeState(
+        corpus.select("doc_id", "text"), s"$p/spans")
+      graft.ops.IncrementalSegments.writeState(
+        corpus.select("doc_id", "source", "text"), s"$p/segs")
+      graft.ops.Bm25Index.writeState(
+        corpus.select("doc_id", "source", "text"), s"$p/bm25")
+      val dsirPred = col("lang") === "en"
+      graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
+      // metrics family: the corpus view's rollup, seeded offline
+      val cat = new graft.api.MetricViewCatalog(s,
+        { case "documents" => docs; case n => sys.error(s"no source $n") },
+        Some(s"$p/metrics"))
+      val mv = cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
+      val im = cat.incremental.get
+      im.foldBatch(mv, corpus, foldId = Some("seed"))
+      SparkEntry.catalog(s, dir).bind() // restore the session's DDL target
       // the stream feed: one file per arrival batch, raw document rows
       (1 to 3).foreach(i => docs.filter(col("doc_id") % 4 === i)
         .coalesce(1).write.parquet(s"$p/feed/b$i"))
@@ -2754,19 +2913,45 @@ object ExtQueries {
         .parquet(s"$p/feed/b*")
       graft.streaming.Folds.FamilyClock.enabled = true
       val nBatches =
-        try graft.streaming.ContinuousDedup.run(stream,
-          s"$p/index", s"$p/state", s"$p/pairs", keyedOf)
+        try graft.streaming.ContinuousIngest.run(stream,
+          s"$p/index", s"$p/state", s"$p/pairs", s"$p/drift", s"$p/spans",
+          keyedOf, metrics = Some((mv, im)),
+          segmentsRoot = Some(s"$p/segs"), bm25Root = Some(s"$p/bm25"),
+          dsir = Some((s"$p/dsir", dsirPred)))
         finally graft.streaming.Folds.FamilyClock.enabled = false
       require(nBatches >= 3, s"expected >=3 microbatches, got $nBatches")
       stageTimings("q_stream_curation") = Seq(
         "index_state_feed" -> (t1 - t0) / 1e9,
         "stream_fold" -> (System.nanoTime() - t1) / 1e9) ++
-        graft.streaming.Folds.FamilyClock.drain() // per-family split (r11)
+        graft.streaming.Folds.FamilyClock.drain() // per-family split
     }
+
+  def streamCuration(s: SparkSession, dir: String): DataFrame = {
+    val path = streamCurState(s, dir)
     curationFunnel(s, dir,
       manifestFrom(IncrementalClusters.readLabels(s, s"$path/state")
         .select("doc_id", "component", "quality_score"))
         .select(col("doc_id"), col("quality_score"), col("is_canonical")))
+  }
+
+  /** Daemon introspection ([[graft.streaming.ContinuousIngest.status]],
+    * r12 — VERDICT r11 missing-3): one row per state family of the
+    * drained daemon above, with its applied-fold ledger depth and last
+    * (content-derived, deterministic) fold id — the "has every family
+    * caught up to batch X" dashboard. Ledger truth, not clocks; the
+    * per-family wall clocks stay a bench surface (stage split). No SQL
+    * oracle: the ledgers are commit-protocol text files, not tables —
+    * the driver's rows-check + DaemonStatusSpec gate it. */
+  def daemonStatus(s: SparkSession, dir: String): DataFrame = {
+    val p = streamCurState(s, dir)
+    graft.streaming.ContinuousIngest.status(s, Map(
+      "dedup_index" -> s"$p/index",
+      "clusters" -> s"$p/state/labels",
+      "drift" -> s"$p/drift",
+      "spans" -> s"$p/spans",
+      "segments" -> s"$p/segs",
+      "bm25" -> s"$p/bm25",
+      "dsir" -> s"$p/dsir"))
   }
 
   private val stagedLiveMetrics = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3739,7 +3924,9 @@ object ExtQueries {
     "q_dsir_incremental"  -> (dsirIncremental _),
     "q_chunks"            -> (chunksExport _),
     "q_corpus_diff"       -> (corpusDiff _),
+    "q_corpus_diff_incremental" -> (corpusDiffIncremental _),
     "q_split_leakage"     -> (splitLeakage _),
+    "q_split_leakage_incremental" -> (splitLeakageIncremental _),
     "q_novelty"           -> (noveltyCard _),
     "q_novelty_incremental" -> (noveltyIncremental _),
     "q_bigram_quality"    -> (bigramQuality _),
@@ -3752,6 +3939,9 @@ object ExtQueries {
     "q_lang_id"           -> (langId _),
     "q_sessionize"        -> (sessionize _),
     "q_interval_join"     -> (intervalJoin _),
+    "q_sql_interval"      -> (sqlIntervalJoin _),
+    "q_sql_bm25"          -> (sqlBm25 _),
+    "q_daemon_status"     -> (daemonStatus _),
     "q_interval_left"     -> (intervalJoinLeft _),
     "q_interval_overlap"  -> (intervalOverlapQ _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -3821,7 +4011,11 @@ object ExtQueries {
     "q_dsir_incremental"  -> dsirSelectSql,
     "q_chunks"            -> chunksExportSql,
     "q_corpus_diff"       -> corpusDiffSql,
+    // maintained-state == batch-recompute gates (r12): the incremental
+    // variants run the SAME SQL as their batch twins
+    "q_corpus_diff_incremental" -> corpusDiffSql,
     "q_split_leakage"     -> splitLeakageSql,
+    "q_split_leakage_incremental" -> splitLeakageSql,
     "q_novelty"           -> noveltyCardSql,
     // batch derivation restricted to the delta docs: the gate proves
     // the maintained gram-df store == a whole-corpus re-gram
@@ -3847,6 +4041,9 @@ object ExtQueries {
     // both oracles are the NAIVE quadratic range joins the binned
     // equi-join plan replaces — the hash gates prove plan equivalence
     "q_interval_join"     -> intervalJoinSql,
+    // SQL-TVF twins (r12): same oracles as their DataFrame paths
+    "q_sql_interval"      -> intervalJoinSql,
+    "q_sql_bm25"          -> bm25Sql,
     "q_interval_left"     -> intervalJoinLeftSql,
     "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,

@@ -48,9 +48,10 @@ object Bm25 {
   def termFreqs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", carry: Seq[String] = Seq("source")): DataFrame = {
     val base = docs.filter(length(trim(col(textCol))) > 0)
+    val toks = TextOps.tokensOf(docs, textCol, lowered = true)
     base.select((col(idCol) +: carry.map(col)) ++ Seq(
-        size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"),
-        explode(TextOps.tokens(lower(col(textCol)))).as("w")): _*)
+        size(toks).cast("long").as("dl"),
+        explode(toks).as("w")): _*)
       .groupBy((col(idCol) +: carry.map(col)) ++ Seq(col("dl"), col("w")): _*)
       .agg(count(lit(1)).as("tf"))
   }
@@ -85,7 +86,8 @@ object Bm25 {
     // N and Σdl over ALL scoreable docs (not just matches): one
     // corpus-grain narrow aggregate, driver metadata
     val stats = docs.filter(length(trim(col(textCol))) > 0)
-      .select(size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+      .select(size(TextOps.tokensOf(docs, textCol, lowered = true))
+        .cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
     val nDocs = stats.getLong(0)
     require(nDocs > 0, "empty corpus")
@@ -180,6 +182,15 @@ object Bm25Index {
 
   private def paramsLine(nBuckets: Int) = s"nBuckets=$nBuckets"
 
+  /** The bucket count the index at `root` was built with — for
+    * callers (the SQL TVF) that identify an index by path alone. */
+  def storedBuckets(root: String): Int = {
+    val p = java.nio.file.Paths.get(root, "_params")
+    require(java.nio.file.Files.exists(p), s"no bm25 index at $root")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.stripPrefix("nBuckets=").toInt
+  }
+
   private def requireSameParams(root: String, nBuckets: Int): Unit = {
     val p = java.nio.file.Paths.get(root, "_params")
     val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
@@ -198,7 +209,7 @@ object Bm25Index {
   private def derive(docs: DataFrame, nBuckets: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf = Persists.cacheFor(
       docs.filter(length(trim(col("text"))) > 0)
-        .withColumn("__t", TextOps.tokens(lower(col("text"))))
+        .withColumn("__t", TextOps.tokensOf(docs, "text", lowered = true))
         .select(col("doc_id"), col("source"),
           size(col("__t")).cast("long").as("dl"),
           posexplode(col("__t")).as(Seq("pos", "w")))
@@ -266,7 +277,7 @@ object Bm25Index {
     if (foldId.exists(applied.contains)) return // replayed batch: no-op
 
     val d = Persists.cacheFor(
-      delta.select(col("doc_id"), col("source"), col("text")), 64)
+      TextOps.keepTokens(delta, "doc_id", "source", "text"), 64)
     val meta = d.agg(count(lit(1)).as("n"),
         count_distinct(col("doc_id")).as("nd"),
         collect_set(dbucket(col("doc_id"), nBuckets)).as("db")).head()

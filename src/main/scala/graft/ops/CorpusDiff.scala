@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * empty string. */
 object CorpusDiff {
 
-  private def fpOf(contentCols: Seq[String]): Column =
+  /** The content fingerprint — shared with [[FingerprintStore]], whose
+    * persisted rows must stay definitionally identical so a
+    * state-served diff equals a raw-text diff. */
+  private[ops] def fpOf(contentCols: Seq[String]): Column =
     concat(contentCols.map(c =>
       md5(coalesce(col(c).cast("string"), lit("<NULL>")))): _*)
 
@@ -35,10 +38,22 @@ object CorpusDiff {
       contentCols: Seq[String] = Seq("text"),
       carry: Seq[String] = Seq("source")): DataFrame = {
     require(contentCols.nonEmpty, "need at least one content column")
-    def slim(df: DataFrame, tag: String) =
-      df.select(col(idCol) +: (fpOf(contentCols).as(s"__fp_$tag") +:
-        carry.map(c => col(c).as(s"__${tag}_$c"))): _*)
-    val joined = slim(oldDf, "o").join(slim(newDf, "n"), Seq(idCol), "full_outer")
+    diffFps(oldDf.select(col(idCol) +: (fpOf(contentCols).as("__fp_o") +:
+        carry.map(c => col(c).as(s"__o_$c"))): _*),
+      newDf, idCol, contentCols, carry)
+  }
+
+  /** The diff tail over an ALREADY-fingerprinted old side (idCol,
+    * __fp_o, __o_<carry>...) — the seam [[FingerprintStore.diffAgainst]]
+    * serves stored fingerprints through, so only the new snapshot's
+    * text is ever hashed. */
+  private[ops] def diffFps(oldFps: DataFrame, newDf: DataFrame,
+      idCol: String, contentCols: Seq[String],
+      carry: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    val newFps = newDf.select(col(idCol) +: (fpOf(contentCols).as("__fp_n") +:
+      carry.map(c => col(c).as(s"__n_$c"))): _*)
+    val joined = oldFps.join(newFps, Seq(idCol), "full_outer")
     val status = when(col("__fp_o").isNull, "added")
       .when(col("__fp_n").isNull, "removed")
       .when(col("__fp_o") =!= col("__fp_n"), "changed")

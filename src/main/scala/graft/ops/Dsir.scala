@@ -56,7 +56,7 @@ object Dsir {
     val base = docs.filter(length(trim(col(textCol))) > 0)
       .withColumn("__t", coalesce(targetPred, lit(false)))
     base.select((col(idCol) +: carry.map(col)) ++ Seq(col("__t"),
-      explode(feats(TextOps.tokens(lower(col(textCol))))).as("g")): _*)
+      explode(feats(TextOps.tokensOf(docs, textCol, lowered = true))).as("g")): _*)
       .withColumn("b", Sampling.md5Bucket(col("g")) % buckets)
       .groupBy((col(idCol) +: carry.map(col)) ++ Seq(col("__t"), col("b")): _*)
       .agg(count(lit(1)).as("c"))

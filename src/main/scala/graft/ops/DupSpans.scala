@@ -64,7 +64,9 @@ object DupSpans {
     * docs shorter than one gram emit nothing. */
   private[ops] def gramRows(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tk = TextOps.tokens(col(textCol)) // the engine-wide whitespace class
+    // the engine-wide whitespace class; reuses a shared per-batch token
+    // column when the caller attached one (TextOps.withSharedTokens)
+    val tk = TextOps.tokensOf(docs, textCol)
     docs
       .select(col(idCol), tk.as("tk"))
       .filter(size(col("tk")) >= n)
@@ -83,7 +85,7 @@ object DupSpans {
     * accounting needs: each row is one document's vote for one gram. */
   private[ops] def docGramSets(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tk = TextOps.tokens(col(textCol))
+    val tk = TextOps.tokensOf(docs, textCol)
     docs
       .select(col(idCol), tk.as("tk"))
       .filter(size(col("tk")) >= n)

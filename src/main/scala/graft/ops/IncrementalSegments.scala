@@ -48,7 +48,8 @@ object IncrementalSegments {
 
   private def segsOf(docs: DataFrame, n: Int): DataFrame =
     SegmentDedup.segmentRows(docs,
-      SegmentDedup.tokenWindows(col("text"), n), "doc_id", "text")
+      SegmentDedup.tokenWindowsFromTokens(
+        TextOps.tokensOf(docs, "text"), n), "doc_id", "text")
 
   private def paramsLine(n: Int, nBuckets: Int) = s"n=$n nBuckets=$nBuckets"
 
@@ -98,7 +99,7 @@ object IncrementalSegments {
     if (foldId.exists(applied.contains)) return // replayed batch: no-op
 
     val d = Persists.cacheFor(
-      delta.select(col("doc_id"), col("source"), col("text")), 64)
+      TextOps.keepTokens(delta, "doc_id", "source", "text"), 64)
     // within-delta keeper candidates — the same skew-immune partial min
     // as the batch path
     val cand = Persists.cacheFor(
@@ -145,7 +146,8 @@ object IncrementalSegments {
     BucketStore.append(spark, cur, nextDir, "keepers", "fbucket",
       claims, identity, keepersSchema)
     BucketStore.append(spark, cur, nextDir, "docs", "dbucket",
-      d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
+      d.select("doc_id", "source", "text") // shared token cols stay out
+        .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
       identity, docsSchema)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(nextDir, "_applied_folds"),

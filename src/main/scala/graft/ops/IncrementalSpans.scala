@@ -191,7 +191,9 @@ object IncrementalSpans {
     val applied = ledgerOf(cur)
     if (foldId.exists(applied.contains)) return // replayed batch: no-op
 
-    val d = Persists.cacheFor(delta.select(col("doc_id"), col("text")), 64)
+    // shared-token columns (if the daemon attached them) survive the
+    // narrowing select so gramsOf/docGramSets skip the re-split
+    val d = Persists.cacheFor(TextOps.keepTokens(delta, "doc_id", "text"), 64)
     val dg = Persists.cacheFor(gramsOf(d, n), 64)
     // per-doc distinct gram stream — NARROW (array_distinct in-row):
     // serves df accounting, the store append and the match set without
@@ -251,7 +253,8 @@ object IncrementalSpans {
           .select("g", "df", "gbucket"),
         gramdfSchema))),
       Future(timed("w-docs")(append("docs", "dbucket",
-        d.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
+        d.select("doc_id", "text") // never persist shared token columns
+          .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
         identity, docsSchema))))
 
     try {

@@ -117,8 +117,10 @@ object MinHashLSH {
     * the oracle's unnest of an empty shingle list produces no rows). */
   private[ops] def sigTable(df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, seed: Long, salt: String): DataFrame =
-    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__toks", TextOps.tokens(lower(col("__text"))))
+    df.select(col(idCol).as("__id"),
+        // shared per-batch token column when the caller attached one
+        // (TextOps.withSharedTokens), the inline split otherwise
+        TextOps.tokensOf(df, textCol, lowered = true).as("__toks"))
       .filter(size(col("__toks")) >= w)
       .withColumn("__hs",
         graft.functions.ShinglePolyHashes(col("__toks"), w, saltState(salt)))

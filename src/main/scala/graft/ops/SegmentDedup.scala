@@ -37,12 +37,15 @@ object SegmentDedup {
 
   /** Fixed n-token window segmenter (space-rejoined), for corpora
     * without paragraph structure. Last window may be short. */
-  def tokenWindows(text: Column, n: Int): Column = {
-    val tk = TextOps.tokens(text)
+  def tokenWindows(text: Column, n: Int): Column =
+    tokenWindowsFromTokens(TextOps.tokens(text), n)
+
+  /** The window stage over an already-materialized token array — the
+    * shared-per-batch-token seam ([[TextOps.withSharedTokens]]). */
+  def tokenWindowsFromTokens(tk: Column, n: Int): Column =
     transform(
       sequence(lit(0), (size(tk) + lit(n - 1)).divide(lit(n)).cast("int") - lit(1)),
       i => array_join(slice(tk, i * n + 1, lit(n)), " "))
-  }
 
   /** Segment rows (id, pos, seg, fp): position-exploded segments with
     * the house fingerprint (md5 of whitespace-collapsed lowercase —

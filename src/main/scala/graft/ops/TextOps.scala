@@ -23,6 +23,43 @@ object TextOps {
   val WhitespaceRe = "[ \\t\\n\\x0B\\f\\r]+"
   def tokens(text: Column): Column = split(trim(text), WhitespaceRe)
 
+  // ---- shared per-batch token frame (r12, VERDICT r11 task 3) ----
+  // The ingest daemon persists each microbatch ONCE, but every state
+  // family (dedup keys, spans, segments, bm25, dsir, quality) used to
+  // re-run the tokenize split from raw text inside its own fold plan —
+  // the daemon's largest repeated per-batch CPU. A caller that will
+  // fan one frame out to several token consumers attaches these
+  // columns before persisting; every tokenizer checks for them first.
+  // BOTH spellings are precomputed (raw for the case-sensitive gram /
+  // window family, lowered for bm25 / dsir / minhash), so each
+  // consumer's values are definitionally identical to its standalone
+  // derivation — the fold==rebuild oracles stay byte-exact.
+
+  /** Column name for a precomputed `tokens(textCol)` array. */
+  val TokCol = "__graft_toks"
+  /** Column name for a precomputed `tokens(lower(textCol))` array. */
+  val LTokCol = "__graft_ltoks"
+
+  /** Attach both token arrays (compute-once; pair with `.persist`). */
+  def withSharedTokens(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn(TokCol, tokens(col(textCol)))
+      .withColumn(LTokCol, tokens(lower(col(textCol))))
+
+  /** The token array for `textCol`: the precomputed column when the
+    * caller shipped one, the inline split otherwise. */
+  def tokensOf(df: DataFrame, textCol: String, lowered: Boolean = false): Column =
+    if (lowered && df.columns.contains(LTokCol)) col(LTokCol)
+    else if (!lowered && df.columns.contains(TokCol)) col(TokCol)
+    else if (lowered) tokens(lower(col(textCol)))
+    else tokens(col(textCol))
+
+  /** Projection helper: `cols` plus whichever shared token columns are
+    * present — an applyDelta that narrows its delta keeps the shared
+    * frame alive through the select. */
+  def keepTokens(df: DataFrame, cols: String*): DataFrame =
+    df.select((cols ++ Seq(TokCol, LTokCol).filter(df.columns.contains))
+      .map(col): _*)
+
   private val stopwords = Seq(
     "the", "a", "an", "of", "and", "or", "is", "are", "in", "on", "to",
     "it", "this", "that", "with", "for", "as", "at", "by", "be")
@@ -32,7 +69,7 @@ object TextOps {
     * bit-identical across engines and cluster sizes. */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    val toks = tokensOf(df, textCol)
     val stopArr = array(stopwords.map(lit): _*)
     df.withColumn("token_count", size(toks))
       .withColumn("bpe_token_count", bpeishTokenCount(t))

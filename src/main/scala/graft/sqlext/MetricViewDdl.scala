@@ -36,8 +36,8 @@ import org.apache.spark.sql.Row
   */
 class MetricViewSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    SpineTvf.rewrite(
-      MetricViewDdl.intercept(sqlText).getOrElse(delegate.parsePlan(sqlText)))
+    OpsTvf.rewrite(SpineTvf.rewrite(
+      MetricViewDdl.intercept(sqlText).getOrElse(delegate.parsePlan(sqlText))))
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

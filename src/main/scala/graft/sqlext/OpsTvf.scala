@@ -1,0 +1,93 @@
+package graft.sqlext
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+/** SQL surface for the two operator families a SQL-only user of the
+  * engine could not reach (VERDICT r11 missing-1 / task 7) — the same
+  * post-parse TVF-splice recipe as [[SpineTvf]]:
+  *
+  * {{{
+  * -- binned point-in-interval range join (IntervalJoin.pointInInterval):
+  * SELECT * FROM graft_interval_join(
+  *   'points_view', 'intervals_view',   -- catalog/temp-view names
+  *   'ts', 'lo', 'hi',                  -- point column, interval bounds
+  *   86400000000,                       -- bin width (µs for timestamps)
+  *   'user_id')                         -- optional equi-key csv
+  *
+  * -- BM25 over a persisted inverted index (Bm25Index):
+  * SELECT * FROM graft_bm25('/path/to/index', 'probe query terms')
+  * SELECT * FROM graft_bm25('/path/to/index', 'probe query terms', 15)
+  * }}}
+  *
+  * Both splice an already-analyzed plan where the stock parser left an
+  * `UnresolvedTableValuedFunction`, so projections / filters /
+  * aggregates / ORDER BY above compose naturally and the plan quality
+  * is the DataFrame path's (the interval join stays a bin equi-join,
+  * never a nested-loop; the BM25 probe stays bucket-pruned).
+  * `graft_bm25` without `k` is fully lazy (two metadata-scale driver
+  * lookups for bucket ids + corpus stats); with `k` it runs the
+  * MaxScore loop ([[graft.ops.Bm25Index.topKFromState]]) eagerly at
+  * parse time — the loop is adaptive (θ-bounded), so its result IS the
+  * spliced relation. */
+object OpsTvf {
+
+  private def str(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => sys.error(s"$fn arguments must be literals; got ${other.sql}")
+  }
+  private def num(e: Expression, fn: String): Long = e match {
+    case Literal(v, _: IntegerType) => v.asInstanceOf[Int].toLong
+    case Literal(v, _: LongType) => v.asInstanceOf[Long]
+    case Literal(s, StringType) if s != null => s.toString.trim.toLong
+    case other => sys.error(s"$fn numeric argument expected; got ${other.sql}")
+  }
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def session: SparkSession = {
+    val s = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft TVFs need an active SparkSession"))
+    s
+  }
+
+  /** Replace every `graft_interval_join(...)` / `graft_bm25(...)` TVF
+    * in a freshly-parsed plan; plans without one pass untouched. */
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_interval_join") =>
+      val fn = "graft_interval_join"
+      val a = tvf.functionArgs
+      require(a.length == 6 || a.length == 7,
+        s"$fn(points, intervals, pointCol, loCol, hiCol, binWidth[, keysCsv]) " +
+          s"takes 6 or 7 arguments, got ${a.length}")
+      val s = session
+      GraftBridge.logicalPlan(graft.ops.IntervalJoin.pointInInterval(
+        s.table(str(a(0), fn)), s.table(str(a(1), fn)),
+        str(a(2), fn), str(a(3), fn), str(a(4), fn), num(a(5), fn),
+        keys = a.drop(6).headOption.map(e => csv(str(e, fn))).getOrElse(Nil)))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_bm25") =>
+      val fn = "graft_bm25"
+      val a = tvf.functionArgs
+      require(a.length == 2 || a.length == 3,
+        s"$fn(index_root, query[, k]) takes 2 or 3 arguments, got ${a.length}")
+      val s = session
+      val root = str(a(0), fn)
+      // the index names its own bucket count (_params) — a SQL caller
+      // identifies an index by path alone
+      val nb = graft.ops.Bm25Index.storedBuckets(root)
+      val df =
+        if (a.length == 3)
+          graft.ops.Bm25Index.topKFromState(s, root, str(a(1), fn),
+            k = num(a(2), fn).toInt, nBuckets = nb)
+        else
+          graft.ops.Bm25Index.scoresFromState(s, root, str(a(1), fn),
+            nBuckets = nb)
+      GraftBridge.logicalPlan(df)
+  }
+}

@@ -136,7 +136,9 @@ object ContinuousDedup {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val b = batch.persist()
+        // shared per-batch token frame (see ContinuousIngest.run)
+        val b = graft.ops.TextOps.withSharedTokens(
+          batch.toDF(), textCol).persist()
         try Folds.contentFoldId(b, idCol).foreach { fid =>
           batches.incrementAndGet()
           processBatch(b, indexPath, clusterPath, pairsLog, keyedOf,

@@ -21,6 +21,7 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -68,6 +69,19 @@ object StageProbe {
         timed("fold") { graft.ops.IncrementalClusters.applyDelta(spark, p,
           keyed.filter(col("doc_id") % 10 === 7), "doc_id", Seq("k1", "k2")) }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+
+    if (families("streamcur")) {
+      println(s"== stream_curation (n=$reps) ==")
+      for (r <- 1 to reps) {
+        graft.ExtQueries.clearStaging()
+        graft.ExtQueries.stageTimings.clear()
+        println(s" rep $r")
+        timed("total") { graft.ExtQueries.streamCuration(spark, sfDir)
+          .write.format("noop").mode("overwrite").save() }
+        graft.ExtQueries.stageTimings.get("q_stream_curation").foreach(_.foreach {
+          case (k, v) => println(f"  $k%-18s $v%8.2f s") })
       }
     }
 

@@ -1,0 +1,89 @@
+package graft.sqlext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL TVF surface == DataFrame path (the SqlMeasureSpec posture):
+  * `graft_interval_join` and `graft_bm25` must produce byte-identical
+  * results to the operators they splice, and keep their plan-quality
+  * contracts (no nested-loop join; no corpus scan on a probe). */
+class OpsTvfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 101L, 5L), (1L, 102L, 15L), (2L, 201L, 7L), (2L, 202L, 42L))
+    .toDF("user_id", "event_id", "t")
+  private lazy val intervals = Seq(
+    (1L, 10L, 0L, 9L), (1L, 11L, 10L, 20L), (2L, 20L, 5L, 8L))
+    .toDF("user_id", "ival_id", "lo", "hi")
+
+  test("graft_interval_join == IntervalJoin.pointInInterval") {
+    points.createOrReplaceTempView("tvf_points")
+    intervals.createOrReplaceTempView("tvf_intervals")
+    val sql = spark.sql(
+      """SELECT * FROM graft_interval_join('tvf_points', 'tvf_intervals',
+        |  't', 'lo', 'hi', 4, 'user_id')
+        |ORDER BY user_id, event_id, ival_id""".stripMargin)
+    val df = graft.ops.IntervalJoin.pointInInterval(points, intervals,
+        "t", "lo", "hi", binWidth = 4, keys = Seq("user_id"))
+      .orderBy("user_id", "event_id", "ival_id")
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+    assert(sql.count() == 3) // 101∈[0,9], 102∈[10,20], 201∈[5,8]
+  }
+
+  test("graft_interval_join composes under SQL aggregates") {
+    points.createOrReplaceTempView("tvf_points")
+    intervals.createOrReplaceTempView("tvf_intervals")
+    val agg = spark.sql(
+      """SELECT user_id, count(*) AS n
+        |FROM graft_interval_join('tvf_points', 'tvf_intervals',
+        |  't', 'lo', 'hi', 4, 'user_id')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin).collect()
+    assert(agg.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("graft_interval_join rejects bad arity loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_interval_join('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("6 or 7 arguments"))
+  }
+
+  private lazy val docs = Seq(
+    (1L, "web", "the quick brown fox jumps"),
+    (2L, "web", "quick fox quick fox quick"),
+    (3L, "books", "slow green turtle walks home"),
+    (4L, "books", "the fox and the turtle")).toDF("doc_id", "source", "text")
+
+  test("graft_bm25 == Bm25Index.scoresFromState, and with k == topKFromState") {
+    val root = java.nio.file.Files.createTempDirectory("tvf_bm25").toString
+    graft.ops.Bm25Index.writeState(docs, s"$root/state", nBuckets = 8)
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_bm25('$root/state', 'quick fox')
+         |ORDER BY doc_id""".stripMargin)
+    val df = graft.ops.Bm25Index.scoresFromState(spark, s"$root/state",
+        "quick fox", nBuckets = 8).orderBy("doc_id")
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+
+    val sqlTop = spark.sql(
+      s"SELECT * FROM graft_bm25('$root/state', 'quick fox', 2)")
+    val dfTop = graft.ops.Bm25Index.topKFromState(spark, s"$root/state",
+      "quick fox", k = 2, nBuckets = 8)
+    assert(sqlTop.collect().toSeq == dfTop.collect().toSeq)
+    assert(sqlTop.count() == 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("graft_bm25 default nBuckets probes a default-built index") {
+    val root = java.nio.file.Files.createTempDirectory("tvf_bm25d").toString
+    graft.ops.Bm25Index.writeState(docs, s"$root/state")
+    val r = spark.sql(
+      s"SELECT count(*) FROM graft_bm25('$root/state', 'turtle')").head()
+    assert(r.getLong(0) == 2L) // docs 3 and 4
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}

@@ -126,5 +126,24 @@ class ContinuousIngestSpec extends SparkSpec {
     assert(IncrementalSpans.readSpans(spark, s"$p/spans")
       .collect().map(_.toSeq).toSet ==
       DupSpans.duplicateSpans(all, n = 8).collect().map(_.toSeq).toSet)
+
+    // daemon introspection (r12): every family's ledger shows the 3
+    // drained folds, and the last fold id is the content-derived id of
+    // the final batch — ledger truth across the three ledger layouts
+    // (plain file, labels subroot, snapshot-versioned)
+    val status = ContinuousIngest.status(spark, Map(
+      "dedup_index" -> s"$p/index", "clusters" -> s"$p/state/labels",
+      "drift" -> s"$p/drift", "spans" -> s"$p/spans",
+      "segments" -> s"$p/segs", "bm25" -> s"$p/bm25",
+      "dsir" -> s"$p/dsir"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(status.keySet == Set("dedup_index", "clusters", "drift",
+      "spans", "segments", "bm25", "dsir"))
+    assert(status.values.forall(_._1 == 3L),
+      s"every family should have 3 applied folds: $status")
+    val lastBatch = docs.filter(col("doc_id") % 4 === 3)
+    val expectId = Folds.contentFoldId(lastBatch).get
+    assert(status.values.forall(_._2 == expectId),
+      s"last fold id should be $expectId: $status")
   }
 }
