@@ -45,6 +45,19 @@ class OpsTvfSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("graft_interval_join keeps the bin equi-join plan (no NLJ/cartesian)") {
+    points.createOrReplaceTempView("tvf_points")
+    intervals.createOrReplaceTempView("tvf_intervals")
+    val df = spark.sql(
+      """SELECT * FROM graft_interval_join('tvf_points', 'tvf_intervals',
+        |  't', 'lo', 'hi', 4, 'user_id')""".stripMargin)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"SQL surface must inherit the bin equi-join plan:\n$plan")
+  }
+
   test("graft_interval_join rejects bad arity loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_interval_join('a', 'b')").collect()
