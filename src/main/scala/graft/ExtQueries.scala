@@ -4123,5 +4123,10 @@ object ExtQueries {
     * argmin decides an output (LSH bucket bits, k-means cells), the
     * oracle uses the exact list_reduce fold — list_sum's summation
     * order is unspecified. */
-  val rowsOnly: Set[String] = Set.empty
+  /** Queries deliberately WITHOUT a DuckDB oracle (the driver records
+    * a rows-only check): q_daemon_status reads the daemon's
+    * applied-fold ledgers — commit-protocol text files, not tables —
+    * so there is nothing a SQL engine could replay; determinism is
+    * gated instead by ContinuousIngestSpec's exact-id assertions. */
+  val rowsOnly: Set[String] = Set("q_daemon_status")
 }
