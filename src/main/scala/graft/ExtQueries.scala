@@ -2212,6 +2212,45 @@ object ExtQueries {
       .orderBy(col("n_hits").desc, col("doc_id"))
   }
 
+  /** TF-IDF top-3 terms per document served from the MAINTAINED
+    * inverted index (r12): tf from postings, df from the summed
+    * partials, N from the stats table — keyword extraction with no
+    * corpus re-tokenize, over the same fold-built state as
+    * q_bm25_incremental. The oracle recomputes lowered TF-IDF over
+    * token-bearing docs from raw text (the index's tokenization
+    * contract), so the hash gate proves index-served == recompute
+    * across the writeState + 3-folds build. */
+  def tfidfIncremental(s: SparkSession, dir: String): DataFrame = {
+    bm25Incremental(s, dir) // ensure the staged fold-built index exists
+    val path = stagedBm25Inc.get(dir)
+    Bm25Index.tfidfFromState(s, s"$path/state").orderBy("doc_id", "rk")
+  }
+
+  val tfidfIncrementalSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), u AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM w
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM u GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM w
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, word, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, word ASC) AS INT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rk, word, score FROM ranked
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** Exact-phrase search from the positional index
     * ([[graft.ops.Bm25Index.phraseFromState]], r11): every document
     * containing the probe phrase as consecutive tokens, with its hit
@@ -3978,6 +4017,7 @@ object ExtQueries {
     "q_kmeans"            -> (kmeansCard _),
     "q_repetition"        -> (repetition _),
     "q_tfidf_terms"       -> (tfidfTopTerms _),
+    "q_tfidf_incremental" -> (tfidfIncremental _),
     "q_stream_window"     -> (streamWindow _),
     "q_stream_percentile" -> (streamPercentile _),
     "q_stream_topk"       -> (streamTopK _),
@@ -4110,7 +4150,8 @@ object ExtQueries {
     // identical to a same-model full rebuild, so fold == rebuild is
     // hash-gated
     "q_ann_ivf_incremental" -> annIvfIncrementalSql,
-    "q_tfidf_terms"       -> tfidfTopTermsSql)
+    "q_tfidf_terms"       -> tfidfTopTermsSql,
+    "q_tfidf_incremental" -> tfidfIncrementalSql)
 
   /** rows-only: EMPTY since r7 — every query is fully DuckDB-oracled.
     * The escape route, applied r5-r7: make the engine's randomness

@@ -446,6 +446,36 @@ object Bm25Index {
     sys.error("unreachable")
   }
 
+  /** TF-IDF top-k terms per document served from the MAINTAINED index
+    * — keyword extraction without re-tokenizing the corpus (r12): tf
+    * comes from the postings table, df from the summed df partials,
+    * N from the stats partials; score = round(tf · ln(N/df), 6), ties
+    * (score desc, term asc). Because the index tokenizes LOWERCASE and
+    * skips token-free documents, the equivalent raw recompute is the
+    * lowered+filtered TF-IDF (q_tfidf_incremental's oracle pins index
+    * == recompute exactly). This is a corpus-grain profiling read —
+    * all buckets scanned once, fixed-width rows, no text. */
+  def tfidfFromState(spark: SparkSession, root: String, k: Int = 3,
+      nBuckets: Int = 64): DataFrame = {
+    requireSameParams(root, nBuckets)
+    val cur = SnapshotRoot.currentDir(root)
+    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+      .agg(sum("n_docs")).head()
+    require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
+    val nDocs = st.getLong(0)
+    val tf = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+      .select("w", "doc_id", "tf")
+    val dfT = spark.read.schema(dfSchema).parquet(s"$cur/df")
+      .groupBy("w").agg(sum("df").as("df"))
+    val scored = tf.join(dfT, "w")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumnRenamed("w", "word")
+    Sampling.topKPerGroup(scored, col("doc_id"), col("score"),
+        col("word"), k = k)
+      .select("doc_id", "rk", "word", "score")
+  }
+
   /** Exact-phrase probe from the positional postings — (doc_id,
     * source, n_hits) for every document containing `phrase` as
     * consecutive tokens, without touching the corpus text: the i-th

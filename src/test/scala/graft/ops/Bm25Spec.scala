@@ -49,6 +49,27 @@ class Bm25Spec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("tfidfFromState == lowered TF-IDF recompute over token-bearing docs") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-tfidf").toString + "/s"
+    Bm25Index.writeState(docs, root, nBuckets = 16)
+    val served = Bm25Index.tfidfFromState(spark, root, k = 3, nBuckets = 16)
+    // the index's tokenization contract: lowercase, token-free docs out
+    val base = docs.filter(length(trim(col("text"))) > 0)
+    val tf = base.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = base.count()
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val expect = Sampling.topKPerGroup(scored, col("doc_id"), col("score"),
+        col("word"), k = 3)
+      .select("doc_id", "rk", "word", "score")
+    assert(rows(served) == rows(expect))
+    assert(served.count() > 0)
+  }
+
   test("fold == rebuild: additive tables make the contract exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
