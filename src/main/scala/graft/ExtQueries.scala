@@ -625,6 +625,38 @@ object ExtQueries {
         |ORDER BY user_id, session_idx""".stripMargin)
   }
 
+  /** Interval-overlap through its SQL TVF surface: the q_interval_
+    * overlap card via `graft_interval_overlap(...)` over temp views —
+    * same oracle as the DataFrame path (the naive quadratic overlap
+    * join), so the hash gate proves all three agree. */
+  def sqlIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    bursts(ev, "click", "c").createOrReplaceTempView("graft_io_click")
+    bursts(ev, "view", "v").createOrReplaceTempView("graft_io_view")
+    s.sql(
+      """SELECT user_id, c_idx, v_idx,
+        |       (least(unix_micros(c_end), unix_micros(v_end)) -
+        |        greatest(unix_micros(c_start), unix_micros(v_start))) / 1e6
+        |         AS overlap_s
+        |FROM graft_interval_overlap('graft_io_click', 'graft_io_view',
+        |  'c_start', 'c_end', 'v_start', 'v_end', 86400000000, 'user_id')
+        |ORDER BY user_id, c_idx, v_idx""".stripMargin)
+  }
+
+  /** Exact-phrase search through its SQL TVF surface: q_phrase_search
+    * via `graft_phrase(root, phrase)` — same raw-text oracle, so the
+    * hash gate proves SQL == index-derived == text-derived. */
+  def sqlPhrase(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedTempDir(stagedBm25Idx, dir, "graft_bm25_idx") { p =>
+      Bm25Index.writeState(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), s"$p/state")
+    }
+    s.sql(
+      s"""SELECT doc_id, source, n_hits
+         |FROM graft_phrase('$path/state', 'small query line')
+         |ORDER BY n_hits DESC, doc_id""".stripMargin)
+  }
+
   /** BM25 retrieval through its SQL TVF surface ([[graft.sqlext
     * .OpsTvf]], r12): the q_bm25 rank card, but scored from the
     * persisted index via `graft_bm25(root, query)` in pure SQL — the
@@ -3979,7 +4011,9 @@ object ExtQueries {
     "q_sessionize"        -> (sessionize _),
     "q_interval_join"     -> (intervalJoin _),
     "q_sql_interval"      -> (sqlIntervalJoin _),
+    "q_sql_interval_overlap" -> (sqlIntervalOverlap _),
     "q_sql_bm25"          -> (sqlBm25 _),
+    "q_sql_phrase"        -> (sqlPhrase _),
     "q_daemon_status"     -> (daemonStatus _),
     "q_interval_left"     -> (intervalJoinLeft _),
     "q_interval_overlap"  -> (intervalOverlapQ _),
@@ -4083,7 +4117,9 @@ object ExtQueries {
     "q_interval_join"     -> intervalJoinSql,
     // SQL-TVF twins (r12): same oracles as their DataFrame paths
     "q_sql_interval"      -> intervalJoinSql,
+    "q_sql_interval_overlap" -> intervalOverlapSql,
     "q_sql_bm25"          -> bm25Sql,
+    "q_sql_phrase"        -> phraseSearchSql,
     "q_interval_left"     -> intervalJoinLeftSql,
     "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,

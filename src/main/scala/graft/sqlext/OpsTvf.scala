@@ -18,9 +18,17 @@ import org.apache.spark.sql.types._
   *   86400000000,                       -- bin width (µs for timestamps)
   *   'user_id')                         -- optional equi-key csv
   *
+  * -- interval-overlap pairs (IntervalJoin.intervalOverlap):
+  * SELECT * FROM graft_interval_overlap(
+  *   'left_view', 'right_view', 'lo_l', 'hi_l', 'lo_r', 'hi_r',
+  *   86400000000, 'user_id')
+  *
   * -- BM25 over a persisted inverted index (Bm25Index):
   * SELECT * FROM graft_bm25('/path/to/index', 'probe query terms')
   * SELECT * FROM graft_bm25('/path/to/index', 'probe query terms', 15)
+  *
+  * -- exact-phrase containment from the positional postings:
+  * SELECT * FROM graft_phrase('/path/to/index', 'verbatim eval sentence')
   * }}}
   *
   * Both splice an already-analyzed plan where the stock parser left an
@@ -69,6 +77,32 @@ object OpsTvf {
         s.table(str(a(0), fn)), s.table(str(a(1), fn)),
         str(a(2), fn), str(a(3), fn), str(a(4), fn), num(a(5), fn),
         keys = a.drop(6).headOption.map(e => csv(str(e, fn))).getOrElse(Nil)))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_interval_overlap") =>
+      val fn = "graft_interval_overlap"
+      val a = tvf.functionArgs
+      require(a.length == 7 || a.length == 8,
+        s"$fn(left, right, loL, hiL, loR, hiR, binWidth[, keysCsv]) " +
+          s"takes 7 or 8 arguments, got ${a.length}")
+      val s = session
+      GraftBridge.logicalPlan(graft.ops.IntervalJoin.intervalOverlap(
+        s.table(str(a(0), fn)), s.table(str(a(1), fn)),
+        str(a(2), fn), str(a(3), fn), str(a(4), fn), str(a(5), fn),
+        num(a(6), fn),
+        keys = a.drop(7).headOption.map(e => csv(str(e, fn))).getOrElse(Nil)))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_phrase") =>
+      val fn = "graft_phrase"
+      val a = tvf.functionArgs
+      require(a.length == 2,
+        s"$fn(index_root, phrase) takes 2 arguments, got ${a.length}")
+      val s = session
+      val root = str(a(0), fn)
+      GraftBridge.logicalPlan(graft.ops.Bm25Index.phraseFromState(
+        s, root, str(a(1), fn),
+        nBuckets = graft.ops.Bm25Index.storedBuckets(root)))
 
     case tvf: UnresolvedTableValuedFunction
         if tvf.name.map(_.toLowerCase) == Seq("graft_bm25") =>

@@ -91,6 +91,39 @@ class OpsTvfSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("graft_interval_overlap == IntervalJoin.intervalOverlap") {
+    val left = Seq((1L, 10L, 0L, 9L), (1L, 11L, 20L, 30L))
+      .toDF("user_id", "l_id", "l_lo", "l_hi")
+    val right = Seq((1L, 20L, 5L, 25L), (1L, 21L, 40L, 50L))
+      .toDF("user_id", "r_id", "r_lo", "r_hi")
+    left.createOrReplaceTempView("tvf_left")
+    right.createOrReplaceTempView("tvf_right")
+    val sql = spark.sql(
+      """SELECT * FROM graft_interval_overlap('tvf_left', 'tvf_right',
+        |  'l_lo', 'l_hi', 'r_lo', 'r_hi', 4, 'user_id')
+        |ORDER BY l_id, r_id""".stripMargin)
+    val df = graft.ops.IntervalJoin.intervalOverlap(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 4, keys = Seq("user_id"))
+      .orderBy("l_id", "r_id")
+    assert(sql.collect().toSeq == df.collect().toSeq)
+    assert(sql.count() == 2) // [0,9]∩[5,25], [20,30]∩[5,25]
+  }
+
+  test("graft_phrase == Bm25Index.phraseFromState") {
+    val root = java.nio.file.Files.createTempDirectory("tvf_phrase").toString
+    graft.ops.Bm25Index.writeState(docs, s"$root/state", nBuckets = 8)
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_phrase('$root/state', 'quick fox')
+         |ORDER BY doc_id""".stripMargin)
+    val df = graft.ops.Bm25Index.phraseFromState(spark, s"$root/state",
+        "quick fox", nBuckets = 8).orderBy("doc_id")
+    assert(sql.collect().toSeq == df.collect().toSeq)
+    // only doc 2 has CONSECUTIVE "quick fox" (twice); doc 1's is
+    // "quick brown fox"
+    assert(sql.count() == 1 && sql.head().getLong(2) == 2L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("graft_bm25 default nBuckets probes a default-built index") {
     val root = java.nio.file.Files.createTempDirectory("tvf_bm25d").toString
     graft.ops.Bm25Index.writeState(docs, s"$root/state")
