@@ -90,18 +90,23 @@ object FingerprintStore {
     if (foldId.exists(applied.contains)) return // replayed batch: no-op
 
     val d = Persists.cacheFor(rows(delta, nBuckets), 2)
-    val meta = d.agg(count(lit(1)).as("n"),
-        count_distinct(col("doc_id")).as("nd"),
-        collect_set(col("dbucket")).as("db")).head()
-    require(meta.getLong(0) == meta.getLong(1),
-      s"delta has ${meta.getLong(0)} rows but ${meta.getLong(1)} distinct doc ids")
-    val dBuckets = meta.getSeq[Int](2)
-    val overlap = spark.read.schema(schema).parquet(s"$cur/fps")
-      .filter(col("dbucket").isin(dBuckets.map(Integer.valueOf): _*))
-      .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
-      .count()
-    require(overlap == 0L,
-      s"$overlap delta doc_id(s) already present — delta ids must be new")
+    // ONE fused guard collect: delta-contract stats + the id-overlap
+    // guard (broadcast semi over the store — a realistic delta's ids
+    // hash into every bucket, so literal pruning bought nothing)
+    val meta = d.agg(count(lit(1)).as("a"),
+        count_distinct(col("doc_id")).as("b"))
+      .select(lit("stats").as("t"), col("a"), col("b"))
+      .unionByName(spark.read.schema(schema).parquet(s"$cur/fps")
+        .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("a"))
+        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val stats = meta("stats")
+    require(stats.getLong(1) == stats.getLong(2),
+      s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
+    require(meta("overlap").getLong(1) == 0L,
+      s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+        "delta ids must be new")
 
     val next = SnapshotRoot.nextVersion(root)
     val nextDir = s"$root/$next"

@@ -107,52 +107,75 @@ object IncrementalSegments {
         .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
         .withColumn("fbucket", fbucket(col("fp"), nBuckets)), 64)
 
-    // one fused collect: the new-ids guard (pruned to the delta's doc
-    // buckets) + the delta's fingerprint buckets (store-read pruning)
-    val meta = d.agg(count(lit(1)).as("a"),
-        count_distinct(col("doc_id")).as("b"),
-        collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
-      .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
-      .unionByName(cand
-        .agg(collect_set(col("fbucket")).as("arr"))
-        .select(lit("fb").as("t"), lit(0L).as("a"), lit(0L).as("b"), col("arr")))
-      .collect().map(r => r.getString(0) -> r).toMap
-    val stats = meta("stats")
-    require(stats.getLong(1) == stats.getLong(2),
-      s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
-    val dBuckets = stats.getSeq[Int](3)
-    val fBuckets = meta("fb").getSeq[Int](3)
-    val overlap = spark.read.schema(docsSchema).parquet(s"$cur/docs")
-      .filter(col("dbucket").isin(dBuckets.map(Integer.valueOf): _*))
-      .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
-      .count()
-    require(overlap == 0L,
-      s"$overlap delta doc_id(s) already present — delta ids must be new")
-
-    // claims: candidate fingerprints the (bucket-pruned) store has not
-    // seen — the store streams, the delta broadcasts
-    val store = spark.read.schema(keepersSchema).parquet(s"$cur/keepers")
-      .filter(col("fbucket").isin(fBuckets.map(Integer.valueOf): _*))
-    val seen = store.join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
-      .select("fp")
-    val claims = cand.join(seen, Seq("fp"), "left_anti")
-      .select(col("fp"), col("k.doc_id").as("doc_id"),
-        col("k.pos").as("pos"), col("fbucket"))
-
+    // next snapshot dir first: the docs append depends only on the
+    // cached delta, so it launches CONCURRENTLY with the guard collect
+    // (r12, the IncrementalSpans posture — staging files in the
+    // unflipped next version is not an observable mutation; a guard
+    // failure deletes the partial dir and the pointer never moves)
     val next = SnapshotRoot.nextVersion(root)
     val nextDir = s"$root/$next"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
-    BucketStore.append(spark, cur, nextDir, "keepers", "fbucket",
-      claims, identity, keepersSchema)
-    BucketStore.append(spark, cur, nextDir, "docs", "dbucket",
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val docsAppend = Future(BucketStore.append(spark, cur, nextDir,
+      "docs", "dbucket",
       d.select("doc_id", "source", "text") // shared token cols stay out
         .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
-      identity, docsSchema)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(nextDir, "_applied_folds"),
-      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
-    SnapshotRoot.flipAndGc(root, next)
+      identity, docsSchema))
+
+    try {
+      // ONE fused collect (r12; the overlap guard was a separate
+      // serialized action): delta-contract stats, the delta's
+      // fingerprint buckets (keeper-store read pruning), and the
+      // id-overlap guard — a broadcast semi over the docs store (no
+      // literal pruning: a realistic delta's ids hash into every
+      // bucket, and the semi's broadcast build is the same either way)
+      val meta = d.agg(count(lit(1)).as("a"),
+          count_distinct(col("doc_id")).as("b"),
+          lit(null).cast("array<int>").as("arr"))
+        .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
+        .unionByName(cand
+          .agg(collect_set(col("fbucket")).as("arr"))
+          .select(lit("fb").as("t"), lit(0L).as("a"), lit(0L).as("b"), col("arr")))
+        .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
+          .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("a"))
+          .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
+            lit(null).cast("array<int>").as("arr")))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val stats = meta("stats")
+      require(stats.getLong(1) == stats.getLong(2),
+        s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
+      val fBuckets = meta("fb").getSeq[Int](3)
+      val overlap = meta("overlap").getLong(1)
+      require(overlap == 0L,
+        s"$overlap delta doc_id(s) already present — delta ids must be new")
+
+      // claims: candidate fingerprints the (bucket-pruned) store has
+      // not seen — the store streams, the delta broadcasts
+      val store = spark.read.schema(keepersSchema).parquet(s"$cur/keepers")
+        .filter(col("fbucket").isin(fBuckets.map(Integer.valueOf): _*))
+      val seen = store.join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
+        .select("fp")
+      val claims = cand.join(seen, Seq("fp"), "left_anti")
+        .select(col("fp"), col("k.doc_id").as("doc_id"),
+          col("k.pos").as("pos"), col("fbucket"))
+      BucketStore.append(spark, cur, nextDir, "keepers", "fbucket",
+        claims, identity, keepersSchema)
+
+      Await.result(docsAppend, Duration.Inf)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(nextDir, "_applied_folds"),
+        (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
+      SnapshotRoot.flipAndGc(root, next)
+    } catch { case e: Throwable =>
+      try Await.ready(docsAppend, Duration.Inf)
+      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+      throw e
+    }
   }
 
   def readKeepers(spark: SparkSession, root: String): DataFrame =

@@ -72,6 +72,29 @@ object StageProbe {
       }
     }
 
+    if (families("segments")) {
+      println(s"== segments (n=$reps) ==")
+      for (r <- 1 to reps) {
+        val p = tmp("probe_segs")
+        println(s" rep $r")
+        val t = docs.stat.approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.01)
+          .map(_.toLong)
+        timed("write_state") { graft.ops.IncrementalSegments.writeState(
+          docs.filter(col("doc_id") < t(0)), s"$p/state") }
+        timed("fold") {
+          Seq(
+            docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
+            docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
+            docs.filter(col("doc_id") >= t(2)))
+            .zipWithIndex.foreach { case (b, i) =>
+              graft.ops.IncrementalSegments.applyDelta(spark, s"$p/state", b,
+                foldId = Some(s"b$i"))
+            }
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+
     if (families("streamcur")) {
       println(s"== stream_curation (n=$reps) ==")
       for (r <- 1 to reps) {
