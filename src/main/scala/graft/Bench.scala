@@ -176,13 +176,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stage_runs":$stageRunsJson,"sf":"$sfDir"}"""
-    println(json)
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it
     // to a file so the full queries/runs/errors maps are recoverable
     val out = java.nio.file.Paths.get("target/bench_result.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
+    // the JSON line is the LAST stdout act, after all Spark activity is
+    // quiesced: r12's driver artifact lost its tail to a listener-bus
+    // stack trace printed after the line (VERDICT r12 task 2)
     spark.stop()
+    println(json)
   }
 }

@@ -725,8 +725,7 @@ object ExtQueries {
              | _: java.nio.file.AccessDeniedException =>
             // concurrent staging won the rename; drop the loser's copy
             // instead of leaking it in /tmp
-            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
         }
       }
       target.toString
@@ -1290,11 +1289,12 @@ object ExtQueries {
     * n≥5 times by clearing between reps, instead of being n=1 samples
     * inside a contended full sweep. Deletes the old temp dirs. */
   def clearStaging(): Unit = stagingRegistries.foreach { reg =>
+    // FileUtils, not an uncloseable Files.walk stream: the walk held
+    // directory handles open (16 registries × stage reps leaked fds
+    // each bench pass — ADVICE r12; fd exhaustion is also the prime
+    // suspect behind the r12 soak's null listFiles)
     reg.values().forEach { p =>
-      try java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => java.nio.file.Files.deleteIfExists(q))
-      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
     }
     reg.clear()
   }
@@ -1305,9 +1305,7 @@ object ExtQueries {
     registry.computeIfAbsent(dir, { _ =>
       val p = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        catch { case _: Throwable => () }))
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)))
       build(p.toString)
       p.toString
     })
@@ -2114,6 +2112,20 @@ object ExtQueries {
       |FROM ks, unnest(range(k + 1)) AS u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Chunking through its SQL TVF surface (r13 — VERDICT r12 task 6:
+    * the last Scala-only operator family; the reference's only query
+    * surface is SQL): the SAME export as q_chunks via
+    * `graft_chunks('view', window, stride)`, gated by the SAME oracle,
+    * so the hash match proves SQL == DataFrame == DuckDB re-derivation. */
+  def sqlChunks(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("graft_chunk_docs")
+    s.sql(
+      """SELECT doc_id, source, chunk_id, n_chunks, chunk_start,
+        |       n_tokens, chunk_text
+        |FROM graft_chunks('graft_chunk_docs', 64, 48)
+        |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
   private val stagedDsirStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Incremental DSIR ([[graft.ops.DsirStore]]): the model counts fold
@@ -2375,10 +2387,20 @@ object ExtQueries {
     * raw (un-rounded) cosine, and both engines compute the identical
     * double fold, so the θ-set matches exactly at any value. */
   def semDedup(s: SparkSession, dir: String): DataFrame =
-    // auto-k: at the fixture scales (500–2000 vectors / targetCellSize
-    // 250) this resolves to the oracle's LIMIT 8 anchor draw; at sweep
-    // scale it grows with the corpus (SemDeDup's r12 scale contract)
-    SemDeDup.semDedup(Tables.embeddings(s, dir), theta = 0.42)
+    // k is PINNED to the oracle's LIMIT 8 anchor draw (ADVICE r12: the
+    // auto-k formula resolves to 8 only while the fixture stays ≤2000
+    // vectors — fixture growth would flip k far from the cause, and the
+    // auto path pays an extra corpus count() per invocation). The scale
+    // sweep exercises auto-k via [[semDedupAutoK]].
+    semDedupCard(s, dir, k = 8)
+
+  /** The sweep's entry point: auto-k (k grows with the corpus — the r12
+    * scale contract), NOT oracle-gated. */
+  def semDedupAutoK(s: SparkSession, dir: String): DataFrame =
+    semDedupCard(s, dir, k = 0)
+
+  private def semDedupCard(s: SparkSession, dir: String, k: Int): DataFrame =
+    SemDeDup.semDedup(Tables.embeddings(s, dir), k = k, theta = 0.42)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         count(when(col("kept"), 1)).as("kept"),
@@ -2967,6 +2989,9 @@ object ExtQueries {
         corpus.select("doc_id", "source", "text"), s"$p/bm25")
       val dsirPred = col("lang") === "en"
       graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
+      // ninth family (r13): fingerprint state for the leakage/diff cards
+      graft.ops.FingerprintStore.writeState(
+        corpus.select("doc_id", "source", "text"), s"$p/fps")
       // metrics family: the corpus view's rollup, seeded offline
       val cat = new graft.api.MetricViewCatalog(s,
         { case "documents" => docs; case n => sys.error(s"no source $n") },
@@ -2988,7 +3013,8 @@ object ExtQueries {
           s"$p/index", s"$p/state", s"$p/pairs", s"$p/drift", s"$p/spans",
           keyedOf, metrics = Some((mv, im)),
           segmentsRoot = Some(s"$p/segs"), bm25Root = Some(s"$p/bm25"),
-          dsir = Some((s"$p/dsir", dsirPred)))
+          dsir = Some((s"$p/dsir", dsirPred)),
+          fingerprints = Some(s"$p/fps"))
         finally graft.streaming.Folds.FamilyClock.enabled = false
       require(nBatches >= 3, s"expected >=3 microbatches, got $nBatches")
       stageTimings("q_stream_curation") = Seq(
@@ -3022,7 +3048,21 @@ object ExtQueries {
       "spans" -> s"$p/spans",
       "segments" -> s"$p/segs",
       "bm25" -> s"$p/bm25",
-      "dsir" -> s"$p/dsir"))
+      "dsir" -> s"$p/dsir",
+      "fingerprints" -> s"$p/fps"))
+  }
+
+  /** The same ledger dashboard through the SQL TVF surface (r13 —
+    * VERDICT r12 task 7: the one rows-only query gets the SQL-parity
+    * story every other surface has): `graft_daemon_status(rootsCsv)`
+    * over the drained daemon's state roots. Rows-only like its
+    * DataFrame twin; SqlDaemonStatusSpec gates SQL == DataFrame. */
+  def sqlDaemonStatus(s: SparkSession, dir: String): DataFrame = {
+    val p = streamCurState(s, dir)
+    s.sql(
+      s"""SELECT family, applied_folds, last_fold_id
+         |FROM graft_daemon_status('dedup_index=$p/index,clusters=$p/state/labels,drift=$p/drift,spans=$p/spans,segments=$p/segs,bm25=$p/bm25,dsir=$p/dsir,fingerprints=$p/fps')
+         |ORDER BY family""".stripMargin)
   }
 
   private val stagedLiveMetrics = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3376,8 +3416,7 @@ object ExtQueries {
           case _: java.nio.file.FileAlreadyExistsException
              | _: java.nio.file.DirectoryNotEmptyException
              | _: java.nio.file.AccessDeniedException =>
-            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
         }
       }
       target.toString
@@ -4014,7 +4053,9 @@ object ExtQueries {
     "q_sql_interval_overlap" -> (sqlIntervalOverlap _),
     "q_sql_bm25"          -> (sqlBm25 _),
     "q_sql_phrase"        -> (sqlPhrase _),
+    "q_sql_chunks"        -> (sqlChunks _),
     "q_daemon_status"     -> (daemonStatus _),
+    "q_sql_daemon_status" -> (sqlDaemonStatus _),
     "q_interval_left"     -> (intervalJoinLeft _),
     "q_interval_overlap"  -> (intervalOverlapQ _),
     "q_pricing_summary"   -> (pricingSummary _),
@@ -4115,11 +4156,12 @@ object ExtQueries {
     // both oracles are the NAIVE quadratic range joins the binned
     // equi-join plan replaces — the hash gates prove plan equivalence
     "q_interval_join"     -> intervalJoinSql,
-    // SQL-TVF twins (r12): same oracles as their DataFrame paths
+    // SQL-TVF twins (r12/r13): same oracles as their DataFrame paths
     "q_sql_interval"      -> intervalJoinSql,
     "q_sql_interval_overlap" -> intervalOverlapSql,
     "q_sql_bm25"          -> bm25Sql,
     "q_sql_phrase"        -> phraseSearchSql,
+    "q_sql_chunks"        -> chunksExportSql,
     "q_interval_left"     -> intervalJoinLeftSql,
     "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,
@@ -4201,9 +4243,10 @@ object ExtQueries {
     * oracle uses the exact list_reduce fold — list_sum's summation
     * order is unspecified. */
   /** Queries deliberately WITHOUT a DuckDB oracle (the driver records
-    * a rows-only check): q_daemon_status reads the daemon's
-    * applied-fold ledgers — commit-protocol text files, not tables —
-    * so there is nothing a SQL engine could replay; determinism is
-    * gated instead by ContinuousIngestSpec's exact-id assertions. */
-  val rowsOnly: Set[String] = Set("q_daemon_status")
+    * a rows-only check): q_daemon_status (and its r13 SQL-TVF twin)
+    * reads the daemon's applied-fold ledgers — commit-protocol text
+    * files, not tables — so there is nothing a SQL engine could
+    * replay; determinism is gated instead by ContinuousIngestSpec's
+    * exact-id assertions and SqlDaemonStatusSpec's SQL == DataFrame. */
+  val rowsOnly: Set[String] = Set("q_daemon_status", "q_sql_daemon_status")
 }

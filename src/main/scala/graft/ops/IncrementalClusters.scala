@@ -515,17 +515,41 @@ object IncrementalClusters {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val keyAppend = Future {
-      if (newKeysCount > 0)
+    val keyAppend: Future[Seq[java.io.File]] = Future {
+      if (newKeysCount > 0) {
         // coalesce: the cached frame still carries its shuffle width
         // (32 near-empty partitions → 32 tiny appended files per fold,
         // which put every fold at the compaction threshold); one file
         // per fold of delta-bounded new keys is the bounded-file-count
-        // contract the compactor assumes
+        // contract the compactor assumes. The write returns the file
+        // names it added so a failed fold can roll them back.
+        val before = SnapshotRoot.listDir(new java.io.File(curKeysDir))
+          .map(_.getName).toSet
         newKeys.coalesce(1).write.mode("append").parquet(curKeysDir)
+        SnapshotRoot.listDir(new java.io.File(curKeysDir))
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !before.contains(f.getName)).toSeq
+      } else Seq.empty
     }
-    rewritten.repartition(col("cbucket"))
-      .write.partitionBy("cbucket").parquet(stage.toString)
+    // the key append lands in the LIVE keys dir before the fold's
+    // commit point, so a stage-write failure (a full distributed job —
+    // a realistic failure) must UNDO it: otherwise an unretried fold
+    // leaves keys pointing at docs with no label row and fold==rebuild
+    // diverges on later folds (ADVICE r12). A crash window between
+    // append and flip still only duplicates rows on RETRY (tolerated:
+    // edges distinct, hit rows serve min_id lookups) — this handles the
+    // fail-without-retry path.
+    try {
+      rewritten.repartition(col("cbucket"))
+        .write.partitionBy("cbucket").parquet(stage.toString)
+    } catch { case scala.util.control.NonFatal(err) =>
+      try Await.result(keyAppend, Duration.Inf)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+      catch { case scala.util.control.NonFatal(e2) =>
+        System.err.println(s"[inccc] WARN key-append rollback failed: ${e2.getMessage}")
+      }
+      throw err
+    }
     mark("stage-write")
     // ...then the next snapshot assembles WITHOUT touching the live
     // one: staged touched buckets move in (an emptied touched bucket
@@ -533,11 +557,13 @@ object IncrementalClusters {
     // and the pointer flip is the single commit point.
     java.nio.file.Files.createDirectories(nextDir.toPath)
     val touchedSet = touched.toSet
-    Option(curLabels.listFiles()).getOrElse(Array.empty)
+    // SnapshotRoot.listDir (r13): snapshot-assembly listings must throw
+    // on transient IO error, never read as empty (VERDICT r12 task 1)
+    SnapshotRoot.listDir(curLabels)
       .filter(d => d.isDirectory && d.getName.startsWith("cbucket=") &&
         !touchedSet.contains(d.getName.stripPrefix("cbucket=").toInt))
       .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
-    Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+    SnapshotRoot.listDir(stage)
       .filter(f => f.isDirectory && f.getName.startsWith("cbucket="))
       .foreach { d =>
         java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
@@ -566,7 +592,7 @@ object IncrementalClusters {
   private def compactKeys(spark: SparkSession, keysRoot: String,
       threshold: Int, dbg: Boolean = false): Unit = {
     val cur = new java.io.File(SnapshotRoot.currentDir(keysRoot))
-    val parts = Option(cur.listFiles()).getOrElse(Array.empty)
+    val parts = SnapshotRoot.listDir(cur)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (dbg) println(s"[inccc] keys files: ${parts.length} (threshold $threshold)")
     if (parts.length <= threshold) return

@@ -193,9 +193,11 @@ object IvfIndex {
   def compactCells(spark: SparkSession, path: String, threshold: Int,
       idCol: String = "vec_id"): Unit = {
     val cur = new java.io.File(SnapshotRoot.currentDir(path))
-    val cellDirs = Option(cur.listFiles()).getOrElse(Array.empty)
+    // SnapshotRoot.listDir (r13): snapshot-assembly listings must throw
+    // on transient IO error, never read as empty (VERDICT r12 task 1)
+    val cellDirs = SnapshotRoot.listDir(cur)
       .filter(d => d.isDirectory && d.getName.startsWith("__cell="))
-    def parquets(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+    def parquets(d: java.io.File) = SnapshotRoot.listDir(d)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val oversized = cellDirs.filter(d => parquets(d).length > threshold)
     lastCompactedCells = oversized.length
@@ -226,7 +228,7 @@ object IvfIndex {
     val oversizedNames = oversized.map(_.getName).toSet
     cellDirs.filterNot(d => oversizedNames.contains(d.getName))
       .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
-    Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+    SnapshotRoot.listDir(stage)
       .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
       .foreach(d => java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName)))
     org.apache.commons.io.FileUtils.deleteQuietly(stage)

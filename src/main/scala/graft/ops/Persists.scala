@@ -108,21 +108,30 @@ object Persists {
     * stale by `maxEpochAge` actions (its plan was never executed — no
     * future action will claim it); unpersist only plans with no
     * surviving registration (shared CacheManager entry semantics). */
-  def releaseFor(qe: QueryExecution): Unit = {
-    val toUnpersist = synchronized {
-      actionEpoch += 1
-      val claimed = scala.collection.mutable.ArrayBuffer[Entry]()
-      val keep = scala.collection.mutable.ArrayBuffer[Entry]()
-      registered.foreach { e =>
-        if (actionEpoch - e.epoch > maxEpochAge) claimed += e
-        else if (!claimed.exists(_.plan.sameResult(e.plan)) && consumed(qe, e.plan)) claimed += e
-        else keep += e
+  def releaseFor(qe: QueryExecution): Unit =
+    // the WHOLE body is guarded (r13, VERDICT r12 task 2): this runs on
+    // the listener bus after EVERY action, and cache release is a
+    // performance hint — an exception here (a sameResult walk over an
+    // exotic plan, an unpersist race with session teardown) must never
+    // stack-trace into the driver's stdout tail, where it evicted
+    // BENCH_r12's JSON line. One WARN line, no trace.
+    try {
+      val toUnpersist = synchronized {
+        actionEpoch += 1
+        val claimed = scala.collection.mutable.ArrayBuffer[Entry]()
+        val keep = scala.collection.mutable.ArrayBuffer[Entry]()
+        registered.foreach { e =>
+          if (actionEpoch - e.epoch > maxEpochAge) claimed += e
+          else if (!claimed.exists(_.plan.sameResult(e.plan)) && consumed(qe, e.plan)) claimed += e
+          else keep += e
+        }
+        registered.clear(); registered ++= keep
+        claimed.filterNot(c => keep.exists(_.plan.sameResult(c.plan)))
       }
-      registered.clear(); registered ++= keep
-      claimed.filterNot(c => keep.exists(_.plan.sameResult(c.plan)))
+      toUnpersist.foreach(_.ds.unpersist(false))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARN cache release skipped: ${e.getMessage}")
     }
-    toUnpersist.foreach(_.ds.unpersist(false))
-  }
 
   /** Unconditionally unpersist every surviving registration (session
     * teardown / test cleanup). */

@@ -23,6 +23,28 @@ private[graft] object SnapshotRoot {
 
   private def pointer(root: String) = java.nio.file.Paths.get(root, "_current")
 
+  /** List a directory's children, or empty when the path does not
+    * exist. UNLIKE `java.io.File.listFiles`, an UNLISTABLE directory
+    * (transient IO error, fd exhaustion — cases where `listFiles`
+    * returns null exactly like it does for a missing path) THROWS
+    * instead of silently reading as empty: the r12 soak committed a
+    * snapshot that had lost the whole seed corpus because a null
+    * listing at append time emptied the carry-over set. Every listing
+    * that feeds snapshot assembly must go through here — at cluster
+    * scale transient listing failures are routine, and the only safe
+    * response is to fail the fold (the crash contract keeps readers on
+    * the previous complete snapshot) rather than commit a truncated
+    * one. */
+  def listDir(dir: java.io.File): Array[java.io.File] = {
+    if (!java.nio.file.Files.exists(dir.toPath)) return Array.empty
+    val st = java.nio.file.Files.newDirectoryStream(dir.toPath) // throws on IO error
+    try {
+      val out = Array.newBuilder[java.io.File]
+      st.forEach(p => out += p.toFile)
+      out.result()
+    } finally st.close()
+  }
+
   def currentVersion(root: String): String = {
     val p = pointer(root)
     require(java.nio.file.Files.exists(p),
@@ -49,7 +71,7 @@ private[graft] object SnapshotRoot {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val prevN = prev.drop(1).toLong
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    listDir(new java.io.File(root))
       .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
         f.getName.drop(1).toLong < prevN)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
@@ -69,7 +91,9 @@ private[graft] object SnapshotRoot {
     * filesystems without hard links. */
   def linkDirInto(src: java.io.File, dst: java.io.File): Unit = {
     java.nio.file.Files.createDirectories(dst.toPath)
-    Option(src.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
+    // listDir, not listFiles: a null listing here silently linked an
+    // EMPTY carry-over dir into the next snapshot (the r12 data loss)
+    listDir(src).filter(_.isFile).foreach { f =>
       try java.nio.file.Files.createLink(dst.toPath.resolve(f.getName), f.toPath)
       catch { // filesystems without hard links: fall back to a copy
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>

@@ -39,19 +39,38 @@ object TextOps {
   val TokCol = "__graft_toks"
   /** Column name for a precomputed `tokens(lower(textCol))` array. */
   val LTokCol = "__graft_ltoks"
+  /** Metadata key recording which text column a shared token array was
+    * derived from (ADVICE r12): without provenance, a downstream op
+    * called with a DIFFERENT textCol would silently substitute tokens
+    * of the wrong column. [[tokensOf]] verifies it and falls back to
+    * the inline split on mismatch or absence. */
+  private[ops] val SrcKey = "graft.textCol"
 
-  /** Attach both token arrays (compute-once; pair with `.persist`). */
-  def withSharedTokens(df: DataFrame, textCol: String = "text"): DataFrame =
+  /** Attach both token arrays (compute-once; pair with `.persist`),
+    * stamped with the originating column name. */
+  def withSharedTokens(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(SrcKey, textCol).build()
     df.withColumn(TokCol, tokens(col(textCol)))
       .withColumn(LTokCol, tokens(lower(col(textCol))))
+      .withMetadata(TokCol, md).withMetadata(LTokCol, md)
+  }
 
   /** The token array for `textCol`: the precomputed column when the
-    * caller shipped one, the inline split otherwise. */
-  def tokensOf(df: DataFrame, textCol: String, lowered: Boolean = false): Column =
-    if (lowered && df.columns.contains(LTokCol)) col(LTokCol)
-    else if (!lowered && df.columns.contains(TokCol)) col(TokCol)
-    else if (lowered) tokens(lower(col(textCol)))
-    else tokens(col(textCol))
+    * caller shipped one FOR THIS COLUMN (provenance metadata must
+    * match — a shared array derived from another column is ignored,
+    * not silently substituted), the inline split otherwise. */
+  def tokensOf(df: DataFrame, textCol: String, lowered: Boolean = false): Column = {
+    def shared(name: String): Option[Column] =
+      if (!df.columns.contains(name)) None
+      else {
+        val md = df.schema(name).metadata
+        if (md.contains(SrcKey) && md.getString(SrcKey) == textCol) Some(col(name))
+        else None
+      }
+    shared(if (lowered) LTokCol else TokCol).getOrElse(
+      if (lowered) tokens(lower(col(textCol))) else tokens(col(textCol)))
+  }
 
   /** Projection helper: `cols` plus whichever shared token columns are
     * present — an applyDelta that narrows its delta keeps the shared

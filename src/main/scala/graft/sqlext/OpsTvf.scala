@@ -29,18 +29,35 @@ import org.apache.spark.sql.types._
   *
   * -- exact-phrase containment from the positional postings:
   * SELECT * FROM graft_phrase('/path/to/index', 'verbatim eval sentence')
+  *
+  * -- overlapping retrieval chunks (Chunking.chunks; r13):
+  * SELECT * FROM graft_chunks('docs_view', 64, 48)          -- window, stride
+  * SELECT * FROM graft_chunks('docs_view', 64, 48, 'source') -- carry csv
+  *
+  * -- ingest-daemon ledger introspection (ContinuousIngest.status; r13):
+  * SELECT * FROM graft_daemon_status('dedup=/p/index,drift=/p/drift,...')
   * }}}
   *
-  * Both splice an already-analyzed plan where the stock parser left an
+  * All splice an already-analyzed plan where the stock parser left an
   * `UnresolvedTableValuedFunction`, so projections / filters /
   * aggregates / ORDER BY above compose naturally and the plan quality
   * is the DataFrame path's (the interval join stays a bin equi-join,
-  * never a nested-loop; the BM25 probe stays bucket-pruned).
+  * never a nested-loop; the BM25 probe stays bucket-pruned; chunking
+  * stays a narrow per-row fan-out).
   * `graft_bm25` without `k` is fully lazy (two metadata-scale driver
   * lookups for bucket ids + corpus stats); with `k` it runs the
   * MaxScore loop ([[graft.ops.Bm25Index.topKFromState]]) eagerly at
   * parse time — the loop is adaptive (θ-bounded), so its result IS the
-  * spliced relation. */
+  * spliced relation.
+  *
+  * Parse-time caveats (ADVICE r12): the index-backed TVFs resolve the
+  * live snapshot directory — and `graft_bm25(..., k)` runs its probe,
+  * `graft_daemon_status` reads the ledgers — when the SQL string is
+  * PARSED. So (a) `EXPLAIN` on a k-probe executes real Spark jobs, and
+  * (b) a parsed plan pins the snapshot version it resolved: hold one
+  * across a fold + GC and it reads a deleted version dir — re-parse
+  * after folding (the engine's own query registry re-parses per
+  * invocation, so the bench/oracle surfaces are always fresh). */
 object OpsTvf {
 
   private def str(e: Expression, fn: String): String = e match {
@@ -103,6 +120,33 @@ object OpsTvf {
       GraftBridge.logicalPlan(graft.ops.Bm25Index.phraseFromState(
         s, root, str(a(1), fn),
         nBuckets = graft.ops.Bm25Index.storedBuckets(root)))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_chunks") =>
+      val fn = "graft_chunks"
+      val a = tvf.functionArgs
+      require(a.length == 3 || a.length == 4,
+        s"$fn(docs_view, window, stride[, carryCsv]) takes 3 or 4 " +
+          s"arguments, got ${a.length}")
+      val s = session
+      GraftBridge.logicalPlan(graft.ops.Chunking.chunks(
+        s.table(str(a(0), fn)), num(a(1), fn).toInt, num(a(2), fn).toInt,
+        carry = a.drop(3).headOption.map(e => csv(str(e, fn)))
+          .getOrElse(Seq("source"))))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_daemon_status") =>
+      val fn = "graft_daemon_status"
+      val a = tvf.functionArgs
+      require(a.length == 1,
+        s"$fn(rootsCsv) takes 1 argument ('family=path,...'), got ${a.length}")
+      val s = session
+      val roots = csv(str(a(0), fn)).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"$fn: each csv entry must be family=path, got '$kv'")
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap
+      GraftBridge.logicalPlan(graft.streaming.ContinuousIngest.status(s, roots))
 
     case tvf: UnresolvedTableValuedFunction
         if tvf.name.map(_.toLowerCase) == Seq("graft_bm25") =>

@@ -120,7 +120,13 @@ object ContinuousIngest {
         * scoring always runs against a model that has seen the whole
         * corpus. The Column is the target predicate (the caller's
         * cross-fold contract). */
-      dsir: Option[(String, org.apache.spark.sql.Column)] = None): Long = {
+      dsir: Option[(String, org.apache.spark.sql.Column)] = None,
+      /** ninth family (r13, VERDICT r12 task 5): the per-document
+        * fingerprint store serving the split-leakage and corpus-diff
+        * cards ([[graft.ops.FingerprintStore.applyDelta]] — pure
+        * per-document rows, so fold==rebuild holds under any order;
+        * same ledger/retry contract). */
+      fingerprints: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = Folds.withCheckpoint(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -168,6 +174,11 @@ object ContinuousIngest {
             Folds.launch(b.sparkSession)(Folds.FamilyClock.time("dsir") {
               graft.ops.DsirStore.applyDelta(b.sparkSession, dr,
                 b, pred, foldId = Some(fid))
+            })
+          } ++ fingerprints.map { fr =>
+            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("fingerprints") {
+              graft.ops.FingerprintStore.applyDelta(b.sparkSession, fr,
+                b, foldId = Some(fid))
             })
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The r13 commit-manifest contract (VERDICT r12 task 1): every
+  * BucketStore commit records its per-table data-file count, and the
+  * next fold REFUSES to assemble a snapshot whose fresh listing of the
+  * live table disagrees with what the committing fold recorded. This is
+  * the loud-failure guard behind the r12 soak defect, where a silently
+  * short directory listing committed a snapshot holding only the fold's
+  * delta. */
+class BucketStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType),
+    StructField("b", IntegerType)))
+
+  private def rows(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, i.toLong * 10, i % 4)).toDF("id", "v", "b")
+
+  private def fold(root: String, delta: DataFrame): Unit = {
+    val cur = SnapshotRoot.currentDir(root)
+    val next = SnapshotRoot.nextVersion(root)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/$next"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/$next"))
+    BucketStore.append(spark, cur, s"$root/$next", "t", "b", delta,
+      identity, schema)
+    SnapshotRoot.flipAndGc(root, next)
+  }
+
+  test("append commits a manifest; a fold over a short listing fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("bstore").toString
+    Bucketing.writePartitioned(rows(0 until 8), s"$root/v1/t", Seq("b"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
+      "v1".getBytes("UTF-8"))
+
+    fold(root, rows(8 until 12))
+    val cur = SnapshotRoot.currentDir(root)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cur, "_manifest_t")), "commit manifest written")
+    assert(spark.read.schema(schema).parquet(s"$cur/t").count() == 12)
+
+    // a second clean fold passes the manifest guard and re-records
+    fold(root, rows(12 until 16))
+    assert(spark.read.schema(schema)
+      .parquet(s"${SnapshotRoot.currentDir(root)}/t").count() == 16)
+
+    // tamper: remove one committed data file out from under the store —
+    // the next fold's listing now disagrees with the manifest and the
+    // fold must fail BEFORE assembling a truncated snapshot
+    val tdir = new java.io.File(s"${SnapshotRoot.currentDir(root)}/t")
+    val victim = SnapshotRoot.listDir(tdir).filter(_.isDirectory)
+      .flatMap(d => SnapshotRoot.listDir(d))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] { fold(root, rows(16 until 20)) }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("listDir: missing dir is empty, file target throws instead of null") {
+    assert(SnapshotRoot.listDir(new java.io.File("/no/such/dir")).isEmpty)
+    val f = java.nio.file.Files.createTempFile("notadir", ".txt")
+    // File.listFiles would return null here; the snapshot machinery
+    // must get an exception, never an empty carry-over set
+    intercept[java.io.IOException] { SnapshotRoot.listDir(f.toFile) }
+    java.nio.file.Files.delete(f)
+  }
+}

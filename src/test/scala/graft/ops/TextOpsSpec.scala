@@ -63,4 +63,26 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("shared tokens carry provenance: wrong textCol is NOT substituted") {
+    val df = Seq((1L, "Alpha Beta", "Title Words Here"))
+      .toDF("doc_id", "text", "title")
+    val shared = TextOps.withSharedTokens(df, "text")
+    // matching column: the precomputed array is substituted
+    val fromShared = shared.select(
+      TextOps.tokensOf(shared, "text", lowered = true).as("t"))
+      .head().getSeq[String](0)
+    assert(fromShared == Seq("alpha", "beta"))
+    // mismatched column (ADVICE r12): fall back to the inline split of
+    // the REQUESTED column — never serve tokens of a different one
+    val fromTitle = shared.select(
+      TextOps.tokensOf(shared, "title", lowered = true).as("t"))
+      .head().getSeq[String](0)
+    assert(fromTitle == Seq("title", "words", "here"))
+    // provenance survives the keepTokens projection + a filter
+    val narrowed = TextOps.keepTokens(shared.filter(col("doc_id") > 0),
+      "doc_id", "text")
+    assert(TextOps.tokensOf(narrowed, "text").toString
+      .contains(TextOps.TokCol))
+  }
 }

@@ -132,4 +132,44 @@ class OpsTvfSpec extends SparkSpec {
     assert(r.getLong(0) == 2L) // docs 3 and 4
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("graft_chunks == Chunking.chunks, and composes under aggregates") {
+    docs.createOrReplaceTempView("tvf_chunk_docs")
+    val sql = spark.sql(
+      """SELECT * FROM graft_chunks('tvf_chunk_docs', 4, 3)
+        |ORDER BY doc_id, chunk_id""".stripMargin)
+    val df = graft.ops.Chunking.chunks(docs, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+    // carry csv variant + aggregate composition above the TVF
+    val agg = spark.sql(
+      """SELECT doc_id, count(*) AS n, max(n_chunks) AS nc
+        |FROM graft_chunks('tvf_chunk_docs', 4, 3, 'source')
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin).collect()
+    assert(agg.forall(r => r.getLong(1) == r.getInt(2).toLong),
+      "every chunk materializes exactly once per doc")
+  }
+
+  test("graft_daemon_status == ContinuousIngest.status across ledger layouts") {
+    val p = java.nio.file.Files.createTempDirectory("tvf_status").toString
+    // one snapshot-versioned family (bm25 — ledger in the live version
+    // dir) and one plain-file family (dedup band index)
+    graft.ops.Bm25Index.writeState(docs, s"$p/bm25", nBuckets = 8)
+    graft.ops.Bm25Index.applyDelta(spark, s"$p/bm25",
+      Seq((90L, "w", "fresh turtle rows")).toDF("doc_id", "source", "text"),
+      nBuckets = 8, foldId = Some("f1"))
+    graft.ops.IncrementalDedup.writeIndex(docs, s"$p/index")
+    val roots = Map("bm25" -> s"$p/bm25", "dedup" -> s"$p/index")
+    val sql = spark.sql(
+      s"""SELECT family, applied_folds, last_fold_id
+         |FROM graft_daemon_status('bm25=$p/bm25,dedup=$p/index')
+         |ORDER BY family""".stripMargin).collect().toSeq
+    val df = graft.streaming.ContinuousIngest.status(spark, roots)
+      .orderBy("family").collect().toSeq
+    assert(sql == df)
+    assert(sql.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("bm25", 1L), ("dedup", 0L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+  }
 }

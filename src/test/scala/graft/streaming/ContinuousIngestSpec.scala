@@ -51,13 +51,32 @@ class ContinuousIngestSpec extends SparkSpec {
     // eighth family (late r11): the DSIR importance model
     val dsirPred = col("lang") === "en"
     graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
+    // ninth family (r13): the fingerprint store behind the
+    // split-leakage / corpus-diff cards
+    graft.ops.FingerprintStore.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/fps")
     val n = ContinuousIngest.run(stream, s"$p/index", s"$p/state",
       s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
       spanN = 8, spanBuckets = 16, metrics = Some((mv, im)),
       segmentsRoot = Some(s"$p/segs"),
       bm25Root = Some(s"$p/bm25"),
-      dsir = Some((s"$p/dsir", dsirPred)))
+      dsir = Some((s"$p/dsir", dsirPred)),
+      fingerprints = Some(s"$p/fps"))
     assert(n == 3, s"expected 3 microbatches, got $n")
+
+    // fingerprint store: the stream-maintained leakage card equals one
+    // from a store built over the union in one shot (pure per-document
+    // rows — fold == rebuild under any arrival order)
+    val fpsBatch = java.nio.file.Files
+      .createTempDirectory("graft-ci-fps-batch").toString
+    graft.ops.FingerprintStore.writeState(
+      all.select("doc_id", "source", "text"), fpsBatch)
+    assert(graft.ops.FingerprintStore.splitLeakageCard(spark, s"$p/fps")
+      .collect().toSeq ==
+      graft.ops.FingerprintStore.splitLeakageCard(spark, fpsBatch)
+        .collect().toSeq,
+      "stream-maintained leakage card == batch rebuild")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpsBatch))
 
     // DSIR model: stream-folded counts score identically to a model
     // fitted on the union in one shot (element-wise count sums are
@@ -135,10 +154,10 @@ class ContinuousIngestSpec extends SparkSpec {
       "dedup_index" -> s"$p/index", "clusters" -> s"$p/state/labels",
       "drift" -> s"$p/drift", "spans" -> s"$p/spans",
       "segments" -> s"$p/segs", "bm25" -> s"$p/bm25",
-      "dsir" -> s"$p/dsir"))
+      "dsir" -> s"$p/dsir", "fingerprints" -> s"$p/fps"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(status.keySet == Set("dedup_index", "clusters", "drift",
-      "spans", "segments", "bm25", "dsir"))
+      "spans", "segments", "bm25", "dsir", "fingerprints"))
     assert(status.values.forall(_._1 == 3L),
       s"every family should have 3 applied folds: $status")
     val lastBatch = docs.filter(col("doc_id") % 4 === 3)

@@ -65,6 +65,8 @@ class ContinuousSoakSpec extends SparkSpec {
       corpus.select("doc_id", "source", "text"), s"$p/bm25", nBuckets = 8)
     val dsirPred = col("lang") === "en"
     graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
+    graft.ops.FingerprintStore.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/fps")
     // fifth family (r11): the corpus metrics rollup folds every batch
     val cat = new graft.api.MetricViewCatalog(spark,
       { case "documents" => docs; case n => sys.error(s"no source $n") },
@@ -89,6 +91,8 @@ class ContinuousSoakSpec extends SparkSpec {
         b.select("doc_id", "source", "text"), nBuckets = 8, foldId = Some(fid))
       graft.ops.DsirStore.applyDelta(spark, s"$p/dsir", b, dsirPred,
         foldId = Some(fid))
+      graft.ops.FingerprintStore.applyDelta(spark, s"$p/fps", b,
+        foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
       // periodic hygiene between folds (suites run sequentially, so
       // this clobbers nothing live): 31 folds x 7 families on a
@@ -109,6 +113,7 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(versionDirs(s"$p/segs").size <= 2, "segment store versions must GC")
     assert(versionDirs(s"$p/bm25").size <= 2, "bm25 index versions must GC")
     assert(versionDirs(s"$p/dsir").size <= 2, "dsir model versions must GC")
+    assert(versionDirs(s"$p/fps").size <= 2, "fingerprint store versions must GC")
 
     // ---- compaction keeps file counts bounded under continuous folding
     val keyFiles = filesUnder(SnapshotRoot.currentDir(s"$p/state/keys"))
@@ -134,6 +139,11 @@ class ContinuousSoakSpec extends SparkSpec {
         .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
       assert(worst <= 17, s"bm25 $table bucket grew to $worst files")
     }
+    val fpsWorst = Option(new java.io.File(
+        s"${SnapshotRoot.currentDir(s"$p/fps")}/fps").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(d => filesUnder(d.toString)).maxOption.getOrElse(0)
+    assert(fpsWorst <= 17, s"fingerprint bucket grew to $fpsWorst files")
 
     // ---- flat per-fold time: the last third must not cost more than
     // 2.5x the first third (generous JIT/host-noise band; an
@@ -177,6 +187,45 @@ class ContinuousSoakSpec extends SparkSpec {
       graft.ops.Bm25.scores(docs.select("doc_id", "source", "text"),
         "dup merge stream").collect().map(_.toSeq).toSet,
       "31-fold bm25 index == batch scores")
+    // positional-postings reads post-compaction (r13, VERDICT r12
+    // task 5: phrase and MaxScore top-k read positions through the
+    // same compaction path the score gate above exercises, but were
+    // ungated): the 31-fold index must serve them identically to a
+    // one-shot batch index over everything
+    val bm25Batch = java.nio.file.Files
+      .createTempDirectory("graft-soak-bm25-batch").toString
+    graft.ops.Bm25Index.writeState(
+      docs.select("doc_id", "source", "text"), bm25Batch, nBuckets = 8)
+    val phrase = docs.orderBy("doc_id").select("text").head()
+      .getString(0).toLowerCase.trim.split("\\s+").take(3).mkString(" ")
+    val gotPhrase = graft.ops.Bm25Index
+      .phraseFromState(spark, s"$p/bm25", phrase, nBuckets = 8)
+      .collect().map(_.toSeq).toSet
+    assert(gotPhrase.nonEmpty, s"probe phrase '$phrase' must hit")
+    assert(gotPhrase == graft.ops.Bm25Index
+      .phraseFromState(spark, bm25Batch, phrase, nBuckets = 8)
+      .collect().map(_.toSeq).toSet,
+      "31-fold positional phrase reads == batch index")
+    assert(graft.ops.Bm25Index
+      .topKFromState(spark, s"$p/bm25", "dup merge stream", k = 10, nBuckets = 8)
+      .collect().map(_.toSeq).toSeq ==
+      graft.ops.Bm25Index
+        .topKFromState(spark, bm25Batch, "dup merge stream", k = 10, nBuckets = 8)
+        .collect().map(_.toSeq).toSeq,
+      "31-fold MaxScore top-k == batch index")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Batch))
+    // 31-fold fingerprint store: the leakage card equals a one-shot
+    // rebuild over everything (pure per-document rows)
+    val fpsBatch = java.nio.file.Files
+      .createTempDirectory("graft-soak-fps-batch").toString
+    graft.ops.FingerprintStore.writeState(
+      docs.select("doc_id", "source", "text"), fpsBatch)
+    assert(graft.ops.FingerprintStore.splitLeakageCard(spark, s"$p/fps")
+      .collect().toSeq ==
+      graft.ops.FingerprintStore.splitLeakageCard(spark, fpsBatch)
+        .collect().toSeq,
+      "31-fold leakage card == batch rebuild")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fpsBatch))
     // 31-fold DSIR model == one-shot fit over everything (element-wise
     // count sums — exact under any arrival order)
     assert(graft.ops.DsirStore.scoresFromState(spark, s"$p/dsir", docs, dsirPred)
