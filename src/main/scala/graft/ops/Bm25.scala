@@ -278,18 +278,27 @@ object Bm25Index {
 
     val d = Persists.cacheFor(
       TextOps.keepTokens(delta, "doc_id", "source", "text"), 64)
-    val meta = d.agg(count(lit(1)).as("n"),
-        count_distinct(col("doc_id")).as("nd"),
-        collect_set(dbucket(col("doc_id"), nBuckets)).as("db")).head()
-    require(meta.getLong(0) == meta.getLong(1),
-      s"delta has ${meta.getLong(0)} rows but ${meta.getLong(1)} distinct doc ids")
-    val dBuckets = meta.getSeq[Int](2)
-    val overlap = spark.read.schema(doclenSchema).parquet(s"$cur/doclen")
-      .filter(col("dbucket").isin(dBuckets.map(Integer.valueOf): _*))
-      .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
-      .count()
-    require(overlap == 0L,
-      s"$overlap delta doc_id(s) already present — delta ids must be new")
+    // ONE fused guard collect (r13, VERDICT r12 task 4 — was two
+    // serialized driver round-trips): delta-contract stats + the
+    // id-overlap guard as a tagged union. The overlap leg semi-joins
+    // the whole doclen store against the broadcast delta ids instead
+    // of dbucket-literal pruning — a realistic delta's ids hash into
+    // every bucket, so the pruning bought nothing while forcing the
+    // stats collect to complete first (the FingerprintStore posture).
+    val meta = d.agg(count(lit(1)).as("a"),
+        count_distinct(col("doc_id")).as("b"))
+      .select(lit("stats").as("t"), col("a"), col("b"))
+      .unionByName(spark.read.schema(doclenSchema).parquet(s"$cur/doclen")
+        .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("a"))
+        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dstats = meta("stats")
+    require(dstats.getLong(1) == dstats.getLong(2),
+      s"delta has ${dstats.getLong(1)} rows but ${dstats.getLong(2)} distinct doc ids")
+    require(meta("overlap").getLong(1) == 0L,
+      s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+        "delta ids must be new")
 
     val (postings, dfP, doclen, stats) = derive(d, nBuckets)
     val next = SnapshotRoot.nextVersion(root)

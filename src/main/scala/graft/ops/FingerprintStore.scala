@@ -53,7 +53,10 @@ object FingerprintStore {
     * fingerprint and `pfp`/`split` to the batch leakage card's — the
     * oracle hash gates pin all three. */
   private def rows(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val toks = TextOps.tokens(lower(col("text")))
+    // tokensOf: consumes the daemon's shared per-batch token frame when
+    // the caller attached one (identical values by construction — the
+    // oracle hash gates stay byte-exact), the inline split otherwise
+    val toks = TextOps.tokensOf(docs, "text", lowered = true)
     docs.select(
       col("doc_id").cast("long").as("doc_id"),
       col("source"),

@@ -95,6 +95,77 @@ object StageProbe {
       }
     }
 
+    // Daemon per-batch fixed-cost floor (r13, VERDICT r12 task 4): the
+    // SAME stream corpus drained as ONE microbatch vs THREE through the
+    // full 9-family ContinuousIngest. Volume work is identical in both
+    // arms, so with t(n) = n·f + v the per-batch fixed cost is the
+    // intercept f = (t3 − t1) / 2 — the measured floor for a 3-batch
+    // stream_fold is then 3f + v = t3 by construction, and f tells how
+    // much of it no data-side optimization can remove.
+    if (families("daemonfloor")) {
+      println(s"== daemon fixed-cost floor: 1 vs 3 microbatches (n=$reps) ==")
+      val allDocs = graft.model.Tables.documents(spark, sfDir)
+      val keyedOf = (df: org.apache.spark.sql.DataFrame) =>
+        graft.ExtQueries.clusterKeyedOf(df)
+          .join(graft.ops.TextOps.textStats(df)
+            .select(col("doc_id"), col("quality_score")), "doc_id")
+      def drain(nBatches: Int): Double = {
+        val p = tmp("probe_floor")
+        val corpus = allDocs.filter(col("doc_id") % 4 === 0)
+        graft.ops.IncrementalDedup.writeIndex(corpus, s"$p/index")
+        graft.ops.IncrementalClusters.writeState(keyedOf(corpus), "doc_id",
+          Seq("k1", "k2"), s"$p/state", carryCols = Seq("quality_score"))
+        graft.ops.DriftStore.writeProfile(corpus, s"$p/drift")
+        graft.ops.IncrementalSpans.writeState(
+          corpus.select("doc_id", "text"), s"$p/spans")
+        graft.ops.IncrementalSegments.writeState(
+          corpus.select("doc_id", "source", "text"), s"$p/segs")
+        graft.ops.Bm25Index.writeState(
+          corpus.select("doc_id", "source", "text"), s"$p/bm25")
+        val dsirPred = col("lang") === "en"
+        graft.ops.DsirStore.writeCounts(corpus, dsirPred, s"$p/dsir")
+        graft.ops.FingerprintStore.writeState(
+          corpus.select("doc_id", "source", "text"), s"$p/fps")
+        val cat = new graft.api.MetricViewCatalog(spark,
+          { case "documents" => allDocs; case n => sys.error(s"no source $n") },
+          Some(s"$p/metrics"))
+        val mv = cat.createOrReplace("mv_corpus", graft.spec.Specs.corpusMetrics)
+        val im = cat.incremental.get
+        im.foldBatch(mv, corpus, foldId = Some("seed"))
+        if (nBatches == 1)
+          allDocs.filter(col("doc_id") % 4 =!= 0)
+            .coalesce(1).write.parquet(s"$p/feed/b1")
+        else (1 to 3).foreach(i => allDocs.filter(col("doc_id") % 4 === i)
+          .coalesce(1).write.parquet(s"$p/feed/b$i"))
+        val stream = spark.readStream.schema(allDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$p/feed/b*")
+        val t0 = System.nanoTime()
+        val n = graft.streaming.ContinuousIngest.run(stream,
+          s"$p/index", s"$p/state", s"$p/pairs", s"$p/drift", s"$p/spans",
+          keyedOf, metrics = Some((mv, im)),
+          segmentsRoot = Some(s"$p/segs"), bm25Root = Some(s"$p/bm25"),
+          dsir = Some((s"$p/dsir", dsirPred)),
+          fingerprints = Some(s"$p/fps"))
+        val t = (System.nanoTime() - t0) / 1e9
+        require(n == nBatches, s"expected $nBatches batches, got $n")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        t
+      }
+      val oneB = scala.collection.mutable.ArrayBuffer[Double]()
+      val threeB = scala.collection.mutable.ArrayBuffer[Double]()
+      for (r <- 1 to reps) {
+        println(s" rep $r")
+        val t1 = drain(1); println(f"  drain_1batch  $t1%8.2f s")
+        val t3 = drain(3); println(f"  drain_3batch  $t3%8.2f s")
+        println(f"  intercept/batch ${(t3 - t1) / 2}%6.2f s")
+        oneB += t1; threeB += t3
+      }
+      def med(v: Seq[Double]) = v.sorted.apply(v.size / 2)
+      println(f"medians: 1-batch ${med(oneB.toSeq)}%.2f s, " +
+        f"3-batch ${med(threeB.toSeq)}%.2f s, " +
+        f"fixed cost/batch ${(med(threeB.toSeq) - med(oneB.toSeq)) / 2}%.2f s")
+    }
+
     if (families("streamcur")) {
       println(s"== stream_curation (n=$reps) ==")
       for (r <- 1 to reps) {

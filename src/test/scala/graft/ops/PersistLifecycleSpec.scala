@@ -10,6 +10,21 @@ import graft.{ExtQueries, SparkSpec}
   */
 class PersistLifecycleSpec extends SparkSpec {
 
+  /** Suite-position independence (r13): earlier suites' fold-posture
+    * registrations (`cacheFor(_, 64)`) legitimately stay cached for up
+    * to 64 subsequent actions — a suite that runs an applyDelta within
+    * that window of this one would otherwise fail the ZERO-persistent-
+    * RDDs assertions below with a leak that isn't this spec's. Start
+    * from a clean registry; the per-query release contract is then
+    * asserted on this suite's own actions only. */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Persists.releaseAll()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+  }
+
   /** The release listener fires on the (async) listener bus; poll. */
   private def awaitNoPersistentRDDs(label: String): Unit = {
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000

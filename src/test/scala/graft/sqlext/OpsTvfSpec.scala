@@ -171,5 +171,8 @@ class OpsTvfSpec extends SparkSpec {
     assert(sql.map(r => (r.getString(0), r.getLong(1))) ==
       Seq(("bm25", 1L), ("dedup", 0L)))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // the applyDelta above registered fold-posture caches (64-action
+    // lifetime); release them so the shared test JVM stays clean
+    graft.ops.Persists.releaseAll()
   }
 }
