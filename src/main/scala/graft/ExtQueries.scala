@@ -2270,6 +2270,19 @@ object ExtQueries {
     Bm25Index.tfidfFromState(s, s"$path/state").orderBy("doc_id", "rk")
   }
 
+  /** TF-IDF keywords through the SQL TVF surface (r13): the same
+    * fold-built index as q_tfidf_incremental via `graft_tfidf(root,
+    * k)`, same raw-text oracle — the hash gate proves SQL ==
+    * index-served == recompute. */
+  def sqlTfidf(s: SparkSession, dir: String): DataFrame = {
+    bm25Incremental(s, dir) // ensure the staged fold-built index exists
+    val path = stagedBm25Inc.get(dir)
+    s.sql(
+      s"""SELECT doc_id, rk, word, score
+         |FROM graft_tfidf('$path/state', 3)
+         |ORDER BY doc_id, rk""".stripMargin)
+  }
+
   val tfidfIncrementalSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws
@@ -4054,6 +4067,7 @@ object ExtQueries {
     "q_sql_bm25"          -> (sqlBm25 _),
     "q_sql_phrase"        -> (sqlPhrase _),
     "q_sql_chunks"        -> (sqlChunks _),
+    "q_sql_tfidf"         -> (sqlTfidf _),
     "q_daemon_status"     -> (daemonStatus _),
     "q_sql_daemon_status" -> (sqlDaemonStatus _),
     "q_interval_left"     -> (intervalJoinLeft _),
@@ -4162,6 +4176,7 @@ object ExtQueries {
     "q_sql_bm25"          -> bm25Sql,
     "q_sql_phrase"        -> phraseSearchSql,
     "q_sql_chunks"        -> chunksExportSql,
+    "q_sql_tfidf"         -> tfidfIncrementalSql,
     "q_interval_left"     -> intervalJoinLeftSql,
     "q_interval_overlap"  -> intervalOverlapSql,
     "q_pricing_summary"   -> pricingSummarySql,

@@ -251,6 +251,10 @@ object Bm25Index {
       Future(Bucketing.writePartitioned(doclen, s"$v1/doclen", Seq("dbucket"))),
       Future(Bucketing.writePartitioned(stats, s"$v1/stats", Seq("sbucket"))))
       .foreach(Await.result(_, Duration.Inf))
+    // guard the FIRST fold too (r13): record each table's commit
+    // manifest at init, not only from the first append on
+    Seq("postings", "df", "doclen", "stats")
+      .foreach(BucketStore.initManifest(v1, _))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_params"),
       paramsLine(nBuckets).getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),

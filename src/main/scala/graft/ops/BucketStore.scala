@@ -53,6 +53,14 @@ private[ops] object BucketStore {
   private def writeManifest(dir: String, table: String, count: Int): Unit =
     java.nio.file.Files.write(manifestPath(dir, table),
       count.toString.getBytes("UTF-8"))
+  /** Record the commit manifest for a table just written at INIT time
+    * (a store's writeState) so the FIRST fold is guarded too — without
+    * it the listing-vs-manifest check only engages from the second
+    * fold on. */
+  def initManifest(versionDir: String, table: String): Unit =
+    writeManifest(versionDir, table,
+      dirs(s"$versionDir/$table").map(dataFiles(_).length).sum)
+
   private def requireManifest(cur: String, table: String, listed: Int): Unit =
     readManifest(cur, table).foreach { m =>
       require(listed == m,

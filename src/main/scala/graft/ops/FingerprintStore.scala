@@ -73,6 +73,7 @@ object FingerprintStore {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     Bucketing.writePartitioned(rows(docs, nBuckets), s"$root/v1/fps",
       Seq("dbucket"))
+    BucketStore.initManifest(s"$root/v1", "fps") // first-fold guard (r13)
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
       "v1".getBytes("UTF-8"))
   }

@@ -77,6 +77,8 @@ object IncrementalSegments {
       docs.select(col("doc_id"), col("source"), col("text"))
         .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
       s"$v1/docs", Seq("dbucket"))
+    // guard the FIRST fold too (r13)
+    Seq("keepers", "docs").foreach(BucketStore.initManifest(v1, _))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_params"),
       paramsLine(n, nBuckets).getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),

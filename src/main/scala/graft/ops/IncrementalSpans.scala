@@ -153,6 +153,9 @@ object IncrementalSpans {
       Future(Bucketing.writePartitioned(
         spans.withColumn("dbucket", dbucket(col("doc_id"), nBuckets)), s"$v1/spans", Seq("dbucket"))))
       .foreach(Await.result(_, Duration.Inf))
+    // guard the FIRST fold too (r13)
+    Seq("grams", "gramdf", "docs", "spans")
+      .foreach(BucketStore.initManifest(v1, _))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
       "v1".getBytes("UTF-8"))
   }

@@ -36,6 +36,9 @@ import org.apache.spark.sql.types._
   *
   * -- ingest-daemon ledger introspection (ContinuousIngest.status; r13):
   * SELECT * FROM graft_daemon_status('dedup=/p/index,drift=/p/drift,...')
+  *
+  * -- TF-IDF top-k keywords per doc from the maintained index (r13):
+  * SELECT * FROM graft_tfidf('/path/to/index', 3)
   * }}}
   *
   * All splice an already-analyzed plan where the stock parser left an
@@ -133,6 +136,18 @@ object OpsTvf {
         s.table(str(a(0), fn)), num(a(1), fn).toInt, num(a(2), fn).toInt,
         carry = a.drop(3).headOption.map(e => csv(str(e, fn)))
           .getOrElse(Seq("source"))))
+
+    case tvf: UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("graft_tfidf") =>
+      val fn = "graft_tfidf"
+      val a = tvf.functionArgs
+      require(a.length == 2,
+        s"$fn(index_root, k) takes 2 arguments, got ${a.length}")
+      val s = session
+      val root = str(a(0), fn)
+      GraftBridge.logicalPlan(graft.ops.Bm25Index.tfidfFromState(
+        s, root, k = num(a(1), fn).toInt,
+        nBuckets = graft.ops.Bm25Index.storedBuckets(root)))
 
     case tvf: UnresolvedTableValuedFunction
         if tvf.name.map(_.toLowerCase) == Seq("graft_daemon_status") =>

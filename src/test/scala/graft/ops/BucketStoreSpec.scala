@@ -63,6 +63,30 @@ class BucketStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("writeState records an init manifest: the FIRST fold is guarded too") {
+    val root = java.nio.file.Files.createTempDirectory("bstore_init").toString
+    val corpus = Seq((1L, "w", "alpha beta gamma"), (2L, "w", "delta words"))
+      .toDF("doc_id", "source", "text")
+    FingerprintStore.writeState(corpus, root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      SnapshotRoot.currentDir(root), "_manifest_fps")), "init manifest written")
+    // lose a committed v1 data file: the FIRST applyDelta must refuse
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(s"${SnapshotRoot.currentDir(root)}/fps"))
+      .filter(_.isDirectory).flatMap(d => SnapshotRoot.listDir(d))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] {
+      FingerprintStore.applyDelta(spark, root,
+        Seq((3L, "w", "epsilon zeta")).toDF("doc_id", "source", "text"),
+        foldId = Some("b1"))
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Persists.releaseAll() // the failed fold's cacheFor registrations
+  }
+
   test("listDir: missing dir is empty, file target throws instead of null") {
     assert(SnapshotRoot.listDir(new java.io.File("/no/such/dir")).isEmpty)
     val f = java.nio.file.Files.createTempFile("notadir", ".txt")

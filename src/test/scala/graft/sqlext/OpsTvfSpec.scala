@@ -151,6 +151,29 @@ class OpsTvfSpec extends SparkSpec {
       "every chunk materializes exactly once per doc")
   }
 
+  test("graft_chunks stays a narrow fan-out (no shuffle in the plan)") {
+    docs.createOrReplaceTempView("tvf_chunk_docs")
+    val df = spark.sql("SELECT * FROM graft_chunks('tvf_chunk_docs', 4, 3)")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking is a per-row fan-out and must not shuffle:\n$plan")
+  }
+
+  test("graft_tfidf == Bm25Index.tfidfFromState") {
+    val root = java.nio.file.Files.createTempDirectory("tvf_tfidf").toString
+    graft.ops.Bm25Index.writeState(docs, s"$root/state", nBuckets = 8)
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_tfidf('$root/state', 2)
+         |ORDER BY doc_id, rk""".stripMargin)
+    val df = graft.ops.Bm25Index.tfidfFromState(spark, s"$root/state",
+        k = 2, nBuckets = 8).orderBy("doc_id", "rk")
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+    assert(sql.count() == docs.count() * 2) // k terms per doc
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("graft_daemon_status == ContinuousIngest.status across ledger layouts") {
     val p = java.nio.file.Files.createTempDirectory("tvf_status").toString
     // one snapshot-versioned family (bm25 — ledger in the live version
