@@ -21,7 +21,14 @@ import org.apache.spark.sql.types.StructType
   * Both stage under `_`-prefixed dirs inside the NEXT version dir, so
   * a crash anywhere leaves the current snapshot untouched (the caller
   * flips the pointer last — the SnapshotRoot contract). */
-private[ops] object BucketStore {
+private[graft] object BucketStore {
+
+  /** Telemetry: total oversized-bucket compactions performed by
+    * [[append]] in this JVM. Probes diff it around a fold to attribute
+    * fold-time variance to compaction reps (r14, VERDICT r13 task 6) —
+    * a LongAdder because one fold runs its table appends as concurrent
+    * Futures. */
+  val compactedBuckets = new java.util.concurrent.atomic.LongAdder
 
   private def bucketOf(f: java.io.File): Int = f.getName.split("=")(1).toInt
   // SnapshotRoot.listDir (r13): a transient-IO null listing must THROW,
@@ -46,9 +53,19 @@ private[ops] object BucketStore {
     java.nio.file.Paths.get(dir, s"_manifest_$table")
   private def readManifest(dir: String, table: String): Option[Int] = {
     val p = manifestPath(dir, table)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt)
-    else None
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      // an unparseable manifest is the same class of loud failure as a
+      // count mismatch — name the path/table instead of a bare NFE
+      try Some(raw.toInt)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"commit manifest for table '$table' at $p is unreadable " +
+            s"('$raw') — refusing to fold against a store whose last " +
+            "commit record is corrupt")
+      }
+    }
   }
   private def writeManifest(dir: String, table: String, count: Int): Unit =
     java.nio.file.Files.write(manifestPath(dir, table),
@@ -69,20 +86,62 @@ private[ops] object BucketStore {
           "short directory listing (possible transient IO / external loss)")
     }
 
+  // ---- manifest surface for the NON-BucketStore snapshot stores (r14,
+  // VERDICT r13 task 1): the clusters label store and the IVF cell
+  // layout assemble their snapshots directly (their version dir IS the
+  // partitioned table), and the cluster key index appends flat files
+  // into its live version. They get the same commit-manifest +
+  // count-invariant defense; only the directory shapes differ.
+
+  /** Data-file count across the `<col>=<v>` partition dirs of
+    * `tableDir` (throwing listings — the SnapshotRoot contract). */
+  def countPartitionedData(tableDir: String): Int =
+    dirs(tableDir).map(dataFiles(_).length).sum
+
+  /** Data-file count of a FLAT directory (no partition dirs). */
+  def countFlatData(dir: String): Int =
+    SnapshotRoot.listDir(new java.io.File(dir))
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Record a commit manifest for a store whose version dir is not a
+    * BucketStore table layout (label/cell/keys stores). */
+  def recordManifest(versionDir: String, table: String, count: Int): Unit =
+    writeManifest(versionDir, table, count)
+
+  /** Exact-count check: the snapshot was committed whole and is only
+    * ever replaced whole (label rewrites, cell compactions). */
+  def checkManifest(versionDir: String, table: String, listed: Int): Unit =
+    requireManifest(versionDir, table, listed)
+
+  /** Live-append check: the listing may legitimately EXCEED the
+    * manifest (a crash between an in-place append and its manifest
+    * update leaves extra files, which downstream tolerates — duplicate
+    * key rows / re-appended cell files); only a SHORT listing is the
+    * silent-truncation class this machinery refuses. */
+  def checkManifestAtLeast(versionDir: String, table: String, listed: Int): Unit =
+    readManifest(versionDir, table).foreach { m =>
+      require(listed >= m,
+        s"table '$table' at $versionDir lists $listed data files but its " +
+          s"commit manifest records $m — refusing to fold against a short " +
+          "directory listing (possible transient IO / external loss)")
+    }
+
   def append(spark: SparkSession, cur: String, nextDir: String,
       table: String, bucketCol: String, deltaRows: DataFrame,
       compact: DataFrame => DataFrame, schema: StructType,
       compactAt: Int = 16): Unit = {
+    // manifest check FIRST (ADVICE r13): a short listing of the live
+    // table fails the fold before the expensive distributed delta write
+    val curDirs = dirs(s"$cur/$table").map(f => bucketOf(f) -> f).toMap
+    val curCounts = curDirs.map { case (b, d) => b -> dataFiles(d).length }
+    requireManifest(cur, table, curCounts.valuesIterator.sum)
     val stage = s"$nextDir/_stage_$table"
     deltaRows.repartition(col(bucketCol))
       .write.partitionBy(bucketCol).parquet(stage)
     val tdir = new java.io.File(s"$nextDir/$table")
     java.nio.file.Files.createDirectories(tdir.toPath)
-    val curDirs = dirs(s"$cur/$table").map(f => bucketOf(f) -> f).toMap
     val stageDirs = dirs(stage).map(f => bucketOf(f) -> f).toMap
-    val curCounts = curDirs.map { case (b, d) => b -> dataFiles(d).length }
     val stageCounts = stageDirs.map { case (b, d) => b -> dataFiles(d).length }
-    requireManifest(cur, table, curCounts.valuesIterator.sum)
     val oversized = (curDirs.keySet ++ stageDirs.keySet).filter { b =>
       curCounts.getOrElse(b, 0) + stageCounts.getOrElse(b, 0) > compactAt
     }
@@ -100,6 +159,7 @@ private[ops] object BucketStore {
       }
     }
     if (oversized.nonEmpty) {
+      compactedBuckets.add(oversized.size.toLong)
       val ov = oversized.toSeq.sorted.map(Integer.valueOf)
       val rows = spark.read.schema(schema).parquet(s"$cur/$table")
         .filter(col(bucketCol).isin(ov: _*))
@@ -134,6 +194,9 @@ private[ops] object BucketStore {
 
   def rewrite(cur: String, nextDir: String, table: String,
       bucketCol: String, touched: Seq[Int], rows: DataFrame): Unit = {
+    // manifest check FIRST (ADVICE r13): fail before the staged write
+    val curAll = dirs(s"$cur/$table")
+    requireManifest(cur, table, curAll.map(dataFiles(_).length).sum)
     val stage = s"$nextDir/_stage_$table"
     rows.repartition(col(bucketCol))
       .write.partitionBy(bucketCol).parquet(stage)
@@ -147,8 +210,6 @@ private[ops] object BucketStore {
       } else java.nio.file.Files.createDirectories(dst.toPath)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
-    val curAll = dirs(s"$cur/$table")
-    requireManifest(cur, table, curAll.map(dataFiles(_).length).sum)
     val carried = curAll.filter(f => !touched.contains(bucketOf(f)))
     carried.foreach(srcF => SnapshotRoot.linkDirInto(srcF,
       new java.io.File(tdir, srcF.getName)))

@@ -179,6 +179,10 @@ object IncrementalClusters {
           pmod(col("component"), lit(nBuckets.toLong)).cast("int").as("cbucket")): _*)
         .repartition(col("cbucket")),
       Seq("cbucket"))
+    // commit manifest at init (r14, VERDICT r13 task 1): the FIRST fold
+    // is guarded against silent listing truncation too
+    BucketStore.recordManifest(s"$path/labels/v1", "labels",
+      BucketStore.countPartitionedData(s"$path/labels/v1"))
     // size the initial key-index layout like compactKeys does (~64 MB
     // files): the groupBy otherwise lands one file per shuffle task,
     // and a small corpus then starts AT the compaction threshold — the
@@ -189,6 +193,8 @@ object IncrementalClusters {
         .groupBy("kidx", "k").agg(min("doc_id").as("min_id")), 2)
     val keyFiles = math.max(1L, keys.count() / 2500000L).toInt
     SnapshotRoot.initRoot(s"$path/keys", keys.repartition(keyFiles), Nil)
+    BucketStore.recordManifest(s"$path/keys/v1", "keys",
+      BucketStore.countFlatData(s"$path/keys/v1"))
     java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("params"),
       paramsLine(nBuckets, keyCols).getBytes("UTF-8"))
   }
@@ -284,6 +290,18 @@ object IncrementalClusters {
       else Seq.empty[String]
     }
     if (foldId.exists(appliedLedger.contains)) return
+
+    // manifest guard FIRST (r14, VERDICT r13 task 1): both live stores
+    // get their plan-build file listings pinned below (`hit` reads the
+    // key index, readLabels the label table), so a silently short
+    // listing must refuse the fold HERE, before any frame pins it. The
+    // label table commits whole → exact count; the key index is
+    // live-appended → the listing may exceed a stale manifest from a
+    // crash window (tolerated duplicates), never fall short.
+    BucketStore.checkManifest(currentLabelsDir(path), "labels",
+      BucketStore.countPartitionedData(currentLabelsDir(path)))
+    BucketStore.checkManifestAtLeast(curKeysDir, "keys",
+      BucketStore.countFlatData(curKeysDir))
 
     // 1. delta keys + per-key delta min (for keys the corpus has never
     // seen, the delta's own min is the star root). Cached: consumed by
@@ -557,19 +575,51 @@ object IncrementalClusters {
     // and the pointer flip is the single commit point.
     java.nio.file.Files.createDirectories(nextDir.toPath)
     val touchedSet = touched.toSet
+    def bucketDataCount(d: java.io.File): Int = SnapshotRoot.listDir(d)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     // SnapshotRoot.listDir (r13): snapshot-assembly listings must throw
-    // on transient IO error, never read as empty (VERDICT r12 task 1)
+    // on transient IO error, never read as empty (VERDICT r12 task 1).
+    // Per-bucket expected counts captured AS the assembly runs feed the
+    // post-assembly invariant below (r14, VERDICT r13 task 1).
+    val expected = scala.collection.mutable.Map[String, Int]()
     SnapshotRoot.listDir(curLabels)
       .filter(d => d.isDirectory && d.getName.startsWith("cbucket=") &&
         !touchedSet.contains(d.getName.stripPrefix("cbucket=").toInt))
-      .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
+      .foreach { d =>
+        expected(d.getName) = bucketDataCount(d)
+        SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName))
+      }
     SnapshotRoot.listDir(stage)
       .filter(f => f.isDirectory && f.getName.startsWith("cbucket="))
       .foreach { d =>
+        expected(d.getName) = bucketDataCount(d)
         java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
-    Await.result(keyAppend, Duration.Inf)
+    // post-assembly count invariant: every carried bucket must arrive
+    // with exactly its live count, every staged bucket with exactly its
+    // staged count — a short listing or lost link/move fails the fold
+    // HERE, before the pointer can flip (the BucketStore.append rule)
+    val outCounts = SnapshotRoot.listDir(nextDir)
+      .filter(d => d.isDirectory && d.getName.startsWith("cbucket="))
+      .map(d => d.getName -> bucketDataCount(d)).toMap
+    require(outCounts.keySet == expected.keySet,
+      s"label assembly invariant violated: assembled buckets " +
+        s"${outCounts.keySet.toSeq.sorted} != expected ${expected.keySet.toSeq.sorted}")
+    expected.foreach { case (b, want) =>
+      require(outCounts(b) == want,
+        s"label assembly invariant violated for $b: assembled " +
+          s"${outCounts(b)} data files, expected $want")
+    }
+    BucketStore.recordManifest(nextDir.toString, "labels",
+      outCounts.valuesIterator.sum)
+    val appendedKeyFiles = Await.result(keyAppend, Duration.Inf)
+    // the key index is live-appended: re-record its manifest only after
+    // both the append and the label stage write succeeded (the rollback
+    // path deletes the appended files and must leave the manifest as-is)
+    if (appendedKeyFiles.nonEmpty)
+      BucketStore.recordManifest(curKeysDir, "keys",
+        BucketStore.countFlatData(curKeysDir))
     mark("key-append")
     // the fold ledger commits WITH the flip (written into the next
     // version dir first — the DriftStore atomicity pattern)
@@ -596,6 +646,9 @@ object IncrementalClusters {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (dbg) println(s"[inccc] keys files: ${parts.length} (threshold $threshold)")
     if (parts.length <= threshold) return
+    // a compaction reads the whole live index — refuse a short listing
+    // rather than commit a truncated next version (r14)
+    BucketStore.checkManifestAtLeast(cur.toString, "keys", parts.length)
     val targetFiles = math.max(1,
       math.ceil(parts.map(_.length).sum / (64.0 * 1024 * 1024)).toInt)
     val nextV = s"v${cur.getName.drop(1).toLong + 1}"
@@ -603,6 +656,8 @@ object IncrementalClusters {
     spark.read.parquet(cur.toString)
       .repartition(targetFiles)
       .write.parquet(s"$keysRoot/$nextV")
+    BucketStore.recordManifest(s"$keysRoot/$nextV", "keys",
+      BucketStore.countFlatData(s"$keysRoot/$nextV"))
     SnapshotRoot.flipAndGc(keysRoot, nextV)
   }
 }

@@ -134,11 +134,16 @@ object IvfIndex {
     * plan-build time, so a concurrent compaction never disturbs a
     * running query. */
   def writeIndexed(corpus: DataFrame, path: String, model: Model,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     SnapshotRoot.initRoot(path,
       corpus.withColumn("__cell", cellExpr(col(vecCol), model))
         .repartition(col("__cell")),
       Seq("__cell"))
+    // commit manifest at init (r14, VERDICT r13 task 1): folds and
+    // compactions refuse a silently short listing of the cell layout
+    BucketStore.recordManifest(s"$path/v1", "cells",
+      BucketStore.countPartitionedData(s"$path/v1"))
+  }
 
   /** Fold a delta embedding batch into a [[writeIndexed]] layout using
     * the layout's OWN (fixed) centroids — the O(delta) maintenance
@@ -169,10 +174,20 @@ object IvfIndex {
   def appendIndexed(delta: DataFrame, path: String, model: Model,
       idCol: String = "vec_id", vecCol: String = "embedding",
       compactAt: Int = 32): Unit = {
+    val cur = SnapshotRoot.currentDir(path)
+    // live-append manifest guard (r14, VERDICT r13 task 1): the listing
+    // may exceed a stale manifest (a crash between append and manifest
+    // update leaves a retried fold's duplicate rows, which the probe's
+    // dropDuplicates collapses), but a lost-files SHORT listing is the
+    // silent-truncation class and must refuse the fold
+    BucketStore.checkManifestAtLeast(cur, "cells",
+      BucketStore.countPartitionedData(cur))
     delta.withColumn("__cell", cellExpr(col(vecCol), model))
       .repartition(col("__cell"))
       .write.mode("append").partitionBy("__cell")
-      .parquet(SnapshotRoot.currentDir(path))
+      .parquet(cur)
+    BucketStore.recordManifest(cur, "cells",
+      BucketStore.countPartitionedData(cur))
     compactCells(delta.sparkSession, path, compactAt, idCol)
   }
 
@@ -202,6 +217,10 @@ object IvfIndex {
     val oversized = cellDirs.filter(d => parquets(d).length > threshold)
     lastCompactedCells = oversized.length
     if (oversized.isEmpty) return
+    // a compaction reads + re-links the whole live layout — refuse a
+    // short listing before assembling a truncated next version (r14)
+    BucketStore.checkManifestAtLeast(cur.toString, "cells",
+      cellDirs.map(parquets(_).length).sum)
     val nextV = SnapshotRoot.nextVersion(path)
     val nextDir = new java.io.File(s"$path/$nextV")
     org.apache.commons.io.FileUtils.deleteQuietly(nextDir)
@@ -226,12 +245,44 @@ object IvfIndex {
       .write.partitionBy("__cell").parquet(stage.toString)
     java.nio.file.Files.createDirectories(nextDir.toPath)
     val oversizedNames = oversized.map(_.getName).toSet
+    // per-cell expected counts captured as the assembly runs feed the
+    // post-assembly invariant below (r14, VERDICT r13 task 1)
+    val expected = scala.collection.mutable.Map[String, Int]()
     cellDirs.filterNot(d => oversizedNames.contains(d.getName))
-      .foreach(d => SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName)))
+      .foreach { d =>
+        expected(d.getName) = parquets(d).length
+        SnapshotRoot.linkDirInto(d, new java.io.File(nextDir, d.getName))
+      }
     SnapshotRoot.listDir(stage)
       .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
-      .foreach(d => java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName)))
+      .foreach { d =>
+        expected(d.getName) = parquets(d).length
+        java.nio.file.Files.move(d.toPath, nextDir.toPath.resolve(d.getName))
+      }
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    // every oversized cell held data (it passed the threshold), so its
+    // compacted rewrite MUST have staged a directory — a missing one
+    // means the stage write or its listing lost the cell
+    oversizedNames.foreach { c =>
+      require(expected.contains(c),
+        s"compaction staged no directory for oversized cell $c — " +
+          "refusing to commit a snapshot that would drop it")
+    }
+    // carried cells must arrive intact, compacted cells with exactly
+    // their staged counts — fail HERE, before the pointer can flip
+    val outCounts = SnapshotRoot.listDir(nextDir)
+      .filter(d => d.isDirectory && d.getName.startsWith("__cell="))
+      .map(d => d.getName -> parquets(d).length).toMap
+    require(outCounts.keySet == expected.keySet,
+      s"cell assembly invariant violated: assembled cells " +
+        s"${outCounts.keySet.toSeq.sorted} != expected ${expected.keySet.toSeq.sorted}")
+    expected.foreach { case (c, want) =>
+      require(outCounts(c) == want,
+        s"cell assembly invariant violated for $c: assembled " +
+          s"${outCounts(c)} data files, expected $want")
+    }
+    BucketStore.recordManifest(nextDir.toString, "cells",
+      outCounts.valuesIterator.sum)
     SnapshotRoot.flipAndGc(path, nextV)
   }
 

@@ -87,6 +87,99 @@ class BucketStoreSpec extends SparkSpec {
     Persists.releaseAll() // the failed fold's cacheFor registrations
   }
 
+  // ---- r14 (VERDICT r13 task 1): the same tamper contract for the two
+  // snapshot stores that assemble OUTSIDE BucketStore — the clusters
+  // label/keys stores and the IVF cell layout.
+
+  test("clusters label store: a fold over a short label listing refuses") {
+    val root = java.nio.file.Files.createTempDirectory("cstore").toString
+    val corpus = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"),
+        (4L, "c", "w"))
+      .toDF("doc_id", "k1", "k2")
+    IncrementalClusters.writeState(corpus, "doc_id", Seq("k1", "k2"), root,
+      nBuckets = 8)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      IncrementalClusters.currentLabelsDir(root), "_manifest_labels")),
+      "label init manifest written")
+    // clean fold passes the guard and re-records the manifest
+    IncrementalClusters.applyDelta(spark, root,
+      Seq((10L, "a", "q")).toDF("doc_id", "k1", "k2"),
+      "doc_id", Seq("k1", "k2"), nBuckets = 8)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      IncrementalClusters.currentLabelsDir(root), "_manifest_labels")),
+      "fold re-records the label manifest")
+    // tamper: lose one committed label data file — the next fold must
+    // refuse BEFORE any plan pins the truncated listing
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(IncrementalClusters.currentLabelsDir(root)))
+      .filter(d => d.isDirectory && d.getName.startsWith("cbucket="))
+      .flatMap(d => SnapshotRoot.listDir(d))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalClusters.applyDelta(spark, root,
+        Seq((11L, "d", "r")).toDF("doc_id", "k1", "k2"),
+        "doc_id", Seq("k1", "k2"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Persists.releaseAll()
+  }
+
+  test("clusters key index: a fold over a short keys listing refuses") {
+    val root = java.nio.file.Files.createTempDirectory("kstore").toString
+    val corpus = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("doc_id", "k1", "k2")
+    IncrementalClusters.writeState(corpus, "doc_id", Seq("k1", "k2"), root,
+      nBuckets = 8)
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(IncrementalClusters.currentKeysDir(root)))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalClusters.applyDelta(spark, root,
+        Seq((11L, "d", "r")).toDF("doc_id", "k1", "k2"),
+        "doc_id", Seq("k1", "k2"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Persists.releaseAll()
+  }
+
+  test("ivf cell layout: an append/compaction over a short listing refuses") {
+    val root = java.nio.file.Files.createTempDirectory("ivfstore").toString + "/ivf"
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(4)(d => (i % 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = IvfIndex.train(vecs, k = 4, iters = 2, sampleSize = 16)
+    IvfIndex.writeIndexed(vecs, root, model)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      SnapshotRoot.currentDir(root), "_manifest_cells")),
+      "cell init manifest written")
+    // clean fold passes and re-records
+    val d1 = (100L until 108L)
+      .map(i => (i, Array.tabulate(4)(d => (i % 5 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.appendIndexed(d1, root, model)
+    // tamper: lose one committed cell file — the next fold must refuse
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(SnapshotRoot.currentDir(root)))
+      .filter(d => d.isDirectory && d.getName.startsWith("__cell="))
+      .flatMap(d => SnapshotRoot.listDir(d))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(victim.toPath)
+    val d2 = (200L until 204L)
+      .map(i => (i, Array.tabulate(4)(d => (i % 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendIndexed(d2, root, model)
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("listDir: missing dir is empty, file target throws instead of null") {
     assert(SnapshotRoot.listDir(new java.io.File("/no/such/dir")).isEmpty)
     val f = java.nio.file.Files.createTempFile("notadir", ".txt")
