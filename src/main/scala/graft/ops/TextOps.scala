@@ -47,7 +47,18 @@ object TextOps {
   private[ops] val SrcKey = "graft.textCol"
 
   /** Attach both token arrays (compute-once; pair with `.persist`),
-    * stamped with the originating column name. */
+    * stamped with the originating column name.
+    *
+    * HAZARD (ADVICE r13): the provenance metadata records the source
+    * column's NAME, not its values — a caller that REWRITES the text
+    * column after attaching (`withColumn(textCol, …)`) keeps token
+    * arrays of the OLD values with metadata still claiming they derive
+    * from `textCol`, and [[tokensOf]] would silently serve stale
+    * tokens. Never mutate `textCol` on a frame carrying these columns;
+    * strip them first (select via [[keepTokens]]'s complement, or
+    * `.drop(TokCol, LTokCol)`) and re-attach after the rewrite. The
+    * daemon's contract is attach-once-then-persist, which cannot hit
+    * this. */
   def withSharedTokens(df: DataFrame, textCol: String = "text"): DataFrame = {
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(SrcKey, textCol).build()

@@ -102,6 +102,13 @@ object StageProbe {
     // intercept f = (t3 − t1) / 2 — the measured floor for a 3-batch
     // stream_fold is then 3f + v = t3 by construction, and f tells how
     // much of it no data-side optimization can remove.
+    // CAVEAT (ADVICE r13): f is not PURE scheduler/commit cost — each
+    // fold's store-proportional guard reads (new-ids semi-joins,
+    // carry-over relinking) run against a store that GROWS across the
+    // 3-batch arm's folds, and three such scans happen instead of one,
+    // so the intercept slightly overstates the irreducible fixed cost.
+    // The seed corpus (1/4 of sf0.1 docs) keeps that term small but
+    // not zero; read f as an upper bound.
     if (families("daemonfloor")) {
       println(s"== daemon fixed-cost floor: 1 vs 3 microbatches (n=$reps) ==")
       val allDocs = graft.model.Tables.documents(spark, sfDir)
@@ -188,16 +195,26 @@ object StageProbe {
           .map(_.toLong)
         timed("write_state") { graft.ops.Bm25Index.writeState(
           docs.filter(col("doc_id") < t(0)), s"$p/state") }
-        timed("fold") {
-          Seq(
-            docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
-            docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
-            docs.filter(col("doc_id") >= t(2)))
-            .zipWithIndex.foreach { case (b, i) =>
+        // per-batch fold timing WITH the compaction count that rode
+        // inside it (r14, VERDICT r13 task 6): the dedicated-pass fold
+        // samples spanned 5.8–16.6 s — this separates compaction reps
+        // (buckets crossing compactAt trigger a corpus-bucket rewrite)
+        // from data-only folds without changing the measured op.
+        var foldTotal = 0.0
+        Seq(
+          docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
+          docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
+          docs.filter(col("doc_id") >= t(2)))
+          .zipWithIndex.foreach { case (b, i) =>
+            val c0 = graft.ops.BucketStore.compactedBuckets.sum()
+            foldTotal += timed(s"fold_b${i + 1}") {
               graft.ops.Bm25Index.applyDelta(spark, s"$p/state", b,
                 foldId = Some(s"b$i"))
             }
-        }
+            val dc = graft.ops.BucketStore.compactedBuckets.sum() - c0
+            println(f"  compacted_buckets_b${i + 1}%-1s $dc%6d")
+          }
+        println(f"  fold          $foldTotal%8.2f s")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       }
     }

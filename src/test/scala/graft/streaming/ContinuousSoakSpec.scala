@@ -95,7 +95,7 @@ class ContinuousSoakSpec extends SparkSpec {
         foldId = Some(fid))
       times += (System.nanoTime() - t0) / 1e9
       // periodic hygiene between folds (suites run sequentially, so
-      // this clobbers nothing live): 31 folds x 7 families on a
+      // this clobbers nothing live): 31 folds x 9 families on a
       // local[4] test JVM accumulate enough not-yet-swept cache blocks
       // late in the full suite to exhaust the unified pool — observed
       // once as UNABLE_TO_ACQUIRE_MEMORY in a mid-fold HashAggregate.
