@@ -268,17 +268,28 @@ object Bm25Index {
     else Seq.empty[String]
   }
 
-  /** Fold one arrival batch (doc_id, source, text): guard (delta ids
-    * must be new — pruned to the delta's doc buckets), then append the
+  /** Fold one arrival batch (doc_id, source, text): guard (delta-
+    * contract stats + the new-ids check, ONE fused tagged-union collect
+    * whose overlap leg streams the whole doclen store through a
+    * broadcast semi over the delta ids — r13 replaced the dbucket-
+    * pruned two-collect shape, see the comment below), then append the
     * batch's postings / df partials / doc lengths / stats partial.
     * O(delta) bytes written; the only corpus-proportional read is the
-    * guard's dbucket-pruned doclen semi-join. */
+    * guard's doclen semi-join scan. */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
-      nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+      nBuckets: Int = 64, foldId: Option[String] = None): Unit =
+    GuardedFold.runStandalone(prepareFold(spark, root, delta, nBuckets, foldId))
+
+  /** The fold split at its guard collect (r14, VERDICT r13 task 4):
+    * the daemon unions these legs with every other family's into ONE
+    * driver round-trip per microbatch — see [[GuardedFold]]. */
+  private[graft] def prepareFold(spark: SparkSession, root: String,
+      delta: DataFrame, nBuckets: Int = 64,
+      foldId: Option[String] = None): Option[GuardedFold] = {
     requireSameParams(root, nBuckets)
     val cur = SnapshotRoot.currentDir(root)
     val applied = ledgerOf(cur)
-    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+    if (foldId.exists(applied.contains)) return None // replayed: no-op
 
     val d = Persists.cacheFor(
       TextOps.keepTokens(delta, "doc_id", "source", "text"), 64)
@@ -289,43 +300,45 @@ object Bm25Index {
     // of dbucket-literal pruning — a realistic delta's ids hash into
     // every bucket, so the pruning bought nothing while forcing the
     // stats collect to complete first (the FingerprintStore posture).
-    val meta = d.agg(count(lit(1)).as("a"),
+    val legs = d.agg(count(lit(1)).as("a"),
         count_distinct(col("doc_id")).as("b"))
-      .select(lit("stats").as("t"), col("a"), col("b"))
+      .select(lit("stats").as("t"), col("a"), col("b"), GuardedFold.noArr)
       .unionByName(spark.read.schema(doclenSchema).parquet(s"$cur/doclen")
         .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("a"))
-        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b")))
-      .collect().map(r => r.getString(0) -> r).toMap
-    val dstats = meta("stats")
-    require(dstats.getLong(1) == dstats.getLong(2),
-      s"delta has ${dstats.getLong(1)} rows but ${dstats.getLong(2)} distinct doc ids")
-    require(meta("overlap").getLong(1) == 0L,
-      s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
-        "delta ids must be new")
+        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
+          GuardedFold.noArr))
+    Some(GuardedFold(legs, meta => {
+      val dstats = meta("stats")
+      require(dstats.getLong(1) == dstats.getLong(2),
+        s"delta has ${dstats.getLong(1)} rows but ${dstats.getLong(2)} distinct doc ids")
+      require(meta("overlap").getLong(1) == 0L,
+        s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+          "delta ids must be new")
 
-    val (postings, dfP, doclen, stats) = derive(d, nBuckets)
-    val next = SnapshotRoot.nextVersion(root)
-    val nextDir = s"$root/$next"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    Seq(
-      Future(BucketStore.append(spark, cur, nextDir, "postings", "wbucket",
-        postings, identity, postingsSchema)),
-      Future(BucketStore.append(spark, cur, nextDir, "df", "wbucket",
-        dfP, sumDf, dfSchema)),
-      Future(BucketStore.append(spark, cur, nextDir, "doclen", "dbucket",
-        doclen, identity, doclenSchema)),
-      Future(BucketStore.append(spark, cur, nextDir, "stats", "sbucket",
-        stats, sumStats, statsSchema)))
-      .foreach(Await.result(_, Duration.Inf))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(nextDir, "_applied_folds"),
-      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
-    SnapshotRoot.flipAndGc(root, next)
+      val (postings, dfP, doclen, stats) = derive(d, nBuckets)
+      val next = SnapshotRoot.nextVersion(root)
+      val nextDir = s"$root/$next"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(BucketStore.append(spark, cur, nextDir, "postings", "wbucket",
+          postings, identity, postingsSchema)),
+        Future(BucketStore.append(spark, cur, nextDir, "df", "wbucket",
+          dfP, sumDf, dfSchema)),
+        Future(BucketStore.append(spark, cur, nextDir, "doclen", "dbucket",
+          doclen, identity, doclenSchema)),
+        Future(BucketStore.append(spark, cur, nextDir, "stats", "sbucket",
+          stats, sumStats, statsSchema)))
+        .foreach(Await.result(_, Duration.Inf))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(nextDir, "_applied_folds"),
+        (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
+      SnapshotRoot.flipAndGc(root, next)
+    }))
   }
 
   /** Score `query` from the maintained index — [[Bm25.scores]] output,

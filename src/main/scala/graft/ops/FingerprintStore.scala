@@ -86,42 +86,52 @@ object FingerprintStore {
   }
 
   /** Fold one arrival batch (doc_id, source, text): new-ids guard
-    * (pruned to the delta's buckets), then one O(delta) append. */
+    * (broadcast semi over the store), then one O(delta) append. */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
-      nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+      nBuckets: Int = 64, foldId: Option[String] = None): Unit =
+    GuardedFold.runStandalone(prepareFold(spark, root, delta, nBuckets, foldId))
+
+  /** The fold split at its guard collect (r14, VERDICT r13 task 4):
+    * the daemon unions these legs with every other family's into ONE
+    * driver round-trip per microbatch — see [[GuardedFold]]. */
+  private[graft] def prepareFold(spark: SparkSession, root: String,
+      delta: DataFrame, nBuckets: Int = 64,
+      foldId: Option[String] = None): Option[GuardedFold] = {
     val cur = SnapshotRoot.currentDir(root)
     val applied = ledgerOf(cur)
-    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+    if (foldId.exists(applied.contains)) return None // replayed: no-op
 
     val d = Persists.cacheFor(rows(delta, nBuckets), 2)
     // ONE fused guard collect: delta-contract stats + the id-overlap
     // guard (broadcast semi over the store — a realistic delta's ids
     // hash into every bucket, so literal pruning bought nothing)
-    val meta = d.agg(count(lit(1)).as("a"),
+    val legs = d.agg(count(lit(1)).as("a"),
         count_distinct(col("doc_id")).as("b"))
-      .select(lit("stats").as("t"), col("a"), col("b"))
+      .select(lit("stats").as("t"), col("a"), col("b"), GuardedFold.noArr)
       .unionByName(spark.read.schema(schema).parquet(s"$cur/fps")
         .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("a"))
-        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b")))
-      .collect().map(r => r.getString(0) -> r).toMap
-    val stats = meta("stats")
-    require(stats.getLong(1) == stats.getLong(2),
-      s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
-    require(meta("overlap").getLong(1) == 0L,
-      s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
-        "delta ids must be new")
+        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
+          GuardedFold.noArr))
+    Some(GuardedFold(legs, meta => {
+      val stats = meta("stats")
+      require(stats.getLong(1) == stats.getLong(2),
+        s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
+      require(meta("overlap").getLong(1) == 0L,
+        s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+          "delta ids must be new")
 
-    val next = SnapshotRoot.nextVersion(root)
-    val nextDir = s"$root/$next"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
-    BucketStore.append(spark, cur, nextDir, "fps", "dbucket", d,
-      identity, schema)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(nextDir, "_applied_folds"),
-      (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
-    SnapshotRoot.flipAndGc(root, next)
+      val next = SnapshotRoot.nextVersion(root)
+      val nextDir = s"$root/$next"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
+      BucketStore.append(spark, cur, nextDir, "fps", "dbucket", d,
+        identity, schema)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(nextDir, "_applied_folds"),
+        (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
+      SnapshotRoot.flipAndGc(root, next)
+    }))
   }
 
   /** The live fingerprint table. */

@@ -94,11 +94,20 @@ object IncrementalSegments {
 
   /** Fold one arrival batch (doc_id, source, text). */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
-      n: Int = 16, nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+      n: Int = 16, nBuckets: Int = 64, foldId: Option[String] = None): Unit =
+    GuardedFold.runStandalone(
+      prepareFold(spark, root, delta, n, nBuckets, foldId))
+
+  /** The fold split at its guard collect (r14, VERDICT r13 task 4):
+    * the daemon unions these legs with every other family's into ONE
+    * driver round-trip per microbatch — see [[GuardedFold]]. */
+  private[graft] def prepareFold(spark: SparkSession, root: String,
+      delta: DataFrame, n: Int = 16, nBuckets: Int = 64,
+      foldId: Option[String] = None): Option[GuardedFold] = {
     requireSameParams(root, n, nBuckets)
     val cur = SnapshotRoot.currentDir(root)
     val applied = ledgerOf(cur)
-    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+    if (foldId.exists(applied.contains)) return None // replayed: no-op
 
     val d = Persists.cacheFor(
       TextOps.keepTokens(delta, "doc_id", "source", "text"), 64)
@@ -127,26 +136,31 @@ object IncrementalSegments {
         .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
       identity, docsSchema))
 
-    try {
-      // ONE fused collect (r12; the overlap guard was a separate
-      // serialized action): delta-contract stats, the delta's
-      // fingerprint buckets (keeper-store read pruning), and the
-      // id-overlap guard — a broadcast semi over the docs store (no
-      // literal pruning: a realistic delta's ids hash into every
-      // bucket, and the semi's broadcast build is the same either way)
-      val meta = d.agg(count(lit(1)).as("a"),
-          count_distinct(col("doc_id")).as("b"),
-          lit(null).cast("array<int>").as("arr"))
-        .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
-        .unionByName(cand
-          .agg(collect_set(col("fbucket")).as("arr"))
-          .select(lit("fb").as("t"), lit(0L).as("a"), lit(0L).as("b"), col("arr")))
-        .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
-          .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("a"))
-          .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
-            lit(null).cast("array<int>").as("arr")))
-        .collect().map(r => r.getString(0) -> r).toMap
+    // ONE fused collect (r12; the overlap guard was a separate
+    // serialized action): delta-contract stats, the delta's
+    // fingerprint buckets (keeper-store read pruning), and the
+    // id-overlap guard — a broadcast semi over the docs store (no
+    // literal pruning: a realistic delta's ids hash into every
+    // bucket, and the semi's broadcast build is the same either way)
+    val legs = d.agg(count(lit(1)).as("a"),
+        count_distinct(col("doc_id")).as("b"),
+        lit(null).cast("array<int>").as("arr"))
+      .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
+      .unionByName(cand
+        .agg(collect_set(col("fbucket")).as("arr"))
+        .select(lit("fb").as("t"), lit(0L).as("a"), lit(0L).as("b"), col("arr")))
+      .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
+        .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("a"))
+        .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
+          lit(null).cast("array<int>").as("arr")))
+
+    def cleanup(): Unit = {
+      try Await.ready(docsAppend, Duration.Inf)
+      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+    }
+    Some(GuardedFold(legs, meta => try {
       val stats = meta("stats")
       require(stats.getLong(1) == stats.getLong(2),
         s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
@@ -172,12 +186,8 @@ object IncrementalSegments {
         java.nio.file.Paths.get(nextDir, "_applied_folds"),
         (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
       SnapshotRoot.flipAndGc(root, next)
-    } catch { case e: Throwable =>
-      try Await.ready(docsAppend, Duration.Inf)
-      catch { case _: Throwable => () }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
-      throw e
-    }
+    } catch { case e: Throwable => cleanup(); throw e },
+      abort = () => cleanup()))
   }
 
   def readKeepers(spark: SparkSession, root: String): DataFrame =

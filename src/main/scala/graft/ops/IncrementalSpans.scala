@@ -185,14 +185,25 @@ object IncrementalSpans {
 
   /** Fold one delta batch (see object scaladoc). */
   def applyDelta(spark: SparkSession, root: String, delta: DataFrame,
-      n: Int = 8, nBuckets: Int = 64, foldId: Option[String] = None): Unit = {
+      n: Int = 8, nBuckets: Int = 64, foldId: Option[String] = None): Unit =
+    GuardedFold.runStandalone(
+      prepareFold(spark, root, delta, n, nBuckets, foldId))
+
+  /** The fold split at its guard collect (r14, VERDICT r13 task 4):
+    * the daemon unions these legs with every other family's into ONE
+    * driver round-trip per microbatch — see [[GuardedFold]]. The three
+    * append-only table writes still launch at prepare time, concurrent
+    * with whichever guard collect (own or combined) follows. */
+  private[graft] def prepareFold(spark: SparkSession, root: String,
+      delta: DataFrame, n: Int = 8, nBuckets: Int = 64,
+      foldId: Option[String] = None): Option[GuardedFold] = {
     val dbg = sys.env.contains("GRAFT_SPANS_DEBUG")
     val tStart = System.nanoTime()
     def mark(l: String): Unit = if (dbg)
       println(f"[incspans] $l at ${(System.nanoTime() - tStart) / 1e9}%.2f s")
     val cur = SnapshotRoot.currentDir(root)
     val applied = ledgerOf(cur)
-    if (foldId.exists(applied.contains)) return // replayed batch: no-op
+    if (foldId.exists(applied.contains)) return None // replayed: no-op
 
     // shared-token columns (if the daemon attached them) survive the
     // narrowing select so gramsOf/docGramSets skip the re-split
@@ -260,6 +271,11 @@ object IncrementalSpans {
           .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
         identity, docsSchema))))
 
+    def cleanup(): Unit = {
+      try appends.foreach(f => Await.ready(f, Duration.Inf))
+      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+    }
     try {
       // ---- affected corpus docs: share ≥1 gram hash with the delta.
       // The fixed-width hash store streams through a broadcast
@@ -289,7 +305,7 @@ object IncrementalSpans {
       // guard (docs store semi-joined against the broadcast delta ids
       // — no literal pruning, see above), and the touched docs' bucket
       // list — the leg that materializes the cached affected set.
-      val meta = d.agg(count(lit(1)).as("a"),
+      val legs = d.agg(count(lit(1)).as("a"),
           countDistinct(col("doc_id")).as("b"),
           collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
         .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
@@ -302,7 +318,7 @@ object IncrementalSpans {
           .agg(collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
           .select(lit("touched").as("t"), lit(0L).as("a"), lit(0L).as("b"),
             col("arr")))
-        .collect().map(r => r.getString(0) -> r).toMap
+      Some(GuardedFold(legs, meta => try {
       mark("guard-collect")
       val stats = meta("stats")
       require(stats.getLong(1) == stats.getLong(2),
@@ -373,14 +389,14 @@ object IncrementalSpans {
         java.nio.file.Paths.get(nextDir, "_applied_folds"),
         (applied ++ foldId).mkString("\n").getBytes("UTF-8"))
       SnapshotRoot.flipAndGc(root, next)
+      } catch { case e: Throwable =>
+        // guard failure / any error before the flip: the store stays on
+        // the complete current snapshot; drop the partial next version
+        cleanup(); throw e
+      }, abort = () => cleanup()))
     } catch { case e: Throwable =>
-      // guard failure / any error before the flip: the store stays on
-      // the complete current snapshot; drop the partial next version
-      try appends.foreach(f => Await.ready(f, Duration.Inf))
-      catch { case _: Throwable => () }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
-      throw e
+      // prepare-time failure (plan analysis) with appends in flight
+      cleanup(); throw e
     }
-
   }
 }

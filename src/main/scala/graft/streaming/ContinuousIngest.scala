@@ -14,7 +14,19 @@ import org.apache.spark.sql.streaming.Trigger
   *     drift store, replay-guarded by the microbatch id
   *     ([[graft.ops.DriftStore.applyDelta]]);
   *  3. substring dedup — fold the batch into the exact-substring span
-  *     state ([[graft.ops.IncrementalSpans.applyDelta]]).
+  *     state ([[graft.ops.IncrementalSpans.applyDelta]]);
+  *  4. live metrics — fold aggregated rollup partials
+  *     ([[IncrementalMaterializer.foldBatch]]);
+  *  5. segment dedup — claim newly-seen segment fingerprints
+  *     ([[graft.ops.IncrementalSegments.applyDelta]]);
+  *  6. lexical search — fold the BM25 inverted index
+  *     ([[graft.ops.Bm25Index.applyDelta]]);
+  *  7. importance selection — fold the DSIR model counts
+  *     ([[graft.ops.DsirStore.applyDelta]]);
+  *  8. fingerprints — fold the split-leakage / corpus-diff store
+  *     ([[graft.ops.FingerprintStore.applyDelta]]);
+  *  9. (with dedup) duplicate-cluster labels
+  *     ([[graft.ops.IncrementalClusters.applyDelta]], inside 1).
   *
   * Each family keeps its own [[graft.ops.SnapshotRoot]]-versioned
   * artifacts and its own fold==rebuild contract, so the composition
@@ -148,42 +160,58 @@ object ContinuousIngest {
           // wall clock
           import scala.concurrent.Await
           import scala.concurrent.duration.Duration
+          val spark = b.sparkSession
+          // guardless families (drift/dsir: pure merge-rewrites;
+          // metrics: ledger-gated rollup fold) launch as before
           val others = Seq(
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("drift") {
-              graft.ops.DriftStore.applyDelta(b.sparkSession, driftRoot,
+            Folds.launch(spark)(Folds.FamilyClock.time("drift") {
+              graft.ops.DriftStore.applyDelta(spark, driftRoot,
                 b, foldId = Some(fid))
-            }),
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("spans") {
-              graft.ops.IncrementalSpans.applyDelta(b.sparkSession,
-                spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
             })) ++ metrics.map { case (v, im) =>
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("metrics") {
+            Folds.launch(spark)(Folds.FamilyClock.time("metrics") {
               im.foldBatch(v, b, foldId = Some(fid))
             })
-          } ++ segmentsRoot.map { sr =>
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("segments") {
-              graft.ops.IncrementalSegments.applyDelta(b.sparkSession, sr,
-                b, segmentN, nBuckets, foldId = Some(fid))
-            })
-          } ++ bm25Root.map { br =>
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("bm25") {
-              graft.ops.Bm25Index.applyDelta(b.sparkSession, br,
-                b, nBuckets, foldId = Some(fid))
-            })
           } ++ dsir.map { case (dr, pred) =>
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("dsir") {
-              graft.ops.DsirStore.applyDelta(b.sparkSession, dr,
+            Folds.launch(spark)(Folds.FamilyClock.time("dsir") {
+              graft.ops.DsirStore.applyDelta(spark, dr,
                 b, pred, foldId = Some(fid))
             })
-          } ++ fingerprints.map { fr =>
-            Folds.launch(b.sparkSession)(Folds.FamilyClock.time("fingerprints") {
-              graft.ops.FingerprintStore.applyDelta(b.sparkSession, fr,
-                b, foldId = Some(fid))
-            })
+          }
+          // id-guarded families fold through ONE combined guard collect
+          // (r14, VERDICT r13 task 4): each prepare launches its
+          // pre-guard appends and hands back its guard legs; the union
+          // collects in a single driver round-trip, then the commits
+          // (remaining appends + ledger + pointer flip) fan out
+          // concurrently. Per-family ledgers/crash contracts unchanged
+          // — a retry still skips committed families individually.
+          val guarded: Seq[(String, Option[graft.ops.GuardedFold])] =
+            Seq("spans" -> graft.ops.IncrementalSpans.prepareFold(spark,
+              spansRoot, b, spanN, spanBuckets, foldId = Some(fid))) ++
+            segmentsRoot.map(sr => "segments" ->
+              graft.ops.IncrementalSegments.prepareFold(spark, sr,
+                b, segmentN, nBuckets, foldId = Some(fid))) ++
+            bm25Root.map(br => "bm25" ->
+              graft.ops.Bm25Index.prepareFold(spark, br,
+                b, nBuckets, foldId = Some(fid))) ++
+            fingerprints.map(fr => "fingerprints" ->
+              graft.ops.FingerprintStore.prepareFold(spark, fr,
+                b, foldId = Some(fid)))
+          val guardedLive = guarded.collect { case (f, Some(g)) => (f, g) }
+          val guardedF = Folds.launch(spark) {
+            val collected = Folds.FamilyClock.time("guard_collect") {
+              graft.ops.GuardedFold.collectAll(guardedLive)
+            }
+            val commits = guardedLive.zip(collected).map {
+              case ((fam, _), (g, meta)) =>
+                Folds.launch(spark)(Folds.FamilyClock.time(fam) {
+                  g.commit(meta)
+                })
+            }
+            commits.foreach(Await.result(_, Duration.Inf))
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,
             pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
-          finally others.foreach(Await.result(_, Duration.Inf))
+          finally (others :+ guardedF).foreach(Await.result(_, Duration.Inf))
         } finally b.unpersist()
       }, checkpoint)
       .trigger(Trigger.AvailableNow())
