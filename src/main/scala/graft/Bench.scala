@@ -182,10 +182,19 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench_result.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
-    // the JSON line is the LAST stdout act, after all Spark activity is
-    // quiesced: r12's driver artifact lost its tail to a listener-bus
+    // the JSON lines are the LAST stdout acts, after all Spark activity
+    // is quiesced: r12's driver artifact lost its tail to a listener-bus
     // stack trace printed after the line (VERDICT r12 task 2)
     spark.stop()
     println(json)
+    // compact summary as the FINAL line (r14, VERDICT r13 task 2): the
+    // full line outgrew the driver's 2000-char tail window at 135
+    // queries, so its tail parse read null. This line carries the
+    // headline numbers (total, query/error counts, routing, the stage
+    // medians) in well under 2000 chars; the complete per-query maps
+    // stay in the full line above and in target/bench_result.json.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$stages,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+    println(summary)
   }
 }

@@ -2211,6 +2211,12 @@ object ExtQueries {
       val t0 = System.nanoTime()
       Bm25Index.writeState(docs.filter(col("doc_id") < t(0)), s"$p/state")
       val tState = System.nanoTime()
+      // count the bucket compactions that ride inside the folds (r14,
+      // VERDICT r13 task 6): the fold samples spanned 5.8–16.6 s in the
+      // r13 dedicated pass, and whether a rep crosses a compactAt
+      // threshold is what separates the tails — recording the count IN
+      // the stage split lets the artifact attribute its own variance.
+      val c0 = graft.ops.BucketStore.compactedBuckets.sum()
       Seq(
         docs.filter(col("doc_id") >= t(0) && col("doc_id") < t(1)),
         docs.filter(col("doc_id") >= t(1) && col("doc_id") < t(2)),
@@ -2220,7 +2226,9 @@ object ExtQueries {
         }
       stageTimings("q_bm25_incremental") = Seq(
         "write_state" -> (tState - t0) / 1e9,
-        "fold" -> (System.nanoTime() - tState) / 1e9)
+        "fold" -> (System.nanoTime() - tState) / 1e9,
+        "fold_compacted_buckets" ->
+          (graft.ops.BucketStore.compactedBuckets.sum() - c0).toDouble)
     }
     bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
   }

@@ -120,16 +120,28 @@ object ScaleBench {
     // the replay, not the pipeline — its FIRST run is the number (same
     // policy as Bench's singleRun set).
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    // subset mode (r14, VERDICT r13 task 3): re-measure a handful of
+    // sweep rows at higher n without paying the full ~50-query matrix —
+    // the measure-or-explain loop for ratios that land above the
+    // linearity control. Skips the fixed-delta probes; the artifact
+    // goes to target/scale_subset.json.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- Heavy.toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_SCALE_ONLY names unknown sweep rows: $unknown")
+    }
+    val heavy = only.fold(Heavy)(s => Heavy.filter(s))
     // queries whose later runs replay a once-per-(JVM, dir) staged
     // parquet: the FIRST run is the honest pipeline number
     // (q_dedup_clusters stages its labels since r7); streaming pays a
     // fixed per-invocation startup no min can shave
     val firstRunOnly = Set("q_dedup_minhash", "q_dedup_clusters", "q_stream_join")
-    def sweep(dir: String): (Map[String, Double], Int) = {
+    def sweep(dir: String): (Map[String, Double], Int, Map[String, Vector[Double]]) = {
       var ccRounds = 0
       val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-      Heavy.foreach(times(_) = Vector.empty)
-      for (_ <- 1 to runs; name <- Heavy) {
+      heavy.foreach(times(_) = Vector.empty)
+      for (_ <- 1 to runs; name <- heavy) {
         // q_semdedup sweeps with AUTO-k (the scale contract under
         // test); the registered query pins k=8 for its fixture-scale
         // oracle (ADVICE r12 — the two must not share a knob)
@@ -142,10 +154,30 @@ object ScaleBench {
       }
       (times.map { case (k, v) =>
         k -> (if (firstRunOnly(k)) v.head else v.min)
-      }.toMap, ccRounds)
+      }.toMap, ccRounds, times.toMap)
     }
-    val (base, baseRounds) = sweep(baseDir)
-    val (scaled, scaledRounds) = sweep(scaleDir)
+    val (base, baseRounds, baseSamples) = sweep(baseDir)
+    val (scaled, scaledRounds, scaledSamples) = sweep(scaleDir)
+
+    if (only.isDefined) {
+      // subset mode reports per-run samples, not just the min — the
+      // question it answers is usually "variance or real term?"
+      def js(m: Map[String, Vector[Double]]) = heavy
+        .map(q => "\"" + q + "\":[" +
+          m(q).map(v => f"$v%.3f").mkString(",") + "]")
+        .mkString("{", ",", "}")
+      val subsetRatios = heavy
+        .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f")
+        .mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"scale_subset","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_samples":${js(baseSamples)},"scaled_samples":${js(scaledSamples)},"ratio":$subsetRatios}"""
+      val out = java.nio.file.Paths.get("target/scale_subset.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
 
     // FIXED-DELTA incremental-dedup probe (r8): the decade-invariance
     // claim is "a day's arrivals cost the same against a 10× corpus".
@@ -414,6 +446,21 @@ object ScaleBench {
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
     println(json)
+    // compact summary as the FINAL stdout line (r14, VERDICT r13 task
+    // 2, the Bench rule): the full line is several KB, so a 2000-char
+    // tail reader gets an unparseable fragment — this line carries
+    // every ratio in a few hundred chars.
+    val incRatio = Seq(
+      "dedup" -> incScaled / incBase, "dedup_small" -> incSmScaled / incSmBase,
+      "clusters" -> incCcScaled / incCcBase,
+      "clusters_small" -> incCcSmScaled / incCcSmBase,
+      "ann" -> incAnnScaled / incAnnBase, "drift" -> incDriftScaled / incDriftBase,
+      "topk" -> topkScaled / topkBase, "spans" -> incSpansScaled / incSpansBase,
+      "segments" -> incSegsScaled / incSegsBase,
+      "bm25" -> incBm25Scaled / incBm25Base, "dsir" -> incDsirScaled / incDsirBase)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"ratio":$ratios,"inc_ratio":$incRatio,"detail":"target/scale_result.json"}""")
   }
 
   /** Replicate-and-perturb the three LLM-pipeline tables into
