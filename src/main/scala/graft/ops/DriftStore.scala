@@ -42,8 +42,15 @@ object DriftStore {
 
   /** Initialize the store from a full corpus scan (the one-time
     * baseline build — an offline job at scale). */
-  def writeProfile(docs: DataFrame, root: String): Unit =
+  def writeProfile(docs: DataFrame, root: String): Unit = {
     SnapshotRoot.initRoot(root, profileOf(docs).repartition(1), Nil)
+    // commit manifest at init (r14): the merge-rewrite fold reads the
+    // WHOLE live profile through Spark's directory listing, so a
+    // silently short listing would drop profile rows into the next
+    // version — the same truncation class the id-guarded stores refuse
+    BucketStore.recordManifest(s"$root/v1", "profile",
+      BucketStore.countFlatData(s"$root/v1"))
+  }
 
   /** Fold a delta batch: one delta scan, merged with the stored
     * profile by (sum, graft_hist_merge) — exact, so sequential folds
@@ -73,12 +80,18 @@ object DriftStore {
     val applied = ledgerOf(cur)
     if (foldId.exists(applied.contains)) return // replay: already folded
 
+    // manifest guard (r14): refuse the merge if the live profile's
+    // fresh listing disagrees with the count the committing fold
+    // recorded — a short listing here would silently drop rows
+    BucketStore.checkManifest(cur, "profile", BucketStore.countFlatData(cur))
     val merged = profile(spark, root).unionByName(profileOf(delta))
       .groupBy("source", "lang")
       .agg(sum("c").as("c"), expr("graft_hist_merge(h)").as("h"))
     val next = SnapshotRoot.nextVersion(root)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/$next"))
     merged.repartition(1).write.parquet(s"$root/$next")
+    BucketStore.recordManifest(s"$root/$next", "profile",
+      BucketStore.countFlatData(s"$root/$next"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/$next", "_applied_folds"),
       (applied ++ foldId).mkString("\n").getBytes("UTF-8"))

@@ -43,6 +43,10 @@ object DsirStore {
       textCol: String = "text"): Unit = {
     val dbc = Dsir.docBucketCounts(docs, targetPred, buckets, idCol, textCol, Nil)
     SnapshotRoot.initRoot(root, Dsir.modelOf(dbc).repartition(1), Nil)
+    // commit manifest at init (r14, the DriftStore rule): the fold's
+    // merge-rewrite reads the whole live model — refuse short listings
+    BucketStore.recordManifest(s"$root/v1", "model",
+      BucketStore.countFlatData(s"$root/v1"))
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_params"),
       paramsLine(buckets).getBytes("UTF-8"))
   }
@@ -62,6 +66,9 @@ object DsirStore {
       else Seq.empty[String]
     if (foldId.exists(applied.contains)) return // replay: already folded
 
+    // manifest guard (r14): a short listing of the live model would
+    // silently drop bucket counts into the merged next version
+    BucketStore.checkManifest(cur, "model", BucketStore.countFlatData(cur))
     val deltaModel = Dsir.modelOf(
       Dsir.docBucketCounts(delta, targetPred, buckets, idCol, textCol, Nil))
     val merged = counts(spark, root).unionByName(deltaModel)
@@ -69,6 +76,8 @@ object DsirStore {
     val next = SnapshotRoot.nextVersion(root)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/$next"))
     merged.repartition(1).write.parquet(s"$root/$next")
+    BucketStore.recordManifest(s"$root/$next", "model",
+      BucketStore.countFlatData(s"$root/$next"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/$next", "_applied_folds"),
       (applied ++ foldId).mkString("\n").getBytes("UTF-8"))

@@ -86,6 +86,12 @@ object IncrementalDedup {
     // from the artifact instead of having to re-supply them
     java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("layout"),
       s"dBuckets=$dBuckets".getBytes("UTF-8"))
+    // commit manifests at init (r14): probes and absorbs list these
+    // tables live; a silently SHORT listing would drop index entries —
+    // which surfaces as silently MISSED duplicates, the quietest
+    // corruption in the engine. At-least semantics (a crashed absorb's
+    // extra appended files are tolerated; see applyDelta's crash note).
+    recordManifests(path)
     // record the hash-family parameters the index was built with:
     // probing with a different family yields silently-empty matches,
     // not an error — the IndexStore shape-header principle. The salt
@@ -93,6 +99,30 @@ object IncrementalDedup {
     // detect a mismatch, not enough to reconstruct the fold state).
     java.nio.file.Files.write(java.nio.file.Paths.get(path).resolve("params"),
       paramsLine(k, bands, w, seed, salt).getBytes("UTF-8"))
+  }
+
+  /** Per-table data-file manifests for the live-append index layout
+    * (r14): `banded`/`census` are flat, `docs` is dbucket-partitioned. */
+  private def recordManifests(indexPath: String): Unit = {
+    BucketStore.recordManifest(indexPath, "banded",
+      BucketStore.countFlatData(s"$indexPath/banded"))
+    BucketStore.recordManifest(indexPath, "census",
+      BucketStore.countFlatData(s"$indexPath/census"))
+    BucketStore.recordManifest(indexPath, "docs",
+      BucketStore.countPartitionedData(s"$indexPath/docs"))
+  }
+
+  /** Refuse a probe/absorb whose fresh listing of any index table is
+    * SHORTER than the last recorded manifest (at-least semantics: a
+    * crash between an absorb's appends and its manifest update leaves
+    * extras, which the probe tolerates — only truncation refuses). */
+  private def checkManifests(indexPath: String): Unit = {
+    BucketStore.checkManifestAtLeast(indexPath, "banded",
+      BucketStore.countFlatData(s"$indexPath/banded"))
+    BucketStore.checkManifestAtLeast(indexPath, "census",
+      BucketStore.countFlatData(s"$indexPath/census"))
+    BucketStore.checkManifestAtLeast(indexPath, "docs",
+      BucketStore.countPartitionedData(s"$indexPath/docs"))
   }
 
   private def paramsLine(k: Int, bands: Int, w: Int, seed: Long, salt: String): String = {
@@ -140,6 +170,10 @@ object IncrementalDedup {
       s"no layout file at $indexPath — rebuild the index with writeIndex (r9 layout)")
     val dBuckets = new String(java.nio.file.Files.readAllBytes(layoutFile), "UTF-8")
       .trim.stripPrefix("dBuckets=").toInt
+    // manifest guard (r14): fail the absorb before its appends if the
+    // live index lists short — readers keep matching against the last
+    // complete layout and the stream's retry re-runs the batch
+    checkManifests(indexPath)
     // cacheFor(2): both append jobs read the banded rows. A caller that
     // already banded the batch for its probe (ContinuousDedup: match
     // first, then absorb) passes it in — the r11 shared-frame fix, one
@@ -167,6 +201,10 @@ object IncrementalDedup {
         .foreach(Await.result(_, Duration.Inf))
     }
     if (preBanded.isEmpty) banded.unpersist()
+    // re-record manifests after the appends land (before the ledger):
+    // a crash in between leaves them stale-SHORT, which the at-least
+    // check tolerates by design
+    recordManifests(indexPath)
     // record the absorbed batch LAST: the ledger marks a COMPLETE
     // absorb, so a retrying stream skips it instead of double-appending
     // (this index's appends are not snapshot-versioned, so a crash
@@ -261,6 +299,10 @@ object IncrementalDedup {
       preBanded: Option[DataFrame] = None): MinHashLSH.GuardedPairs = {
     require(k % bands == 0, "k must be divisible by bands")
     requireSameParams(indexPath, k, bands, w, seed, salt)
+    // manifest guard (r14), reader side: the probe's member union and
+    // verify read pin their file listings HERE (construction time) —
+    // a short listing now would silently miss duplicates, so refuse
+    checkManifests(indexPath)
     val bc: DataFrame => DataFrame =
       if (broadcastDelta) broadcast(_) else identity
 

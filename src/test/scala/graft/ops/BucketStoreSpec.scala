@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, length}
 import org.apache.spark.sql.types._
 
 /** The r13 commit-manifest contract (VERDICT r12 task 1): every
@@ -178,6 +179,82 @@ class BucketStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("commit manifest"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
+  }
+
+  // ---- r14 round-out: the remaining unguarded stores — the two
+  // merge-rewrite snapshot stores (drift profile, dsir model), whose
+  // fold reads the WHOLE live table, and the dedup index, whose short
+  // listing silently MISSES duplicates rather than corrupting state.
+
+  test("drift profile: a fold over a short profile listing refuses") {
+    val root = java.nio.file.Files.createTempDirectory("driftstore").toString + "/drift"
+    val docs = Seq((1L, "a", "en", "hello world"), (2L, "b", "en", "more text"))
+      .toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+    DriftStore.writeProfile(docs, root)
+    // clean fold passes and re-records
+    DriftStore.applyDelta(spark,
+      root, Seq((3L, "a", "en", "third doc"))
+        .toDF("doc_id", "source", "lang", "text")
+        .withColumn("n_chars", length(col("text"))), foldId = Some("f1"))
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(SnapshotRoot.currentDir(root)))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] {
+      DriftStore.applyDelta(spark,
+        root, Seq((4L, "c", "en", "fourth"))
+          .toDF("doc_id", "source", "lang", "text")
+          .withColumn("n_chars", length(col("text"))), foldId = Some("f2"))
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("dsir model: a fold over a short model listing refuses") {
+    val root = java.nio.file.Files.createTempDirectory("dsirstore").toString + "/dsir"
+    val docs = Seq((1L, "en", "hello world"), (2L, "fr", "bonjour monde"))
+      .toDF("doc_id", "lang", "text")
+    DsirStore.writeCounts(docs, col("lang") === "en", root, buckets = 64)
+    val victim = SnapshotRoot.listDir(
+        new java.io.File(SnapshotRoot.currentDir(root)))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(victim.toPath)
+    val e = intercept[IllegalArgumentException] {
+      DsirStore.applyDelta(spark, root,
+        Seq((3L, "en", "third doc")).toDF("doc_id", "lang", "text"),
+        col("lang") === "en", buckets = 64, foldId = Some("f1"))
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("dedup index: probe and absorb over a short index listing refuse") {
+    val root = java.nio.file.Files.createTempDirectory("dedupidx").toString + "/idx"
+    val docs = (1L to 8L).map(i => (i, s"document number $i with shared text"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.writeIndex(docs, root)
+    val delta = Seq((100L, "a fresh arrival document")).toDF("doc_id", "text")
+    // clean probe + absorb pass and re-record
+    IncrementalDedup.deltaPairs(spark, root, delta).collect()
+    IncrementalDedup.applyDelta(spark, root, delta, foldId = Some("f1"))
+    val victim = SnapshotRoot.listDir(new java.io.File(s"$root/banded"))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.delete(victim.toPath)
+    val delta2 = Seq((200L, "another arrival")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.deltaPairs(spark, root, delta2).collect()
+    }
+    assert(e.getMessage.contains("commit manifest"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.applyDelta(spark, root, delta2, foldId = Some("f2"))
+    }
+    assert(e2.getMessage.contains("commit manifest"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+    Persists.releaseAll()
   }
 
   test("listDir: missing dir is empty, file target throws instead of null") {
