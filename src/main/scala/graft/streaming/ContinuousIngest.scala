@@ -184,19 +184,36 @@ object ContinuousIngest {
           // (remaining appends + ledger + pointer flip) fan out
           // concurrently. Per-family ledgers/crash contracts unchanged
           // — a retry still skips committed families individually.
-          val guarded: Seq[(String, Option[graft.ops.GuardedFold])] =
-            Seq("spans" -> graft.ops.IncrementalSpans.prepareFold(spark,
-              spansRoot, b, spanN, spanBuckets, foldId = Some(fid))) ++
-            segmentsRoot.map(sr => "segments" ->
+          val guarded = scala.collection.mutable.ArrayBuffer[
+            (String, Option[graft.ops.GuardedFold])]()
+          try {
+            guarded += "spans" -> graft.ops.IncrementalSpans.prepareFold(
+              spark, spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
+            segmentsRoot.foreach(sr => guarded += "segments" ->
               graft.ops.IncrementalSegments.prepareFold(spark, sr,
-                b, segmentN, nBuckets, foldId = Some(fid))) ++
-            bm25Root.map(br => "bm25" ->
+                b, segmentN, nBuckets, foldId = Some(fid)))
+            bm25Root.foreach(br => guarded += "bm25" ->
               graft.ops.Bm25Index.prepareFold(spark, br,
-                b, nBuckets, foldId = Some(fid))) ++
-            fingerprints.map(fr => "fingerprints" ->
+                b, nBuckets, foldId = Some(fid)))
+            fingerprints.foreach(fr => guarded += "fingerprints" ->
               graft.ops.FingerprintStore.prepareFold(spark, fr,
                 b, foldId = Some(fid)))
-          val guardedLive = guarded.collect { case (f, Some(g)) => (f, g) }
+          } catch { case e: Throwable =>
+            // a prepare-time refusal (manifest guard, params mismatch)
+            // must not exit the batch with folds still in flight: abort
+            // the already-prepared families (await their pre-guard
+            // appends, drop partial next versions) and settle the
+            // guardless futures before rethrowing — the stream's retry
+            // would otherwise overlap live folds on the same roots
+            guarded.foreach { case (_, g) =>
+              g.foreach(x => try x.abort() catch { case _: Throwable => () })
+            }
+            others.foreach(f =>
+              try { Await.ready(f, Duration.Inf); () }
+              catch { case _: Throwable => () })
+            throw e
+          }
+          val guardedLive = guarded.toSeq.collect { case (f, Some(g)) => (f, g) }
           val guardedF = Folds.launch(spark) {
             val collected = Folds.FamilyClock.time("guard_collect") {
               graft.ops.GuardedFold.collectAll(guardedLive)
@@ -211,7 +228,16 @@ object ContinuousIngest {
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,
             pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
-          finally (others :+ guardedF).foreach(Await.result(_, Duration.Inf))
+          finally {
+            // settle EVERY future before surfacing the first failure:
+            // Await.result alone would rethrow on the first failed
+            // family and leave later ones in flight across the retry
+            val all = others :+ guardedF
+            all.foreach(f =>
+              try { Await.ready(f, Duration.Inf); () }
+              catch { case _: Throwable => () })
+            all.foreach(Await.result(_, Duration.Inf))
+          }
         } finally b.unpersist()
       }, checkpoint)
       .trigger(Trigger.AvailableNow())
