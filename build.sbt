@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout — without this,
+// sbt's logger prefixes every line with `[info] `, which is what kept
+// defeating the driver's JSON tail-parse of Bench's final summary line
+// (VERDICT r14 task 1; BENCH_r14 `parsed` was null on prefix alone).
+// (the `run`-scoped key also governs `runMain` — sbt derives runMain's
+// forkOptions from `Compile / run`)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

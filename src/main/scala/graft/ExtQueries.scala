@@ -1262,6 +1262,14 @@ object ExtQueries {
   val stageTimings =
     scala.collection.concurrent.TrieMap[String, Seq[(String, Double)]]()
 
+  /** Per-query staging COUNTERS (counts, not seconds) — kept apart
+    * from [[stageTimings]] so artifact consumers summing or comparing
+    * stage seconds never misread a bucket count as a duration
+    * (ADVICE r14). Bench surfaces these under a separate `counters`
+    * field. */
+  val stageCounters =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, Long)]]()
+
   /** Three id split points partitioning the corpus into ~quartiles for
     * the state-build + 3-folds incremental harnesses. Distributed
     * Greenwald–Khanna sketch (`approxQuantile`), NOT a driver-side
@@ -2226,9 +2234,10 @@ object ExtQueries {
         }
       stageTimings("q_bm25_incremental") = Seq(
         "write_state" -> (tState - t0) / 1e9,
-        "fold" -> (System.nanoTime() - tState) / 1e9,
+        "fold" -> (System.nanoTime() - tState) / 1e9)
+      stageCounters("q_bm25_incremental") = Seq(
         "fold_compacted_buckets" ->
-          (graft.ops.BucketStore.compactedBuckets.sum() - c0).toDouble)
+          (graft.ops.BucketStore.compactedBuckets.sum() - c0))
     }
     bm25Card(Bm25Index.scoresFromState(s, s"$path/state", Bm25Probe))
   }

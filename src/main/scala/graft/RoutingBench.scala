@@ -25,12 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object RoutingBench {
 
-  final case class Result(replicas: Int, unroutedSec: Double, routedSec: Double) {
+  final case class Result(replicas: Int,
+      unroutedRuns: Vector[Double], routedRuns: Vector[Double]) {
+    def unroutedSec: Double = unroutedRuns.min
+    def routedSec: Double = routedRuns.min
     def speedup: Double = unroutedSec / routedSec
   }
 
+  /** Dedicated n≥5 pass for BOTH sides (VERDICT r14 task 4): the
+    * headline swung 16×→33× between rounds because the unrouted side
+    * was a min-of-3 on a loaded host. Every sample is recorded so the
+    * artifact carries the band, not just the min. */
   def measure(spark: SparkSession, baseDir: String,
-      replicas: Int = 256, runs: Int = 3): Result = {
+      replicas: Int = 256,
+      runs: Int = sys.env.getOrElse("SPARK_GRAFT_ROUTING_RUNS", "5").toInt): Result = {
     val dir = fixture(spark, baseDir, replicas)
 
     // untimed setup: registration + rollup build on the replicated dir
@@ -56,11 +64,11 @@ object RoutingBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    for (_ <- 1 to runs) {
+    for (_ <- 1 to math.max(1, runs)) {
       routed = routed :+ time(q(routedView))
       unrouted = unrouted :+ time(q(unroutedView))
     }
-    Result(replicas, unrouted.min, routed.min)
+    Result(replicas, unrouted, routed)
   }
 
   /** Replicated fixture dir (idempotent via a recipe marker): `orders`
@@ -136,7 +144,9 @@ object RoutingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = measure(spark, baseDir, replicas)
-    println(f"""{"metric":"routing_speedup","value":${r.speedup}%.2f,"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f}""")
+    val ur = r.unroutedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val rr = r.routedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"routing_speedup","value":${r.speedup}%.2f,"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f,"unrouted_runs":$ur%s,"routed_runs":$rr%s}""")
     spark.stop()
   }
 }

@@ -309,11 +309,11 @@ object Bm25Index {
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
           GuardedFold.noArr))
     Some(GuardedFold(legs, meta => {
-      val dstats = meta("stats")
+      val dstats = GuardedFold.one(meta, "stats")
       require(dstats.getLong(1) == dstats.getLong(2),
         s"delta has ${dstats.getLong(1)} rows but ${dstats.getLong(2)} distinct doc ids")
-      require(meta("overlap").getLong(1) == 0L,
-        s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+      require(GuardedFold.one(meta, "overlap").getLong(1) == 0L,
+        s"${GuardedFold.one(meta, "overlap").getLong(1)} delta doc_id(s) already present — " +
           "delta ids must be new")
 
       val (postings, dfP, doclen, stats) = derive(d, nBuckets)

@@ -114,11 +114,11 @@ object FingerprintStore {
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
           GuardedFold.noArr))
     Some(GuardedFold(legs, meta => {
-      val stats = meta("stats")
+      val stats = GuardedFold.one(meta, "stats")
       require(stats.getLong(1) == stats.getLong(2),
         s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
-      require(meta("overlap").getLong(1) == 0L,
-        s"${meta("overlap").getLong(1)} delta doc_id(s) already present — " +
+      require(GuardedFold.one(meta, "overlap").getLong(1) == 0L,
+        s"${GuardedFold.one(meta, "overlap").getLong(1)} delta doc_id(s) already present — " +
           "delta ids must be new")
 
       val next = SnapshotRoot.nextVersion(root)

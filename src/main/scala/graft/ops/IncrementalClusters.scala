@@ -271,7 +271,25 @@ object IncrementalClusters {
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, keyCols: Seq[String], nBuckets: Int = 64,
       compactKeysAt: Int = 32, microCcDriverLimit: Long = 4000000L,
-      foldId: Option[String] = None): Unit = {
+      foldId: Option[String] = None): Unit =
+    GuardedFold.runStandalone(prepareFold(spark, path, delta, idCol,
+      keyCols, nBuckets, compactKeysAt, microCcDriverLimit, foldId))
+
+  /** The fold split at its guard collect (r15, VERDICT r14 task 5):
+    * the micro-graph collect was the last genuine per-batch driver
+    * round-trip outside the daemon's combined guard collect. Its legs
+    * fit the shared (t, a, b, arr) row shape — one "edge" row per
+    * micro-graph edge (a=src, b=dst, arr=[was_lab]), one "did" row per
+    * delta id, plus the scalar guard tags — so the daemon unions them
+    * with every other family's into ONE collect per microbatch. The
+    * driver-safety limit rides into the legs (`.limit(lim)` on this
+    * family's arm only); a truncated leg set sends the commit down the
+    * distributed fallback exactly as the standalone collect did. */
+  private[graft] def prepareFold(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, keyCols: Seq[String],
+      nBuckets: Int = 64, compactKeysAt: Int = 32,
+      microCcDriverLimit: Long = 4000000L,
+      foldId: Option[String] = None): Option[GuardedFold] = {
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     val t0 = System.nanoTime()
     def mark(l: String): Unit = if (dbg)
@@ -289,7 +307,7 @@ object IncrementalClusters {
         java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
       else Seq.empty[String]
     }
-    if (foldId.exists(appliedLedger.contains)) return
+    if (foldId.exists(appliedLedger.contains)) return None // replayed: no-op
 
     // manifest guard FIRST (r14, VERDICT r13 task 1): both live stores
     // get their plan-build file listings pinned below (`hit` reads the
@@ -389,11 +407,11 @@ object IncrementalClusters {
     // is one job, and the guards fail BEFORE any mutation. The limit
     // is the driver-safety gate: an over-limit graph discards the
     // partial rows and falls back to the distributed path below on the
-    // warmed caches.
-    import spark.implicits._
-    val pad = Seq(lit(0L).as("b"), lit(0L).as("c"))
+    // warmed caches. r15: the collect is the GuardedFold legs frame,
+    // so the daemon folds it through the combined per-batch collect.
+    val pad = Seq(lit(0L).as("b"), GuardedFold.noArr)
     val taggedUnion = lEdges.select(lit("edge").as("t"), col("src").as("a"),
-        col("dst").as("b"), col("__was_lab").cast("long").as("c"))
+        col("dst").as("b"), array(col("__was_lab").cast("int")).as("arr"))
       .unionByName(deltaIdsAll.select((lit("did").as("t") +: col("doc_id").as("a") +: pad): _*))
       .unionByName(newKeys.groupBy().agg(count(lit(1)).as("a"))
         .select((lit("new_keys").as("t") +: col("a") +: pad): _*))
@@ -401,9 +419,15 @@ object IncrementalClusters {
         .groupBy().agg(count(lit(1)).as("a"))
         .select((lit("overlap").as("t") +: col("a") +: pad): _*))
     val lim = (math.min(microCcDriverLimit, Int.MaxValue.toLong - 8) + 4).toInt
-    val collected =
-      if (microCcDriverLimit > 0) taggedUnion.limit(lim).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    // microCcDriverLimit == 0 forces the distributed path: limit(0)
+    // folds to an empty scan, so the legs collect runs no graph job
+    val legs = taggedUnion.limit(if (microCcDriverLimit > 0) lim else 0)
+
+    def cleanupCaches(): Unit =
+      Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
+
+    Some(GuardedFold(legs, meta => try {
+    val collected = meta.valuesIterator.flatten.toArray
     val useDriver = microCcDriverLimit > 0 && collected.length < lim
     lastMicroCcOnDriver = useDriver
     val bkt = (c: org.apache.spark.sql.Column) =>
@@ -422,20 +446,23 @@ object IncrementalClusters {
     // delta doc's label + carried columns (edge-less delta docs are
     // their own singleton component); touched: buckets holding a
     // remapped component, a merge target, or a delta row
+    import spark.implicits._
     val (remap, deltaLab, touched, newKeysCount) =
       if (useDriver) {
-        def scalar(tag: String): Long = collected
-          .collectFirst { case r if r.getString(0) == tag => r.getLong(1) }
-          .getOrElse(0L)
+        // tags dispatch through the meta MAP (the collected rows carry
+        // family-prefixed tags under the daemon's combined collect)
+        def scalar(tag: String): Long = meta.getOrElse(tag, Array.empty)
+          .headOption.map(_.getLong(1)).getOrElse(0L)
         // did rows are the RAW id stream: length = delta row count,
         // distinct size = id count — both guards from one leg
-        val didAll = collected.filter(_.getString(0) == "did").map(_.getLong(1))
+        val didAll = meta.getOrElse("did", Array.empty).map(_.getLong(1))
         val didIds = didAll.distinct
         guard(didAll.length.toLong, didIds.length.toLong, scalar("overlap"))
-        val edgeRows = collected.filter(_.getString(0) == "edge")
+        val edgeRows = meta.getOrElse("edge", Array.empty)
         val local = unionFindMinLabels(
           edgeRows.map(r => (r.getLong(1), r.getLong(2))))
-        val wasLab = edgeRows.filter(_.getLong(3) == 1L).map(_.getLong(1)).toSet
+        val wasLab = edgeRows.filter(_.getSeq[Int](3).head == 1)
+          .map(_.getLong(1)).toSet
         val remapPairs = wasLab.toSeq.map(l => (l, local(l)))
           .filter { case (o, n) => o != n }
         val deltaComp = didIds.map(id => (id, local.getOrElse(id, id)))
@@ -494,9 +521,8 @@ object IncrementalClusters {
     mark("fused-collect")
     lastTouchedBuckets = touched.size
     if (touched.isEmpty) { // empty delta: nothing to fold
-      Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
-      return
-    }
+      cleanupCaches()
+    } else {
 
     // literal isin → static partition pruning: untouched bucket
     // directories are never opened (the IvfIndex probe pattern)
@@ -628,10 +654,18 @@ object IncrementalClusters {
       (appliedLedger ++ foldId).mkString("\n").getBytes("UTF-8"))
     SnapshotRoot.flipAndGc(labelsRoot, nextV)
     mark("snapshot-flip")
-    Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
+    cleanupCaches()
     mark("unpersist")
     compactKeys(spark, keysRoot, compactKeysAt, dbg)
     mark("keys-compact")
+    }
+    } catch { case e: Throwable =>
+      // commit failure: the pointer never flipped (the store stays on
+      // its complete live snapshot; the key-append rollback above
+      // handled the one pre-flip live mutation) — release the caches
+      // and surface the error to the fold's retry contract
+      cleanupCaches(); throw e
+    }, abort = () => cleanupCaches()))
   }
 
   /** Rewrite the key index into its next version when per-fold appends

@@ -136,6 +136,12 @@ object IncrementalSegments {
         .withColumn("dbucket", dbucket(col("doc_id"), nBuckets)),
       identity, docsSchema))
 
+    def cleanup(): Unit = {
+      try Await.ready(docsAppend, Duration.Inf)
+      catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
+    }
+    try {
     // ONE fused collect (r12; the overlap guard was a separate
     // serialized action): delta-contract stats, the delta's
     // fingerprint buckets (keeper-store read pruning), and the
@@ -155,17 +161,12 @@ object IncrementalSegments {
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
           lit(null).cast("array<int>").as("arr")))
 
-    def cleanup(): Unit = {
-      try Await.ready(docsAppend, Duration.Inf)
-      catch { case _: Throwable => () }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(nextDir))
-    }
     Some(GuardedFold(legs, meta => try {
-      val stats = meta("stats")
+      val stats = GuardedFold.one(meta, "stats")
       require(stats.getLong(1) == stats.getLong(2),
         s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct doc ids")
-      val fBuckets = meta("fb").getSeq[Int](3)
-      val overlap = meta("overlap").getLong(1)
+      val fBuckets = GuardedFold.one(meta, "fb").getSeq[Int](3)
+      val overlap = GuardedFold.one(meta, "overlap").getLong(1)
       require(overlap == 0L,
         s"$overlap delta doc_id(s) already present — delta ids must be new")
 
@@ -188,6 +189,14 @@ object IncrementalSegments {
       SnapshotRoot.flipAndGc(root, next)
     } catch { case e: Throwable => cleanup(); throw e },
       abort = () => cleanup()))
+    } catch { case e: Throwable =>
+      // prepare-time failure (plan analysis — the legs' store read
+      // lists files at plan-build time and can throw) with the docs
+      // append in flight: await it and drop the partial next version,
+      // the IncrementalSpans posture — otherwise the leaked append
+      // races a retry's deleteQuietly on the same nextDir
+      cleanup(); throw e
+    }
   }
 
   def readKeepers(spark: SparkSession, root: String): DataFrame =

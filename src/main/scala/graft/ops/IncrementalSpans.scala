@@ -320,15 +320,15 @@ object IncrementalSpans {
             col("arr")))
       Some(GuardedFold(legs, meta => try {
       mark("guard-collect")
-      val stats = meta("stats")
+      val stats = GuardedFold.one(meta, "stats")
       require(stats.getLong(1) == stats.getLong(2),
         s"delta has ${stats.getLong(1)} rows but ${stats.getLong(2)} distinct " +
           "doc_id values — duplicate ids in one batch would corrupt the store")
-      val overlap = meta("overlap").getLong(1)
+      val overlap = GuardedFold.one(meta, "overlap").getLong(1)
       require(overlap == 0L,
         s"$overlap delta doc_id(s) already present — delta ids must be new")
       val dBucketsTouched =
-        Option(meta("touched").getSeq[Int](3)).getOrElse(Seq.empty).toArray
+        Option(GuardedFold.one(meta, "touched").getSeq[Int](3)).getOrElse(Seq.empty).toArray
       val dBucketsDelta = stats.getSeq[Int](3).toArray
 
       // ---- re-derive spans for affected ∪ delta

@@ -60,20 +60,36 @@ private[graft] object SnapshotRoot {
   def nextVersion(root: String): String =
     s"v${currentVersion(root).drop(1).toLong + 1}"
 
+  /** Superseded versions retained after a flip. K=1 (the default)
+    * protects a reader that resolved the pointer before ONE flip; a
+    * long analytical query racing a busy daemon family — folds seconds
+    * apart in the soak — can cross TWO flips and scan GC'd files
+    * mid-query (VERDICT r14 task 3). Raise the env for daemon roots
+    * when long readers share them; at 100 TB the same knob is the
+    * table format's snapshot-retention policy. */
+  def defaultRetain: Int = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_RETAIN", "1").toInt
+    require(k >= 1, s"SPARK_GRAFT_SNAPSHOT_RETAIN must be >= 1, got $k")
+    k
+  }
+
   /** Write the next snapshot's pointer with an atomic rename, then GC
-    * every version older than the one just superseded (which stays for
-    * readers that resolved the pointer before the flip). */
-  def flipAndGc(root: String, next: String): Unit = {
+    * every version older than the `retain` most recent superseded ones
+    * (which stay for readers that resolved the pointer before the
+    * flip — see [[defaultRetain]] for the K-flip hazard). */
+  def flipAndGc(root: String, next: String, retain: Int = defaultRetain): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val prev = currentVersion(root)
     val tmp = java.nio.file.Paths.get(root, "_current.tmp")
     java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, pointer(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val prevN = prev.drop(1).toLong
+    // keep prev, prev-1, …, prev-(retain-1); delete everything older
+    val keepFloor = prev.drop(1).toLong - (retain - 1)
     listDir(new java.io.File(root))
       .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        f.getName.drop(1).toLong < prevN)
+        f.getName.drop(1).toLong < keepFloor)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 

@@ -64,7 +64,11 @@ object ContinuousDedup {
       pairsLog: String, keyedOf: DataFrame => DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64,
-      foldId: Option[String] = None): Unit = {
+      foldId: Option[String] = None,
+      /** false = the caller folds the cluster family itself through an
+        * external combined guard collect (r15, [[prepareClustersFold]]
+        * — the ingest daemon's posture); probe/absorb/pairs only. */
+      clusters: Boolean = true): Unit = {
     if (foldId.isEmpty && batch.isEmpty) return
     val spark = batch.sparkSession
     val indexDone = foldId.exists(
@@ -79,7 +83,8 @@ object ContinuousDedup {
     // committed and skippable.
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val clustersF = Folds.launch(spark)(Folds.FamilyClock.time("clusters") {
+    val clustersF = if (!clusters) scala.concurrent.Future.successful(())
+      else Folds.launch(spark)(Folds.FamilyClock.time("clusters") {
       graft.ops.IncrementalClusters.applyDelta(spark, clusterPath, keyedOf(batch),
         idCol, keyCols, nBuckets, foldId = foldId)
     })
@@ -120,6 +125,22 @@ object ContinuousDedup {
       }
     } finally Await.result(clustersF, Duration.Inf)
   }
+
+  /** The cluster-label fold prepared for an EXTERNAL combined guard
+    * collect (r15, VERDICT r14 task 5): the ingest daemon unions this
+    * family's legs — the delta-bounded micro graph itself — with every
+    * other id-guarded store's into ONE driver round-trip per
+    * microbatch, removing the last genuine per-batch collect outside
+    * the fusion. Key derivation still runs INSIDE the batch
+    * ([[processBatch]]'s streaming posture); ledger/replay semantics
+    * are [[graft.ops.IncrementalClusters.prepareFold]]'s. */
+  def prepareClustersFold(batch: DataFrame, clusterPath: String,
+      keyedOf: DataFrame => DataFrame, idCol: String = "doc_id",
+      keyCols: Seq[String] = Seq("k1", "k2"), nBuckets: Int = 64,
+      foldId: Option[String] = None): Option[graft.ops.GuardedFold] =
+    graft.ops.IncrementalClusters.prepareFold(batch.sparkSession,
+      clusterPath, keyedOf(batch), idCol, keyCols, nBuckets,
+      foldId = foldId)
 
   /** Drain `stream` (one [[processBatch]] per microbatch) with
     * `Trigger.AvailableNow`; returns the number of non-empty batches

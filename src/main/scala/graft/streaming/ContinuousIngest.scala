@@ -187,6 +187,14 @@ object ContinuousIngest {
           val guarded = scala.collection.mutable.ArrayBuffer[
             (String, Option[graft.ops.GuardedFold])]()
           try {
+            // fifth guarded family (r15, VERDICT r14 task 5): the
+            // cluster fold's micro-graph collect was the last genuine
+            // per-batch driver round-trip outside the fusion — its
+            // legs (edges + delta ids + scalars) ride the combined
+            // collect; probe/absorb stay in processBatch below
+            guarded += "clusters" -> ContinuousDedup.prepareClustersFold(
+              b, clusterPath, keyedOf, nBuckets = nBuckets,
+              foldId = Some(fid))
             guarded += "spans" -> graft.ops.IncrementalSpans.prepareFold(
               spark, spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
             segmentsRoot.foreach(sr => guarded += "segments" ->
@@ -224,10 +232,20 @@ object ContinuousIngest {
                   g.commit(meta)
                 })
             }
+            // settle every commit before surfacing the first failure:
+            // a bare Await.result would rethrow on the first failed
+            // family commit while later futures are still flipping
+            // snapshots on live roots, so a stream retry could overlap
+            // an in-flight fold on the same root (same seam as the
+            // outer finally's `others :+ guardedF` settle)
+            commits.foreach(f =>
+              try { Await.ready(f, Duration.Inf); () }
+              catch { case _: Throwable => () })
             commits.foreach(Await.result(_, Duration.Inf))
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,
-            pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
+            pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid),
+            clusters = false) // folded through the combined guard above
           finally {
             // settle EVERY future before surfacing the first failure:
             // Await.result alone would rethrow on the first failed

@@ -21,11 +21,11 @@ class GuardedFoldSpec extends SparkSpec {
     val got = scala.collection.mutable.Map[String, Map[String, (Long, Long)]]()
     val folds = Seq(
       "fam1" -> GuardedFold(legsOf(Seq(("stats", 1L, 2L), ("overlap", 0L, 0L))),
-        meta => got("fam1") = meta.map { case (k, r) =>
-          k -> (r.getLong(1), r.getLong(2)) }),
+        meta => got("fam1") = meta.map { case (k, rs) =>
+          k -> ((rs.head.getLong(1), rs.head.getLong(2))) }),
       "fam2" -> GuardedFold(legsOf(Seq(("stats", 7L, 7L))),
-        meta => got("fam2") = meta.map { case (k, r) =>
-          k -> (r.getLong(1), r.getLong(2)) }))
+        meta => got("fam2") = meta.map { case (k, rs) =>
+          k -> ((rs.head.getLong(1), rs.head.getLong(2))) }))
     val collected = GuardedFold.collectAll(folds)
     assert(collected.size == 2)
     // commits stay with the caller — run them as the daemon would
@@ -45,7 +45,7 @@ class GuardedFoldSpec extends SparkSpec {
     val collected = GuardedFold.collectAll(folds)
     assert(collected.head._2.isEmpty)
     assert(collected(1)._2.keySet == Set("stats"))
-    assert(collected(1)._2("stats").getLong(1) == 3L)
+    assert(GuardedFold.one(collected(1)._2, "stats").getLong(1) == 3L)
   }
 
   test("a failed combined collect aborts EVERY family and rethrows") {
@@ -66,11 +66,60 @@ class GuardedFoldSpec extends SparkSpec {
     assert(!committed, "no family may commit after a failed collect")
   }
 
+  test("a store-local tag containing '/' is refused, aborting the fold") {
+    // family dispatch prefixes `fam + "/"` and splits on the FIRST "/"
+    // — a slashed store tag would silently land under the wrong local
+    // key; the invariant is enforced at every collect (VERDICT r14
+    // task 6) and a violation takes the abort path like any guard
+    // failure, so no appends leak
+    val aborted = scala.collection.mutable.Set[String]()
+    var committed = false
+    val folds = Seq(
+      "ok" -> GuardedFold(legsOf(Seq(("stats", 1L, 1L))),
+        _ => committed = true, abort = () => aborted += "ok"),
+      "bad" -> GuardedFold(legsOf(Seq(("st/ats", 2L, 2L))),
+        _ => committed = true, abort = () => aborted += "bad"))
+    val e = intercept[IllegalArgumentException] { GuardedFold.collectAll(folds) }
+    assert(e.getMessage.contains("must not contain '/'"))
+    assert(aborted == Set("ok", "bad"))
+    assert(!committed)
+    // standalone path enforces the same invariant
+    intercept[IllegalArgumentException] {
+      GuardedFold.runStandalone(Some(GuardedFold(
+        legsOf(Seq(("a/b", 1L, 1L))), _ => ())))
+    }
+  }
+
+  test("a repeated tag dispatches ALL its rows to its family (r15: micro-graph legs)") {
+    // the clusters family ships one "edge" row per micro-graph edge —
+    // the dispatch must hand back every row under the tag, and other
+    // families' single-row tags must be unaffected by the multiplicity
+    var edges: Seq[(Long, Long)] = null
+    var otherStats: (Long, Long) = null
+    val folds = Seq(
+      "clusters" -> GuardedFold(
+        legsOf(Seq(("edge", 1L, 2L), ("edge", 2L, 3L), ("edge", 7L, 9L),
+          ("new_keys", 4L, 0L))),
+        meta => {
+          edges = meta("edge").toSeq.map(r => (r.getLong(1), r.getLong(2)))
+          assert(GuardedFold.one(meta, "new_keys").getLong(1) == 4L)
+        }),
+      "spans" -> GuardedFold(legsOf(Seq(("stats", 5L, 5L))),
+        meta => otherStats =
+          (GuardedFold.one(meta, "stats").getLong(1),
+            GuardedFold.one(meta, "stats").getLong(2))))
+    GuardedFold.collectAll(folds).zip(folds).foreach {
+      case ((g, meta), _) => g.commit(meta)
+    }
+    assert(edges.toSet == Set((1L, 2L), (2L, 3L), (7L, 9L)))
+    assert(otherStats == ((5L, 5L)))
+  }
+
   test("runStandalone: Some collects and commits; None is a no-op") {
-    var meta: Map[String, org.apache.spark.sql.Row] = null
+    var meta: Map[String, Array[org.apache.spark.sql.Row]] = null
     GuardedFold.runStandalone(Some(GuardedFold(
       legsOf(Seq(("stats", 5L, 5L))), m => meta = m)))
-    assert(meta("stats").getLong(1) == 5L)
+    assert(GuardedFold.one(meta, "stats").getLong(1) == 5L)
     GuardedFold.runStandalone(None) // replayed batch: must not throw
   }
 }
