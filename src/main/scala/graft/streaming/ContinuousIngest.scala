@@ -187,14 +187,19 @@ object ContinuousIngest {
           val guarded = scala.collection.mutable.ArrayBuffer[
             (String, Option[graft.ops.GuardedFold])]()
           try {
-            // fifth guarded family (r15, VERDICT r14 task 5): the
-            // cluster fold's micro-graph collect was the last genuine
-            // per-batch driver round-trip outside the fusion — its
-            // legs (edges + delta ids + scalars) ride the combined
-            // collect; probe/absorb stay in processBatch below
-            guarded += "clusters" -> ContinuousDedup.prepareClustersFold(
-              b, clusterPath, keyedOf, nBuckets = nBuckets,
-              foldId = Some(fid))
+            // the clusters fold stays OUT of the combined collect
+            // (r15, VERDICT r14 task 5 — MEASURED, then reverted): its
+            // legs fit the GuardedFold row shape (the micro graph as
+            // one edge/did row each, prepareClustersFold), but fusing
+            // them RAISED the per-batch fixed cost 5.74 → 8.93 s
+            // (BENCH_DAEMONFLOOR_r15): the micro-graph legs are VOLUME
+            // work — broadcast joins over the keys index and label
+            // store — not round-trip overhead, so the combined collect
+            // barrier serialized the four cheap families' commits
+            // behind them, while the separate clusters round-trip was
+            // already fully overlapped with the probe on the session's
+            // fan-out headroom. Fuse cheap guard legs; keep expensive
+            // legs on their own overlapped round-trip.
             guarded += "spans" -> graft.ops.IncrementalSpans.prepareFold(
               spark, spansRoot, b, spanN, spanBuckets, foldId = Some(fid))
             segmentsRoot.foreach(sr => guarded += "segments" ->
@@ -244,8 +249,7 @@ object ContinuousIngest {
             commits.foreach(Await.result(_, Duration.Inf))
           }
           try ContinuousDedup.processBatch(b, indexPath, clusterPath,
-            pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid),
-            clusters = false) // folded through the combined guard above
+            pairsLog, keyedOf, nBuckets = nBuckets, foldId = Some(fid))
           finally {
             // settle EVERY future before surfacing the first failure:
             // Await.result alone would rethrow on the first failed
