@@ -78,6 +78,30 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(got(13L) == 1L && got(1L) == 1L)                        // min moved
   }
 
+  test("prepareFold legs through an EXTERNAL combined collect fold identically (fused dispatch)") {
+    // the daemon deliberately keeps the clusters round-trip on its own
+    // overlapped future (BENCH_DAEMONFLOOR_r15: fusing it is a measured
+    // regression), but the fused path is KEPT for a future cheap-legs
+    // store — this pins that GuardedFold.collectAll's multi-row
+    // dispatch (one "edge"/"did" row each, scalars, the ridden limit)
+    // commits the same labels as the standalone fold
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-fused").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    val g = graft.streaming.ContinuousDedup.prepareClustersFold(
+      deltaKeyed, path, identity, nBuckets = NB, foldId = Some("fuse1"))
+    assert(g.isDefined)
+    GuardedFold.collectAll(Seq("clusters" -> g.get)).foreach {
+      case (gf, meta) => gf.commit(meta)
+    }
+    assert(IncrementalClusters.lastMicroCcOnDriver,
+      "a delta-bounded micro graph must take the driver union-find path")
+    assert(storeLabels(path) == batchLabels(corpusKeyed.unionByName(deltaKeyed)))
+    // the ledger committed with the flip: a standalone replay no-ops
+    IncrementalClusters.applyDelta(spark, path, deltaKeyed, "doc_id",
+      Seq("k1", "k2"), NB, foldId = Some("fuse1"))
+    assert(storeLabels(path) == batchLabels(corpusKeyed.unionByName(deltaKeyed)))
+  }
+
   test("untouched buckets carry over as hard links (same inode, zero copy); emptied buckets vanish") {
     val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-mtime").toString
     IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
