@@ -94,6 +94,16 @@ private[graft] object GuardedFold {
         col("a"), col("b"), col("arr"))
     }.reduce(_.unionByName(_))
     try {
+      // a family name containing "/" would mis-dispatch SILENTLY: its
+      // rows group under the name's first segment, the family reads an
+      // empty meta map, and an empty-legs commit can be a quiet no-op
+      // fold — the same collision class as slashed tags; failing
+      // inside the try routes it through the abort-all path, so
+      // in-flight pre-guard appends still settle
+      folds.foreach { case (fam, _) =>
+        require(!fam.contains("/"),
+          s"guard-fold family name '$fam' must not contain '/'")
+      }
       val rows = combined.collect()
       val byFam = rows.groupBy(_.getString(0).split("/", 2)(0))
       folds.map { case (fam, g) =>

@@ -321,11 +321,21 @@ object IncrementalClusters {
     BucketStore.checkManifestAtLeast(curKeysDir, "keys",
       BucketStore.countFlatData(curKeysDir))
 
+    // prepare-time failure cleanup (r15, review): a throw after any
+    // cacheFor registration below (readLabels plan-build IO, the
+    // carried-column require) must not leak the registered caches
+    // across a daemon retry — the IncrementalSegments posture
+    val registered = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cacheReg(df: DataFrame, actions: Int): DataFrame = {
+      val c = Persists.cacheFor(df, actions); registered += c; c
+    }
+    def cleanupCaches(): Unit = registered.foreach(_.unpersist())
+    try {
     // 1. delta keys + per-key delta min (for keys the corpus has never
     // seen, the delta's own min is the star root). Cached: consumed by
     // the micro-graph collect (via edges) and the fused stats action
     // (via newKeys). Slim rows.
-    val dk = Persists.cacheFor(keyRows(delta, idCol, keyCols), actions = 3)
+    val dk = cacheReg(keyRows(delta, idCol, keyCols), actions = 3)
     val wk = Window.partitionBy("kidx", "k")
     val dmin = dk.select(col("kidx"), col("k"), col("doc_id"),
       min("doc_id").over(wk).as("dmin"))
@@ -335,7 +345,7 @@ object IncrementalClusters {
     // it twice: edge build + new-key anti-join), never a shuffle. The
     // surviving rows are bounded by the delta's key set, so THEY can
     // broadcast into the edge join below.
-    val hit = Persists.cacheFor(
+    val hit = cacheReg(
       spark.read.parquet(curKeysDir)
         .join(broadcast(dk.select("kidx", "k").distinct()), Seq("kidx", "k"), "left_semi"),
       actions = 3)
@@ -345,7 +355,7 @@ object IncrementalClusters {
     // delta min). Exactly the edges batch keyEdges adds for the union's
     // key groups beyond the corpus-internal ones already contracted
     // into the persisted labels.
-    val edges = Persists.cacheFor(
+    val edges = cacheReg(
       dmin.join(broadcast(hit), Seq("kidx", "k"), "left")
         .select(coalesce(col("min_id"), col("dmin")).as("src"),
           col("doc_id").as("dst"))
@@ -390,7 +400,7 @@ object IncrementalClusters {
     // root is the delta's own per-key min. Cached: the fused action
     // materializes the rows, the append then reads the cache — so the
     // append's plan never reads the directory it writes.
-    val newKeys = Persists.cacheFor(
+    val newKeys = cacheReg(
       dk.groupBy("kidx", "k").agg(min("doc_id").as("min_id"))
         .join(broadcast(hit.select("kidx", "k")), Seq("kidx", "k"), "left_anti"),
       actions = 2)
@@ -423,12 +433,11 @@ object IncrementalClusters {
     // folds to an empty scan, so the legs collect runs no graph job
     val legs = taggedUnion.limit(if (microCcDriverLimit > 0) lim else 0)
 
-    def cleanupCaches(): Unit =
-      Seq(dk, hit, edges, newKeys).foreach(_.unpersist())
-
     Some(GuardedFold(legs, meta => try {
-    val collected = meta.valuesIterator.flatten.toArray
-    val useDriver = microCcDriverLimit > 0 && collected.length < lim
+    // row COUNT only — materializing the up-to-lim rows into a fresh
+    // array just to read .length would copy ~4M refs on the hot path
+    val collectedRows = meta.valuesIterator.map(_.length).sum
+    val useDriver = microCcDriverLimit > 0 && collectedRows < lim
     lastMicroCcOnDriver = useDriver
     val bkt = (c: org.apache.spark.sql.Column) =>
       pmod(c, lit(nBuckets.toLong)).cast("int")
@@ -576,17 +585,16 @@ object IncrementalClusters {
       } else Seq.empty
     }
     // the key append lands in the LIVE keys dir before the fold's
-    // commit point, so a stage-write failure (a full distributed job —
-    // a realistic failure) must UNDO it: otherwise an unretried fold
-    // leaves keys pointing at docs with no label row and fold==rebuild
-    // diverges on later folds (ADVICE r12). A crash window between
-    // append and flip still only duplicates rows on RETRY (tolerated:
-    // edges distinct, hit rows serve min_id lookups) — this handles the
-    // fail-without-retry path.
-    try {
-      rewritten.repartition(col("cbucket"))
-        .write.partitionBy("cbucket").parquet(stage.toString)
-    } catch { case scala.util.control.NonFatal(err) =>
+    // commit point, so any failure up to the keys-manifest re-record —
+    // the stage write (a full distributed job), the snapshot assembly
+    // (link/move IO), the post-assembly count invariant — must UNDO
+    // it: otherwise an unretried fold leaves keys pointing at docs
+    // with no label row and fold==rebuild diverges on later folds
+    // (ADVICE r12; the assembly window closed r15 on review). A crash
+    // window between append and flip still only duplicates rows on
+    // RETRY (tolerated: edges distinct, hit rows serve min_id
+    // lookups) — this handles the fail-without-retry path.
+    def rollbackKeyAppend(err: Throwable): Nothing = {
       try Await.result(keyAppend, Duration.Inf)
         .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
       catch { case scala.util.control.NonFatal(e2) =>
@@ -594,7 +602,12 @@ object IncrementalClusters {
       }
       throw err
     }
+    try {
+      rewritten.repartition(col("cbucket"))
+        .write.partitionBy("cbucket").parquet(stage.toString)
+    } catch { case scala.util.control.NonFatal(err) => rollbackKeyAppend(err) }
     mark("stage-write")
+    try {
     // ...then the next snapshot assembles WITHOUT touching the live
     // one: staged touched buckets move in (an emptied touched bucket
     // simply has no staged directory), untouched buckets hard-link,
@@ -639,6 +652,7 @@ object IncrementalClusters {
     }
     BucketStore.recordManifest(nextDir.toString, "labels",
       outCounts.valuesIterator.sum)
+    } catch { case scala.util.control.NonFatal(err) => rollbackKeyAppend(err) }
     val appendedKeyFiles = Await.result(keyAppend, Duration.Inf)
     // the key index is live-appended: re-record its manifest only after
     // both the append and the label stage write succeeded (the rollback
@@ -661,11 +675,21 @@ object IncrementalClusters {
     }
     } catch { case e: Throwable =>
       // commit failure: the pointer never flipped (the store stays on
-      // its complete live snapshot; the key-append rollback above
-      // handled the one pre-flip live mutation) — release the caches
-      // and surface the error to the fold's retry contract
+      // its complete live snapshot). Failures up to the labels-manifest
+      // record rolled the live key append back above; past the keys-
+      // manifest re-record only two local file writes remain (ledger,
+      // pointer) whose failure leaves appended keys that a RETRY
+      // tolerates (duplicate key rows serve min_id lookups) and whose
+      // next fold's at-least manifest check still passes. Release the
+      // caches and surface the error to the fold's retry contract.
       cleanupCaches(); throw e
     }, abort = () => cleanupCaches()))
+    } catch { case e: Throwable =>
+      // prepare-time failure with caches already registered: release
+      // them before rethrowing (no appends are in flight at prepare —
+      // the key append launches inside commit)
+      cleanupCaches(); throw e
+    }
   }
 
   /** Rewrite the key index into its next version when per-fold appends

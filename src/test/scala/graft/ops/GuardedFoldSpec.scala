@@ -90,6 +90,24 @@ class GuardedFoldSpec extends SparkSpec {
     }
   }
 
+  test("a FAMILY name containing '/' is refused, aborting every fold") {
+    // a slashed family name would mis-dispatch SILENTLY (its rows group
+    // under the first segment; the family reads an EMPTY meta map — a
+    // quiet no-op fold for a clusters-shaped commit); the refusal runs
+    // inside the abort-all path so pre-guard appends still settle
+    val aborted = scala.collection.mutable.Set[String]()
+    var committed = false
+    val folds = Seq(
+      "ok" -> GuardedFold(legsOf(Seq(("stats", 1L, 1L))),
+        _ => committed = true, abort = () => aborted += "ok"),
+      "sl/ashed" -> GuardedFold(legsOf(Seq(("stats", 2L, 2L))),
+        _ => committed = true, abort = () => aborted += "bad"))
+    val e = intercept[IllegalArgumentException] { GuardedFold.collectAll(folds) }
+    assert(e.getMessage.contains("family name"))
+    assert(aborted == Set("ok", "bad"))
+    assert(!committed)
+  }
+
   test("a repeated tag dispatches ALL its rows to its family (r15: micro-graph legs)") {
     // the clusters family ships one "edge" row per micro-graph edge —
     // the dispatch must hand back every row under the tag, and other
