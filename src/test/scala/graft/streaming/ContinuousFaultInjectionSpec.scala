@@ -154,4 +154,83 @@ class ContinuousFaultInjectionSpec extends SparkSpec {
     graft.ops.Persists.releaseAll()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
   }
+
+  test("a tampered MERGE-REWRITE store (drift) fails the batch through the guardless settle path; restore -> retry") {
+    // the bm25 case above exercises the BucketStore-append class whose
+    // refusal rides the guarded commit fan-out; the drift profile is
+    // the other class — a whole-table merge-rewrite in a GUARDLESS
+    // family future, whose failure must settle through the outer
+    // `others :+ guardedF` seam without any family committing past its
+    // ledger (the 9348d0c fix, proven here at stream level)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val p = java.nio.file.Files.createTempDirectory("graft-faultinj-drift").toString
+    IncrementalDedup.writeIndex(corpus, s"$p/index")
+    IncrementalClusters.writeState(keyedOf(corpus), "doc_id", Seq("k1", "k2"),
+      s"$p/state", nBuckets = 16)
+    DriftStore.writeProfile(corpus, s"$p/drift")
+    IncrementalSpans.writeState(corpus.select("doc_id", "text"), s"$p/spans",
+      n = 8, nBuckets = 16)
+
+    def drain(): Long = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$p/feed/b*")
+      ContinuousIngest.run(stream, s"$p/index", s"$p/state",
+        s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
+        spanN = 8, spanBuckets = 16, nBuckets = 16,
+        checkpoint = Some(s"$p/ckpt"))
+    }
+    def statusOf4(): Map[String, (Long, String)] =
+      ContinuousIngest.status(spark, Map(
+        "dedup_index" -> s"$p/index", "clusters" -> s"$p/state/labels",
+        "drift" -> s"$p/drift", "spans" -> s"$p/spans"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    docs.filter(col("doc_id") % 4 === 1).coalesce(1).write.parquet(s"$p/feed/b1")
+    assert(drain() == 1)
+    val fid1 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 1)).get
+    assert(statusOf4().values.forall(_ == ((1L, fid1))))
+    val driftVerBefore = SnapshotRoot.currentVersion(s"$p/drift")
+
+    val victim = SnapshotRoot.listDir(
+      new java.io.File(SnapshotRoot.currentDir(s"$p/drift")))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val stash = java.nio.file.Paths.get(p, "stashed_" + victim.getName)
+    java.nio.file.Files.move(victim.toPath, stash)
+
+    docs.filter(col("doc_id") % 4 === 2).coalesce(1).write.parquet(s"$p/feed/b2")
+    docs.filter(col("doc_id") % 4 === 3).coalesce(1).write.parquet(s"$p/feed/b3")
+    val e = intercept[Exception] { drain() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("manifest")),
+      s"expected a manifest refusal, got: ${chain(e)}")
+    val fid2 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 2)).get
+    val st2 = statusOf4()
+    assert(st2("drift") == ((1L, fid1)),
+      s"tampered drift store must not advance: ${st2("drift")}")
+    assert(SnapshotRoot.currentVersion(s"$p/drift") == driftVerBefore)
+    st2.foreach { case (fam, s) =>
+      assert(s == ((1L, fid1)) || s == ((2L, fid2)),
+        s"family $fam in a state its ledger doesn't record: $s")
+    }
+
+    java.nio.file.Files.move(stash, victim.toPath)
+    assert(drain() == 2)
+    val fid3 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 3)).get
+    assert(statusOf4().values.forall(_ == ((3L, fid3))))
+    def profRows(df: DataFrame) = df.select("source", "lang", "c", "h")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}|" +
+        r.getSeq[Long](3).mkString(",")).toSet
+    assert(profRows(DriftStore.profile(spark, s"$p/drift")) ==
+      profRows(DriftStore.profileOf(docs)),
+      "drift profile after tamper+retry == whole-corpus profile")
+    assert(IncrementalSpans.readSpans(spark, s"$p/spans")
+      .collect().map(_.toSeq).toSet ==
+      DupSpans.duplicateSpans(docs, n = 8).collect().map(_.toSeq).toSet)
+
+    graft.ops.Persists.releaseAll()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+  }
 }
