@@ -234,7 +234,7 @@ object IncrementalClusters {
     * fixpoint [[ConnectedComponents.run]] computes, without its per-
     * round scheduler cost. Path-compressed DSU, then each root's
     * min member id becomes every member's label. */
-  private def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.LongMap[Long]()
     def find(x: Long): Long = {
       var r = x
