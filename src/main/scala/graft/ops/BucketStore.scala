@@ -108,6 +108,24 @@ private[graft] object BucketStore {
   def recordManifest(versionDir: String, table: String, count: Int): Unit =
     writeManifest(versionDir, table, count)
 
+  /** Read EXACTLY the given data files — never a fresh directory
+    * listing. `spark.read.parquet(dir)` does its OWN listing, and that
+    * listing can silently go short exactly like the engine-side
+    * `File.listFiles` class r13 made loud: one r15 soak lost the seed
+    * corpus' postings ROWS to a bucket compaction whose Spark-side
+    * re-listing missed the carried files, while every file-count
+    * manifest stayed consistent — the manifests audit the files a
+    * commit WRITES, not the rows a rewrite READS. Enumerating the
+    * (manifest-checked) listing's files explicitly turns that silent
+    * drop into a loud FileNotFoundException. `basePath` keeps Hive
+    * partition-column derivation (`bucket=N` path segments) working
+    * over explicit paths. Returns None for an empty file list. */
+  def readExact(spark: SparkSession, schema: StructType, basePath: String,
+      files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", basePath)
+      .schema(schema).parquet(files: _*))
+
   /** Exact-count check: the snapshot was committed whole and is only
     * ever replaced whole (label rewrites, cell compactions). */
   def checkManifest(versionDir: String, table: String, listed: Int): Unit =
@@ -160,11 +178,19 @@ private[graft] object BucketStore {
     }
     if (oversized.nonEmpty) {
       compactedBuckets.add(oversized.size.toLong)
-      val ov = oversized.toSeq.sorted.map(Integer.valueOf)
-      val rows = spark.read.schema(schema).parquet(s"$cur/$table")
-        .filter(col(bucketCol).isin(ov: _*))
-        .unionByName(spark.read.schema(schema).parquet(stage)
-          .filter(col(bucketCol).isin(ov: _*)))
+      // the compaction's input is EXACTLY the oversized buckets' files
+      // from the listings already validated above ([[readExact]]) — a
+      // fresh spark.read listing here silently dropped the carried
+      // files once (r15 soak: the seed corpus' rows vanished from the
+      // compacted bucket while every file-count manifest held, because
+      // manifests audit what a commit writes, not what a rewrite reads)
+      def oversizedFiles(ds: Map[Int, java.io.File]): Seq[String] =
+        oversized.toSeq.sorted.flatMap(b =>
+          ds.get(b).map(dataFiles(_).map(_.toString).toSeq).getOrElse(Seq.empty))
+      val rows = Seq(
+        BucketStore.readExact(spark, schema, s"$cur/$table", oversizedFiles(curDirs)),
+        BucketStore.readExact(spark, schema, stage, oversizedFiles(stageDirs)))
+        .flatten.reduce(_.unionByName(_))
       val stage2 = s"$nextDir/_compact_$table"
       compact(rows).repartition(col(bucketCol))
         .write.partitionBy(bucketCol).parquet(stage2)

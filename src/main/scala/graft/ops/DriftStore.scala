@@ -83,8 +83,14 @@ object DriftStore {
     // manifest guard (r14): refuse the merge if the live profile's
     // fresh listing disagrees with the count the committing fold
     // recorded — a short listing here would silently drop rows
-    BucketStore.checkManifest(cur, "profile", BucketStore.countFlatData(cur))
-    val merged = profile(spark, root).unionByName(profileOf(delta))
+    val liveFiles = SnapshotRoot.listDir(new java.io.File(cur))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.toString).toIndexedSeq
+    BucketStore.checkManifest(cur, "profile", liveFiles.length)
+    // read EXACTLY the manifest-checked files (BucketStore.readExact
+    // rationale): this merge REPLACES the whole profile, so a silently
+    // short spark.read listing would truncate it permanently
+    val merged = spark.read.parquet(liveFiles: _*).unionByName(profileOf(delta))
       .groupBy("source", "lang")
       .agg(sum("c").as("c"), expr("graft_hist_merge(h)").as("h"))
     val next = SnapshotRoot.nextVersion(root)

@@ -68,10 +68,16 @@ object DsirStore {
 
     // manifest guard (r14): a short listing of the live model would
     // silently drop bucket counts into the merged next version
-    BucketStore.checkManifest(cur, "model", BucketStore.countFlatData(cur))
+    val liveFiles = SnapshotRoot.listDir(new java.io.File(cur))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.toString).toIndexedSeq
+    BucketStore.checkManifest(cur, "model", liveFiles.length)
     val deltaModel = Dsir.modelOf(
       Dsir.docBucketCounts(delta, targetPred, buckets, idCol, textCol, Nil))
-    val merged = counts(spark, root).unionByName(deltaModel)
+    // read EXACTLY the manifest-checked files (BucketStore.readExact
+    // rationale): the merge REPLACES the whole model — a silently
+    // short spark.read listing would truncate it permanently
+    val merged = spark.read.parquet(liveFiles: _*).unionByName(deltaModel)
       .groupBy("b").agg(sum("tc").as("tc"), sum("rc").as("rc"))
     val next = SnapshotRoot.nextVersion(root)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/$next"))

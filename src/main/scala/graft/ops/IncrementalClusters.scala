@@ -533,9 +533,27 @@ object IncrementalClusters {
       cleanupCaches()
     } else {
 
-    // literal isin → static partition pruning: untouched bucket
-    // directories are never opened (the IvfIndex probe pattern)
-    val old = labels.filter(col("cbucket").isin(touched: _*))
+    // this read FEEDS the touched-bucket rewrite — enumerate its files
+    // explicitly rather than trusting a fresh spark.read listing
+    // (BucketStore.readExact rationale: a silently short listing here
+    // would drop carried label rows from the rewritten buckets
+    // permanently); untouched bucket directories are never opened
+    val curLabelsDir = currentLabelsDir(path)
+    val touchedLabelFiles = touched.flatMap { b =>
+      SnapshotRoot.listDir(new java.io.File(s"$curLabelsDir/cbucket=$b"))
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.toString)
+    }
+    val old =
+      if (touchedLabelFiles.isEmpty) labels.filter(lit(false))
+      else spark.read.option("basePath", curLabelsDir)
+        .parquet(touchedLabelFiles: _*)
+        .select(labels.columns.map { // readLabels' type normalization
+          case c @ ("doc_id" | "component") => col(c).cast("long").as(c)
+          case "cbucket" => col("cbucket").cast("int").as("cbucket")
+          case c => col(c)
+        }.toIndexedSeq: _*)
     val rewritten = old
       .join(broadcast(remap.withColumnRenamed("old_component", "component")),
         Seq("component"), "left")
@@ -711,7 +729,12 @@ object IncrementalClusters {
       math.ceil(parts.map(_.length).sum / (64.0 * 1024 * 1024)).toInt)
     val nextV = s"v${cur.getName.drop(1).toLong + 1}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$keysRoot/$nextV"))
-    spark.read.parquet(cur.toString)
+    // read EXACTLY the manifest-checked listing's files, not a fresh
+    // spark.read directory listing — Spark's own listing can silently
+    // go short the same way File.listFiles can (the r15 soak loss
+    // class; see BucketStore.readExact), and this rewrite REPLACES the
+    // whole index, so a short read would truncate it permanently
+    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
       .repartition(targetFiles)
       .write.parquet(s"$keysRoot/$nextV")
     BucketStore.recordManifest(s"$keysRoot/$nextV", "keys",

@@ -370,8 +370,20 @@ object IncrementalSpans {
       // docs' old rows must go), so it keeps the rewrite-touched-
       // buckets path; its touched set is O(affected ∪ delta docs)
       val spanBuckets = (dBucketsTouched ++ dBucketsDelta).distinct.sorted
-      val touchedSpanRows = spark.read.schema(spansSchema).parquet(s"$cur/spans")
-        .filter(col("dbucket").isin(spanBuckets.map(Integer.valueOf): _*))
+      // this read FEEDS the rewrite (delete+insert) of the touched
+      // buckets — enumerate its files explicitly (BucketStore.readExact
+      // rationale: a silently short spark.read listing here would drop
+      // carried span rows into the rewritten buckets permanently)
+      val touchedSpanFiles = spanBuckets.flatMap { b =>
+        SnapshotRoot.listDir(new java.io.File(s"$cur/spans/dbucket=$b"))
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(_.toString)
+      }
+      val touchedSpanRows = BucketStore
+        .readExact(spark, spansSchema, s"$cur/spans", touchedSpanFiles)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spansSchema))
         .join(touchedDocs, Seq("doc_id"), "left_anti")
         .select("doc_id", "span_start", "span_end", "n_docs_max")
         .unionByName(newSpans)

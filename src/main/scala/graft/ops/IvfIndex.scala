@@ -236,8 +236,13 @@ object IvfIndex {
       d.getName.stripPrefix("__cell=").toInt ->
         math.max(1, math.ceil(bytes / (64.0 * 1024 * 1024)).toInt)
     }.toMap
+    // FILE-level enumeration from the (manifest-checked) listing above
+    // — a directory-path read lets Spark re-list inside each cell dir,
+    // and that listing can silently go short (the r15 soak loss class;
+    // BucketStore.readExact rationale). Explicit paths turn a miss
+    // into a loud FileNotFoundException.
     spark.read.option("basePath", cur.toString)
-      .parquet(oversized.map(_.toString).toIndexedSeq: _*)
+      .parquet(oversized.flatMap(parquets(_)).map(_.toString).toIndexedSeq: _*)
       .withColumn("__slice", pmod(xxhash64(col(idCol)),
         element_at(typedLit(perCellFiles), col("__cell"))))
       .repartition(col("__cell"), col("__slice"))
