@@ -104,6 +104,13 @@ private[graft] object GuardedFold {
         require(!fam.contains("/"),
           s"guard-fold family name '$fam' must not contain '/'")
       }
+      // duplicate family names would each receive the UNION of both
+      // families' rows from byFam (ADVICE r15) — cross-feeding edge/
+      // did/scalar legs into both commits (doubled overlap counts
+      // tripping guards, foreign edges entering the union-find)
+      require(folds.map(_._1).distinct.size == folds.size,
+        "guard-fold family names must be distinct, got: " +
+          folds.map(_._1).mkString(", "))
       val rows = combined.collect()
       val byFam = rows.groupBy(_.getString(0).split("/", 2)(0))
       folds.map { case (fam, g) =>

@@ -459,9 +459,12 @@ object IncrementalClusters {
     val (remap, deltaLab, touched, newKeysCount) =
       if (useDriver) {
         // tags dispatch through the meta MAP (the collected rows carry
-        // family-prefixed tags under the daemon's combined collect)
-        def scalar(tag: String): Long = meta.getOrElse(tag, Array.empty)
-          .headOption.map(_.getLong(1)).getOrElse(0L)
+        // family-prefixed tags under the daemon's combined collect).
+        // new_keys/overlap are groupBy().agg legs — exactly one row
+        // whenever dispatch is correct — so a missing tag must fail
+        // LOUDLY (ADVICE r15): defaulting to 0 would let a lost-legs
+        // dispatch pass guard(0,0,0) as a silent no-op fold
+        def scalar(tag: String): Long = GuardedFold.one(meta, tag).getLong(1)
         // did rows are the RAW id stream: length = delta row count,
         // distinct size = id count — both guards from one leg
         val didAll = meta.getOrElse("did", Array.empty).map(_.getLong(1))
@@ -539,6 +542,13 @@ object IncrementalClusters {
     // would drop carried label rows from the rewritten buckets
     // permanently); untouched bucket directories are never opened
     val curLabelsDir = currentLabelsDir(path)
+    // count-validate the COMMIT-TIME listing against the labels
+    // manifest immediately before enumerating (ADVICE r15 medium):
+    // a file (or whole bucket dir, which listDir reads as empty) lost
+    // between prepare and this rewrite would otherwise be omitted
+    // silently — the prepare-time check at :319 is minutes stale here
+    BucketStore.checkManifest(curLabelsDir, "labels",
+      BucketStore.countPartitionedData(curLabelsDir))
     val touchedLabelFiles = touched.flatMap { b =>
       SnapshotRoot.listDir(new java.io.File(s"$curLabelsDir/cbucket=$b"))
         .filter(f => f.isFile && !f.getName.startsWith("_") &&

@@ -373,7 +373,12 @@ object IncrementalSpans {
       // this read FEEDS the rewrite (delete+insert) of the touched
       // buckets — enumerate its files explicitly (BucketStore.readExact
       // rationale: a silently short spark.read listing here would drop
-      // carried span rows into the rewritten buckets permanently)
+      // carried span rows into the rewritten buckets permanently).
+      // Count-validate THIS listing against the spans manifest (ADVICE
+      // r15): spans commits whole per version (rewrite), so the check
+      // is exact — matching the sibling stores' read-adjacent checks
+      BucketStore.checkManifest(cur, "spans",
+        BucketStore.countPartitionedData(s"$cur/spans"))
       val touchedSpanFiles = spanBuckets.flatMap { b =>
         SnapshotRoot.listDir(new java.io.File(s"$cur/spans/dbucket=$b"))
           .filter(f => f.isFile && !f.getName.startsWith("_") &&

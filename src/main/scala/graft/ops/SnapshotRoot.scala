@@ -67,8 +67,17 @@ private[graft] object SnapshotRoot {
     * mid-query (VERDICT r14 task 3). Raise the env for daemon roots
     * when long readers share them; at 100 TB the same knob is the
     * table format's snapshot-retention policy. */
-  def defaultRetain: Int = {
-    val k = sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_RETAIN", "1").toInt
+  lazy val defaultRetain: Int = {
+    // parsed ONCE (ADVICE r15): a malformed value must fail at the
+    // first flip with the env var named, not throw a bare
+    // NumberFormatException mid-commit on EVERY subsequent fold
+    val raw = sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_RETAIN", "1")
+    val k =
+      try raw.trim.toInt
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SNAPSHOT_RETAIN must be an integer >= 1, got '$raw'", e)
+      }
     require(k >= 1, s"SPARK_GRAFT_SNAPSHOT_RETAIN must be >= 1, got $k")
     k
   }

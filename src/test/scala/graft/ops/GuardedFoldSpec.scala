@@ -108,6 +108,25 @@ class GuardedFoldSpec extends SparkSpec {
     assert(!committed)
   }
 
+  test("DUPLICATE family names are refused, aborting every fold (ADVICE r15)") {
+    // two families under one name would each receive the UNION of both
+    // families' rows from the dispatch groupBy — cross-feeding edge/
+    // did/scalar legs into both commits (doubled overlap counts
+    // tripping guards, foreign edges entering the union-find); refusal
+    // must take the abort-all path so pre-guard appends settle
+    val aborted = scala.collection.mutable.Set[String]()
+    var committed = false
+    val folds = Seq(
+      "twin" -> GuardedFold(legsOf(Seq(("stats", 1L, 1L))),
+        _ => committed = true, abort = () => aborted += "a"),
+      "twin" -> GuardedFold(legsOf(Seq(("stats", 2L, 2L))),
+        _ => committed = true, abort = () => aborted += "b"))
+    val e = intercept[IllegalArgumentException] { GuardedFold.collectAll(folds) }
+    assert(e.getMessage.contains("distinct"))
+    assert(aborted == Set("a", "b"))
+    assert(!committed)
+  }
+
   test("a repeated tag dispatches ALL its rows to its family (r15: micro-graph legs)") {
     // the clusters family ships one "edge" row per micro-graph edge —
     // the dispatch must hand back every row under the tag, and other

@@ -271,4 +271,30 @@ class IncrementalClustersSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("built with"))
   }
+
+  test("a labels file lost BETWEEN collect and commit refuses the fold (ADVICE r16 tamper)") {
+    // the prepare-time manifest check is stale by commit time; the
+    // commit re-validates the listing it is about to enumerate — a lost
+    // file (here in an UNTOUCHED bucket, where readExact on the touched
+    // set would never look and the hard-link carry would silently drop
+    // it) must refuse the fold with the pointer unmoved
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-tamper").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    val g = IncrementalClusters.prepareFold(spark, path, deltaKeyed, "doc_id",
+      Seq("k1", "k2"), NB)
+    assert(g.isDefined)
+    val dispatched = GuardedFold.collectAll(Seq("clusters" -> g.get))
+    val v1 = IncrementalClusters.currentLabelsDir(path)
+    // component 14 lives in cbucket=6, untouched by deltaKeyed
+    val victims = Option(new java.io.File(s"$v1/cbucket=6").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty, "fixture must place an untouched bucket file")
+    assert(victims.head.delete())
+    val e = intercept[IllegalArgumentException] {
+      dispatched.foreach { case (gf, meta) => gf.commit(meta) }
+    }
+    assert(e.getMessage.contains("manifest"))
+    assert(IncrementalClusters.currentLabelsDir(path) == v1,
+      "a refused commit must leave the pointer on the old snapshot")
+  }
 }

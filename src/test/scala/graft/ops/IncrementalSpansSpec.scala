@@ -120,4 +120,33 @@ class IncrementalSpansSpec extends SparkSpec {
       java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
     assert(before.map(inode).toSet == after.map(inode).toSet)
   }
+
+  test("a spans file lost BETWEEN collect and commit refuses the fold (ADVICE r16 tamper)") {
+    // same window as the clusters rewrite: the commit-time listing
+    // feeding the touched-bucket rewrite is re-validated against the
+    // spans manifest — a file lost after the guard collect must refuse
+    // loudly with the pointer unmoved, not silently drop carried rows
+    val corpus = docs(
+      (1L, "a b c d x1 x2 x3 x4"),
+      (2L, "a b c d y1 y2 y3 y4"), // 1-2 share a block → spans nonempty
+      (3L, "m n o p m2 n2 o2 p2"))
+    val root = tmp()
+    IncrementalSpans.writeState(corpus, root, n = 4, nBuckets = 8)
+    val g = IncrementalSpans.prepareFold(spark, root,
+      docs((10L, "q r s t a b c d")), n = 4, nBuckets = 8)
+    assert(g.isDefined)
+    val dispatched = GuardedFold.collectAll(Seq("spans" -> g.get))
+    val cur = SnapshotRoot.currentDir(root)
+    val victims = Option(new java.io.File(s"$cur/spans").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(victims.nonEmpty, "fixture must produce committed span rows")
+    assert(victims.head.delete())
+    val e = intercept[IllegalArgumentException] {
+      dispatched.foreach { case (gf, meta) => gf.commit(meta) }
+    }
+    assert(e.getMessage.contains("manifest"))
+    assert(SnapshotRoot.currentDir(root) == cur,
+      "a refused commit must leave the pointer on the old snapshot")
+  }
 }
