@@ -47,6 +47,13 @@ object Bench {
       // cores; 8 MB splits restore scan parallelism. (On a real
       // cluster with TB-scale tables the default is correct.)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // explicit-file reads (BucketStore.readExact/readChecked) pass
+      // per-file root paths; above the default threshold (32) Spark
+      // spawns a distributed listing JOB per read -- pure scheduler
+      // overhead on a local FS. (On a real cluster against object
+      // storage the distributed listing is right; this is a local-mode
+      // knob like maxPartitionBytes above.)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -197,8 +204,53 @@ object Bench {
         "\"" + k + "\":" + v.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    // host-drift control (VERDICT r15 task 6): median per-query min
+    // ratio vs the newest committed BENCH_LOCAL_r*.json, with the
+    // pure-scan witness queries' ratios alongside — SCALE.md's
+    // ratio-over-control rule emitted INTO the artifact, so every
+    // bench line is self-normalizing (r15 ran on a host ~12% slower
+    // than r14; the control was judge-re-derived from prose that
+    // round). null when no baseline artifact is present in cwd.
+    val hostControlJson = {
+      val pat = "BENCH_LOCAL_r(\\d+)\\.json".r
+      val newest = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case pat(n) => Some((n.toInt, f)); case _ => None
+        }).sortBy(-_._1).headOption
+      newest.flatMap { case (_, f) =>
+        try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val qStart = txt.indexOf("\"queries\":{")
+          if (qStart < 0) None
+          else {
+            val sub = txt.substring(qStart + "\"queries\":".length)
+            val body = sub.substring(1, sub.indexOf('}'))
+            val prev = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val ratios = results.flatMap { case (k, cur) =>
+              prev.get(k).filter(p => p > 0 && cur > 0).map(p => k -> cur / p)
+            }
+            if (ratios.isEmpty) None
+            else {
+              val med = median(ratios.map(_._2).toVector)
+              val wits = Seq("q_stg_customers", "q_mv_segment")
+                .flatMap(w => ratios.collectFirst {
+                  case (`w`, r) => "\"" + w + "\":" + f"$r%.3f" })
+                .mkString("{", ",", "}")
+              Some(s"""{"baseline":"${f.getName}","median_min_ratio":${f"$med%.3f"},"n":${ratios.size},"witnesses":$wits}""")
+            }
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] host control failed: ${e.getMessage}")
+          None
+        }
+      }.getOrElse("null")
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stage_runs":$stageRunsJson,"counters":$countersJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stage_runs":$stageRunsJson,"counters":$countersJson,"host_control":$hostControlJson,"sf":"$sfDir"}"""
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it
     // to a file so the full queries/runs/errors maps are recoverable
@@ -235,7 +287,7 @@ object Bench {
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     def summaryWith(st: String, ct: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"counters":$ct,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"counters":$ct,"host_control":$hostControlJson,"sf":"$sfDir","detail":"target/bench_result.json"}"""
     val full = summaryWith(pinnedStages, pinnedCounters)
     // the 2000-char window is the contract this line exists for: if a
     // future stage addition outgrows it, say so and ship the headline

@@ -64,6 +64,12 @@ object RoutingBench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // ONE untimed warm-up per side (VERDICT r15 task 4): the first
+    // recorded iterations carried fixture-read + JIT warm-up (r15's
+    // unrouted vector read [26.8, 142.2, 5.5, 1.7, 5.3] — an 80x
+    // apparent spread), so the recorded vector is the steady-state
+    // band; the min-based headline is unchanged by construction
+    q(routedView); q(unroutedView)
     for (_ <- 1 to math.max(1, runs)) {
       routed = routed :+ time(q(routedView))
       unrouted = unrouted :+ time(q(unroutedView))
@@ -140,6 +146,13 @@ object RoutingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // explicit-file reads (BucketStore.readExact/readChecked) pass
+      // per-file root paths; above the default threshold (32) Spark
+      // spawns a distributed listing JOB per read -- pure scheduler
+      // overhead on a local FS. (On a real cluster against object
+      // storage the distributed listing is right; this is a local-mode
+      // knob like maxPartitionBytes above.)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
+      // explicit-file reads (BucketStore.readExact/readChecked) pass
+      // per-file root paths; above the default threshold (32) Spark
+      // spawns a distributed listing JOB per read — pure scheduler
+      // overhead on a local FS (local-mode knob, see Bench)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -303,7 +303,7 @@ object Bm25Index {
     val legs = d.agg(count(lit(1)).as("a"),
         count_distinct(col("doc_id")).as("b"))
       .select(lit("stats").as("t"), col("a"), col("b"), GuardedFold.noArr)
-      .unionByName(spark.read.schema(doclenSchema).parquet(s"$cur/doclen")
+      .unionByName(BucketStore.readChecked(spark, doclenSchema, cur, "doclen")
         .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("a"))
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
@@ -353,12 +353,19 @@ object Bm25Index {
     val qTerms = Bm25.queryTerms(query)
     val qBuckets = bucketsOf(spark, qTerms, nBuckets)
 
-    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+    // serve-path listing contract (VERDICT r15 task 2): each probe
+    // read validates Spark's OWN planned listing against the table's
+    // commit manifest at plan build — a silently short listing here
+    // returns wrong answers to a user query; the bucket-literal
+    // pruning below stays with the directory-shaped scan
+    val st = BucketStore.checkPlannedListing(
+        spark.read.schema(statsSchema).parquet(s"$cur/stats"), cur, "stats")
       .agg(sum("n_docs"), sum("tot_dl")).head()
     require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
     val nDocs = st.getLong(0); val totDl = st.getLong(1)
 
-    val dfAll = spark.read.schema(dfSchema).parquet(s"$cur/df")
+    val dfAll = BucketStore.checkPlannedListing(
+        spark.read.schema(dfSchema).parquet(s"$cur/df"), cur, "df")
       .filter(col("wbucket").isin(qBuckets: _*))
       .filter(col("w").isin(qTerms: _*))
       .groupBy("w").agg(sum("df").as("df"))
@@ -366,7 +373,9 @@ object Bm25Index {
       case Some(r) => dfAll.filter(col("df").cast("double") <= lit(r) * nDocs)
       case None => dfAll
     }
-    val tf = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+    val tf = BucketStore.checkPlannedListing(
+        spark.read.schema(postingsSchema).parquet(s"$cur/postings"),
+        cur, "postings")
       .filter(col("wbucket").isin(qBuckets: _*))
       .filter(col("w").isin(qTerms: _*))
       .join(broadcast(keep.select("w")), Seq("w"), "left_semi")
@@ -414,18 +423,23 @@ object Bm25Index {
     val qTerms = Bm25.queryTerms(query)
     val qBuckets = bucketsOf(spark, qTerms, nBuckets)
 
-    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+    // serve-path listing contract — see [[scoresFromState]]
+    val st = BucketStore.checkPlannedListing(
+        spark.read.schema(statsSchema).parquet(s"$cur/stats"), cur, "stats")
       .agg(sum("n_docs"), sum("tot_dl")).head()
     require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
     val nDocs = st.getLong(0); val totDl = st.getLong(1)
 
     def postingsFor(terms: Seq[String]) = {
       val tb = bucketsOf(spark, terms, nBuckets)
-      spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+      BucketStore.checkPlannedListing(
+          spark.read.schema(postingsSchema).parquet(s"$cur/postings"),
+          cur, "postings")
         .filter(col("wbucket").isin(tb: _*))
         .filter(col("w").isin(terms: _*))
     }
-    val dfAll = spark.read.schema(dfSchema).parquet(s"$cur/df")
+    val dfAll = BucketStore.checkPlannedListing(
+        spark.read.schema(dfSchema).parquet(s"$cur/df"), cur, "df")
       .filter(col("wbucket").isin(qBuckets: _*))
       .filter(col("w").isin(qTerms: _*))
       .groupBy("w").agg(sum("df").as("df"))
@@ -485,13 +499,18 @@ object Bm25Index {
       nBuckets: Int = 64): DataFrame = {
     requireSameParams(root, nBuckets)
     val cur = SnapshotRoot.currentDir(root)
-    val st = spark.read.schema(statsSchema).parquet(s"$cur/stats")
+    // serve-path listing contract — see [[scoresFromState]]
+    val st = BucketStore.checkPlannedListing(
+        spark.read.schema(statsSchema).parquet(s"$cur/stats"), cur, "stats")
       .agg(sum("n_docs")).head()
     require(!st.isNullAt(0) && st.getLong(0) > 0, "empty index")
     val nDocs = st.getLong(0)
-    val tf = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+    val tf = BucketStore.checkPlannedListing(
+        spark.read.schema(postingsSchema).parquet(s"$cur/postings"),
+        cur, "postings")
       .select("w", "doc_id", "tf")
-    val dfT = spark.read.schema(dfSchema).parquet(s"$cur/df")
+    val dfT = BucketStore.checkPlannedListing(
+        spark.read.schema(dfSchema).parquet(s"$cur/df"), cur, "df")
       .groupBy("w").agg(sum("df").as("df"))
     val scored = tf.join(dfT, "w")
       .withColumn("score",
@@ -519,7 +538,10 @@ object Bm25Index {
     val terms = phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
     val qBuckets = bucketsOf(spark, terms, nBuckets)
-    val posts = spark.read.schema(postingsSchema).parquet(s"$cur/postings")
+    // serve-path listing contract — see [[scoresFromState]]
+    val posts = BucketStore.checkPlannedListing(
+        spark.read.schema(postingsSchema).parquet(s"$cur/postings"),
+        cur, "postings")
       .filter(col("wbucket").isin(qBuckets: _*))
     def readFor(w: String) = posts.filter(col("w") === w)
     val base = readFor(terms.head)

@@ -131,6 +131,47 @@ private[graft] object BucketStore {
   def checkManifest(versionDir: String, table: String, listed: Int): Unit =
     requireManifest(versionDir, table, listed)
 
+  /** Manifest-checked exact read of a WHOLE table snapshot: enumerate
+    * the data files engine-side (throwing listings), count-validate
+    * against the commit manifest, then read exactly those files
+    * ([[readExact]]). This is the read posture for GUARD legs and
+    * serve paths (VERDICT r15 tasks 1-2): a silently short Spark-side
+    * listing in a guard leg UNDER-COUNTS the id overlap and can pass a
+    * guard that must refuse — admitting a duplicate id that
+    * first-observed-wins semantics then entrench; in a serve path it
+    * silently returns wrong query answers. The enumeration is one
+    * File.listFiles per bucket dir — microseconds against a fold or
+    * probe plan build. Empty tables read as an empty frame. */
+  def readChecked(spark: SparkSession, schema: StructType, cur: String,
+      table: String): DataFrame = {
+    val files = dirs(s"$cur/$table").flatMap(dataFiles).map(_.toString).toSeq
+    requireManifest(cur, table, files.length)
+    readExact(spark, schema, s"$cur/$table", files)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** Validate a directory-shaped read's OWN planned listing against
+    * the commit manifest, returning the frame unchanged. `df.inputFiles`
+    * reads the file index Spark built eagerly at `spark.read.parquet`
+    * time — the EXACT listing the scan will consume — so this closes
+    * the Spark-side short-listing window for serve/probe paths
+    * (VERDICT r15 task 2) where [[readChecked]]'s explicit-file
+    * enumeration would be wrong for the plan shape: partition-pruned
+    * probes (wbucket/__cell/dbucket literal predicates) keep their
+    * directory-shaped scan and its pruning metadata, and the check
+    * costs one in-memory array length — no extra listing. `atLeast`
+    * matches the store's commit mode (live-append stores may
+    * legitimately exceed a stale manifest; see
+    * [[checkManifestAtLeast]]). */
+  def checkPlannedListing(df: DataFrame, versionDir: String, table: String,
+      atLeast: Boolean = false): DataFrame = {
+    val listed = df.inputFiles.length
+    if (atLeast) checkManifestAtLeast(versionDir, table, listed)
+    else requireManifest(versionDir, table, listed)
+    df
+  }
+
   /** Live-append check: the listing may legitimately EXCEED the
     * manifest (a crash between an in-place append and its manifest
     * update leaves extra files, which downstream tolerates — duplicate

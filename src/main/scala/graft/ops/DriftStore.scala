@@ -104,7 +104,10 @@ object DriftStore {
     SnapshotRoot.flipAndGc(root, next)
   }
 
-  /** The live profile (readers pin the resolved snapshot). */
-  def profile(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(SnapshotRoot.currentDir(root))
+  /** The live profile (readers pin the resolved snapshot; Spark's
+    * planned listing is manifest-checked — VERDICT r15 task 2). */
+  def profile(spark: SparkSession, root: String): DataFrame = {
+    val cur = SnapshotRoot.currentDir(root)
+    BucketStore.checkPlannedListing(spark.read.parquet(cur), cur, "profile")
+  }
 }

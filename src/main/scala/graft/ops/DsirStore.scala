@@ -90,9 +90,12 @@ object DsirStore {
     SnapshotRoot.flipAndGc(root, next)
   }
 
-  /** The live model counts (readers pin the resolved snapshot). */
-  def counts(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(SnapshotRoot.currentDir(root))
+  /** The live model counts (readers pin the resolved snapshot; Spark's
+    * planned listing is manifest-checked — VERDICT r15 task 2). */
+  def counts(spark: SparkSession, root: String): DataFrame = {
+    val cur = SnapshotRoot.currentDir(root)
+    BucketStore.checkPlannedListing(spark.read.parquet(cur), cur, "model")
+  }
 
   /** Score a candidate pool against the STORED model (pool rows
     * matching `targetPred` are the reference, not candidates — same

@@ -108,7 +108,7 @@ object FingerprintStore {
     val legs = d.agg(count(lit(1)).as("a"),
         count_distinct(col("doc_id")).as("b"))
       .select(lit("stats").as("t"), col("a"), col("b"), GuardedFold.noArr)
-      .unionByName(spark.read.schema(schema).parquet(s"$cur/fps")
+      .unionByName(BucketStore.readChecked(spark, schema, cur, "fps")
         .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("a"))
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
@@ -134,10 +134,11 @@ object FingerprintStore {
     }))
   }
 
-  /** The live fingerprint table. */
+  /** The live fingerprint table (manifest-checked exact read — a
+    * short listing here silently shrinks every card built on it). */
   def readFps(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(schema)
-      .parquet(s"${SnapshotRoot.currentDir(root)}/fps")
+    BucketStore.readChecked(spark, schema,
+      SnapshotRoot.currentDir(root), "fps")
 
   /** Split-leakage card from the maintained state — the batch card's
     * exact shape ((pfp, split) distinct collapse BEFORE the self-join)

@@ -203,7 +203,13 @@ object IncrementalClusters {
     * pinned to the live snapshot at plan-build time — a concurrent
     * fold's pointer flip does not disturb it. */
   def readLabels(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(currentLabelsDir(path))
+    // Spark's OWN planned listing validated against the labels
+    // manifest (VERDICT r15 task 2): this frame is both the serve
+    // surface and the fold's guard input — a short listing would
+    // under-count the id-overlap guard or silently shrink answers
+    val dir = currentLabelsDir(path)
+    val raw = BucketStore.checkPlannedListing(
+      spark.read.parquet(dir), dir, "labels")
     val carried = raw.columns.filterNot(Set("doc_id", "component", "cbucket"))
     raw.select((col("doc_id").cast("long").as("doc_id") +:
       col("component").cast("long").as("component") +:
@@ -345,8 +351,12 @@ object IncrementalClusters {
     // it twice: edge build + new-key anti-join), never a shuffle. The
     // surviving rows are bounded by the delta's key set, so THEY can
     // broadcast into the edge join below.
+    // keys is a live-append store (at-least manifest mode): validate
+    // Spark's planned listing too — a short listing here misses corpus
+    // star-roots, silently treating a known key as new (wrong merges)
     val hit = cacheReg(
-      spark.read.parquet(curKeysDir)
+      BucketStore.checkPlannedListing(
+          spark.read.parquet(curKeysDir), curKeysDir, "keys", atLeast = true)
         .join(broadcast(dk.select("kidx", "k").distinct()), Seq("kidx", "k"), "left_semi"),
       actions = 3)
 

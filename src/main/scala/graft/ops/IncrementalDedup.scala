@@ -324,7 +324,13 @@ object IncrementalDedup {
     // the counts of delta-touched buckets), then a sum over a
     // delta-bucket-sized table.
     val dCounts = dBanded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-    val cCensus = spark.read.parquet(s"$indexPath/census")
+    // probe reads validate Spark's OWN planned listing against the
+    // index manifests (at-least — live-append layout): a short listing
+    // here under-counts occupancy / misses members / drops candidate
+    // text, each a silently-wrong dedup verdict (VERDICT r15 task 2)
+    val cCensus = BucketStore.checkPlannedListing(
+      spark.read.parquet(s"$indexPath/census"), indexPath, "census",
+      atLeast = true)
     val combined = Persists.cache(
       cCensus.join(bc(dCounts.select("band", "bucket")),
           Seq("band", "bucket"), "left_semi")
@@ -344,7 +350,9 @@ object IncrementalDedup {
 
     // members of surviving delta-touched buckets: corpus index rows
     // (broadcast-semi-pruned — no index shuffle) ∪ the delta's own rows
-    val members = spark.read.parquet(s"$indexPath/banded")
+    val members = BucketStore.checkPlannedListing(
+        spark.read.parquet(s"$indexPath/banded"), indexPath, "banded",
+        atLeast = true)
       .join(bc(okBuckets), Seq("band", "bucket"), "left_semi")
       .unionByName(dBanded.join(bc(okBuckets), Seq("band", "bucket"), "left_semi"))
 
@@ -383,7 +391,9 @@ object IncrementalDedup {
     val candBuckets = candIds
       .select(pmod(col("__id").cast("long"), lit(dBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val corpusCand = spark.read.parquet(s"$indexPath/docs")
+    val corpusCand = BucketStore.checkPlannedListing(
+        spark.read.parquet(s"$indexPath/docs"), indexPath, "docs",
+        atLeast = true)
       .filter(col("dbucket").isin(candBuckets: _*))
       .select(col(idCol), col(textCol))
     val verifyDocs = corpusCand.unionByName(delta.select(col(idCol), col(textCol)))

@@ -155,7 +155,7 @@ object IncrementalSegments {
       .unionByName(cand
         .agg(collect_set(col("fbucket")).as("arr"))
         .select(lit("fb").as("t"), lit(0L).as("a"), lit(0L).as("b"), col("arr")))
-      .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
+      .unionByName(BucketStore.readChecked(spark, docsSchema, cur, "docs")
         .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("a"))
         .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
@@ -171,8 +171,10 @@ object IncrementalSegments {
         s"$overlap delta doc_id(s) already present — delta ids must be new")
 
       // claims: candidate fingerprints the (bucket-pruned) store has
-      // not seen — the store streams, the delta broadcasts
-      val store = spark.read.schema(keepersSchema).parquet(s"$cur/keepers")
+      // not seen — the store streams, the delta broadcasts. A short
+      // listing here would under-detect "seen" and append duplicate
+      // keeper claims, so the read is manifest-checked + exact-files
+      val store = BucketStore.readChecked(spark, keepersSchema, cur, "keepers")
         .filter(col("fbucket").isin(fBuckets.map(Integer.valueOf): _*))
       val seen = store.join(broadcast(cand.select("fp")), Seq("fp"), "left_semi")
         .select("fp")
@@ -200,8 +202,8 @@ object IncrementalSegments {
   }
 
   def readKeepers(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(keepersSchema)
-      .parquet(s"${SnapshotRoot.currentDir(root)}/keepers")
+    BucketStore.readChecked(spark, keepersSchema,
+        SnapshotRoot.currentDir(root), "keepers")
       .select("fp", "doc_id", "pos")
 
   /** The per-doc dedup verdict over everything in the state — the
@@ -211,7 +213,7 @@ object IncrementalSegments {
   def dedupFromState(spark: SparkSession, root: String, n: Int = 16,
       sep: String = " "): DataFrame = {
     val cur = SnapshotRoot.currentDir(root)
-    val docs = spark.read.schema(docsSchema).parquet(s"$cur/docs")
+    val docs = BucketStore.readChecked(spark, docsSchema, cur, "docs")
       .select("doc_id", "source", "text")
     val segs = Persists.cacheFor(segsOf(docs, n), 2)
     val kept = segs.join(readKeepers(spark, root)

@@ -166,14 +166,14 @@ object IncrementalSpans {
     * boilerplate screens) from the maintained state instead of a
     * corpus re-gram. */
   def readGramDf(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(gramdfSchema)
-      .parquet(s"${SnapshotRoot.currentDir(root)}/gramdf")
+    BucketStore.readChecked(spark, gramdfSchema,
+        SnapshotRoot.currentDir(root), "gramdf")
       .groupBy("g").agg(sum("df").as("df"))
 
   /** The live span output (the [[DupSpans.duplicateSpans]] shape). */
   def readSpans(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(spansSchema)
-      .parquet(s"${SnapshotRoot.currentDir(root)}/spans")
+    BucketStore.readChecked(spark, spansSchema,
+        SnapshotRoot.currentDir(root), "spans")
       .select("doc_id", "span_start", "span_end", "n_docs_max")
 
   private def ledgerOf(dir: String): Seq[String] = {
@@ -294,9 +294,12 @@ object IncrementalSpans {
       // the two-phase shape, it never reinstates the exact broadcast.
       // no distinct on the semi's build: the broadcast build dedupes,
       // and a semi never multiplies matched store rows
+      // manifest-checked exact read (VERDICT r15 task 1): a short grams
+      // listing MISSES affected docs — their stale spans would carry
+      // into the new snapshot unrewritten, silently
       val dghSet = dgs.select(xxhash64(col("g")).as("gh"))
       val touchedDocs = Persists.cacheFor(
-        spark.read.schema(gramsSchema).parquet(s"$cur/grams")
+        BucketStore.readChecked(spark, gramsSchema, cur, "grams")
           .join(broadcast(dghSet), Seq("gh"), "left_semi")
           .select("doc_id").distinct(), 64)
 
@@ -309,7 +312,7 @@ object IncrementalSpans {
           countDistinct(col("doc_id")).as("b"),
           collect_set(dbucket(col("doc_id"), nBuckets)).as("arr"))
         .select(lit("stats").as("t"), col("a"), col("b"), col("arr"))
-        .unionByName(spark.read.schema(docsSchema).parquet(s"$cur/docs")
+        .unionByName(BucketStore.readChecked(spark, docsSchema, cur, "docs")
           .join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("a"))
           .select(lit("overlap").as("t"), col("a"), lit(0L).as("b"),
@@ -332,7 +335,9 @@ object IncrementalSpans {
       val dBucketsDelta = stats.getSeq[Int](3).toArray
 
       // ---- re-derive spans for affected ∪ delta
-      val affectedText = spark.read.schema(docsSchema).parquet(s"$cur/docs")
+      // commit-phase reads feeding the span re-derive (their rows land
+      // in the rewrite): same exact-read posture as the rewrite itself
+      val affectedText = BucketStore.readChecked(spark, docsSchema, cur, "docs")
         .filter(col("dbucket").isin(dBucketsTouched.map(Integer.valueOf): _*))
         .join(touchedDocs, "doc_id").select("doc_id", "text")
       val affGrams = Persists.cacheFor(gramsOf(affectedText, n).unionByName(dg), 64)
@@ -352,7 +357,7 @@ object IncrementalSpans {
       // harmlessly — same correctness argument as the hash-keyed
       // store.
       val needed = affGrams.select(xxhash64(col("g")).as("gh")).distinct()
-      val newDf = spark.read.schema(gramdfSchema).parquet(s"$cur/gramdf")
+      val newDf = BucketStore.readChecked(spark, gramdfSchema, cur, "gramdf")
         .select(col("g"), col("df"))
         .unionByName(dgs.select(col("g"), lit(1L).as("df")))
         .join(broadcast(needed), xxhash64(col("g")) === col("gh"), "left_semi")

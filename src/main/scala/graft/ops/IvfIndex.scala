@@ -306,7 +306,13 @@ object IvfIndex {
       .withColumn("__cell", explode(probeCellsExpr(col("__qv"), model, nprobe)))
     // metadata-scale collect: ≤ min(|queries|·nprobe, k) ints
     val cells = q.select("__cell").distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(SnapshotRoot.currentDir(path))
+    // probe-plan listing contract (VERDICT r15 task 2): validate
+    // Spark's own listing against the cells manifest (at-least — the
+    // store live-appends) while the literal partition predicate keeps
+    // its plan-gated pruning
+    val cur = SnapshotRoot.currentDir(path)
+    val c = BucketStore.checkPlannedListing(
+        spark.read.parquet(cur), cur, "cells", atLeast = true)
       .filter(col("__cell").isin(cells.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__cell"))
     val scored = c.join(broadcast(q), Seq("__cell"))

@@ -23,6 +23,13 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // explicit-file reads (BucketStore.readExact/readChecked) pass
+      // per-file root paths; above the default threshold (32) Spark
+      // spawns a distributed listing JOB per read -- pure scheduler
+      // overhead on a local FS. (On a real cluster against object
+      // storage the distributed listing is right; this is a local-mode
+      // knob like maxPartitionBytes above.)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

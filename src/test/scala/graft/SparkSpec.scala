@@ -21,6 +21,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      // local-mode knob (see Bench): explicit-file reads above 32 root
+      // paths otherwise spawn a distributed listing job per read
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

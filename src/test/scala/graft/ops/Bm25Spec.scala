@@ -49,6 +49,24 @@ class Bm25Spec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("serve-path probe is manifest-checked: a lost postings file refuses the probe (r16 tamper)") {
+    // the probe validates Spark's OWN planned listing against the
+    // commit manifest at plan build — a short listing would silently
+    // return wrong scores to a user query
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-tamper").toString + "/s"
+    Bm25Index.writeState(tiny, root, nBuckets = 8)
+    val cur = SnapshotRoot.currentDir(root)
+    val victims = Option(new java.io.File(s"$cur/postings").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty)
+    assert(victims.head.delete())
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.scoresFromState(spark, root, "cat bird", nBuckets = 8).collect()
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("tfidfFromState == lowered TF-IDF recompute over token-bearing docs") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-bm25-tfidf").toString + "/s"

@@ -75,4 +75,26 @@ class IncrementalSegmentsSpec extends SparkSpec {
     val r = card(IncrementalSegments.dedupFromState(spark, root, n = 4))
     assert(r(100L)._2 == 1L && r(1L)._2 == 0L)
   }
+
+  test("guard-leg store reads are manifest-checked: a lost docs file refuses the fold (r16 tamper)") {
+    // the id-overlap guard leg enumerates the docs store from its
+    // manifest-checked listing — a silently short listing would
+    // UNDER-COUNT the overlap and admit a duplicate id that
+    // first-observed-wins semantics then entrench
+    val root = java.nio.file.Files.createTempDirectory("inc_segs_tamper").toString
+    IncrementalSegments.writeState(frame(corpus), root, n = 4, nBuckets = 8)
+    val v = SnapshotRoot.currentVersion(root)
+    val victims = Option(new java.io.File(s"$root/$v/docs").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty)
+    assert(victims.head.delete())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSegments.applyDelta(spark, root, frame(delta1), n = 4,
+        nBuckets = 8)
+    }
+    assert(e.getMessage.contains("manifest"))
+    assert(SnapshotRoot.currentVersion(root) == v,
+      "a refused fold leaves the snapshot pointer unmoved")
+  }
 }

@@ -77,6 +77,21 @@ class IndexStoreSpec extends SparkSpec {
       .map(_.replaceAll(".*__cell=(\\d+)/.*", "$1").toInt)
     assert(grownCells == deltaCells,
       s"files appeared in cells $grownCells but the delta maps to $deltaCells")
+
+    // r16 tamper: the probe validates Spark's planned listing against
+    // the cells manifest (at-least mode — the store live-appends); a
+    // lost cell file must refuse the probe, not silently shrink the
+    // neighbor pool
+    val cur = SnapshotRoot.currentDir(s"$base/inc")
+    val victims = Option(new java.io.File(cur).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(victims.nonEmpty)
+    assert(victims.head.delete())
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topKIndexed(spark, s"$base/inc", queries, k = 5, model).collect()
+    }
+    assert(e.getMessage.contains("manifest"))
   }
 
   test("30 sequential folds: per-cell file count stays bounded by compaction; probe == rebuild") {
