@@ -94,6 +94,25 @@ object ScaleBench {
     // scans, and k stays fixed
     "q_chunks", "q_interval_left", "q_bm25_topk")
 
+  /** TOP-K EVICTION-REGIME probe samples (r10; extracted r16 so subset
+    * mode can re-read the row at higher n): `graft_topk` with doc-id-
+    * salted keys — distinct ≫ capacity — so each partition's sketch
+    * spends the scan displacing counters; the claim is LINEARITY
+    * (no superlinear eviction term). Returns every run's seconds. */
+  private def topkProbeSamples(spark: SparkSession, dir: String,
+      runs: Int): Vector[Double] = {
+    val toks = graft.model.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
+      .select(concat(col("tok"), lit("#"),
+        pmod(col("doc_id"), lit(1000000L)).cast("string")).as("key"))
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      toks.agg(expr("graft_topk(key, 20, 4096)"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.toVector
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
@@ -134,8 +153,11 @@ object ScaleBench {
     // goes to target/scale_subset.json.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // "topk_tokens" is addressable in subset mode too (r16, VERDICT
+    // r15 task 3): it is a standalone probe, not a Heavy query, but
+    // its ratio needed an n>=3 re-read like any other disputed row
     only.foreach { s =>
-      val unknown = s -- Heavy.toSet
+      val unknown = s -- Heavy.toSet - "topk_tokens"
       require(unknown.isEmpty, s"SPARK_GRAFT_SCALE_ONLY names unknown sweep rows: $unknown")
     }
     val heavy = only.fold(Heavy)(s => Heavy.filter(s))
@@ -169,15 +191,29 @@ object ScaleBench {
     if (only.isDefined) {
       // subset mode reports per-run samples, not just the min — the
       // question it answers is usually "variance or real term?"
-      def js(m: Map[String, Vector[Double]]) = heavy
+      val wantTopk = only.exists(_.contains("topk_tokens"))
+      val (tkBase, tkScaled) =
+        if (wantTopk) (topkProbeSamples(spark, baseDir, runs),
+          topkProbeSamples(spark, scaleDir, runs))
+        else (Vector.empty[Double], Vector.empty[Double])
+      def withTopk(m: Map[String, Vector[Double]], tk: Vector[Double]) =
+        if (wantTopk) m + ("topk_tokens" -> tk) else m
+      val rows = heavy ++ (if (wantTopk) Seq("topk_tokens") else Nil)
+      val allBase = withTopk(baseSamples, tkBase)
+      val allScaled = withTopk(scaledSamples, tkScaled)
+      def js(m: Map[String, Vector[Double]]) = rows
         .map(q => "\"" + q + "\":[" +
           m(q).map(v => f"$v%.3f").mkString(",") + "]")
         .mkString("{", ",", "}")
-      val subsetRatios = heavy
-        .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f")
+      // heavy rows keep the sweep's min/first-run policy (scaled/base
+      // maps); the probe row is min-of-n like its full-mode shape
+      val subsetRatios = rows
+        .map(q => "\"" + q + "\":" + f"${
+          if (q == "topk_tokens") tkScaled.min / tkBase.min
+          else scaled(q) / base(q)}%.2f")
         .mkString("{", ",", "}")
       val json =
-        s"""{"metric":"scale_subset","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_samples":${js(baseSamples)},"scaled_samples":${js(scaledSamples)},"ratio":$subsetRatios}"""
+        s"""{"metric":"scale_subset","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_samples":${js(allBase)},"scaled_samples":${js(allScaled)},"ratio":$subsetRatios}"""
       val out = java.nio.file.Paths.get("target/scale_subset.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
@@ -425,20 +461,8 @@ object ScaleBench {
     // LINEARITY (ratio ≈ R for R× updates): a naive O(capacity)
     // min-scan per eviction would superlinearize exactly here, where
     // non-resident inserts dominate.
-    def topkProbe(dir: String): Double = {
-      val toks = graft.model.Tables.documents(spark, dir)
-        .select(explode(split(col("text"), "\\s+")).as("tok"), col("doc_id"))
-        .select(concat(col("tok"), lit("#"),
-          pmod(col("doc_id"), lit(1000000L)).cast("string")).as("key"))
-      (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        toks.agg(expr("graft_topk(key, 20, 4096)"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    val topkBase = topkProbe(baseDir)
-    val topkScaled = topkProbe(scaleDir)
+    val topkBase = topkProbeSamples(spark, baseDir, runs).min
+    val topkScaled = topkProbeSamples(spark, scaleDir, runs).min
 
     def j(m: Map[String, Double]) = Heavy
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
