@@ -272,6 +272,25 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(ex.getMessage.contains("built with"))
   }
 
+  test("a commit handed a meta missing its scalar tags fails LOUDLY, never as a no-op fold (ADVICE r16)") {
+    // the driver-path scalar tags (overlap, new_keys) are groupBy().agg
+    // legs — exactly one row when dispatch is correct — so a lost-legs
+    // dispatch (empty or mis-routed meta) must throw, not pass
+    // guard(0,0,0) and complete as a ledger-less silent no-op
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-cc-scalar").toString
+    IncrementalClusters.writeState(corpusKeyed, "doc_id", Seq("k1", "k2"), path, NB)
+    val v1 = IncrementalClusters.currentLabelsDir(path)
+    val g = IncrementalClusters.prepareFold(spark, path, deltaKeyed, "doc_id",
+      Seq("k1", "k2"), NB)
+    val dispatched = GuardedFold.collectAll(Seq("clusters" -> g.get))
+    dispatched.foreach { case (gf, meta) =>
+      val e = intercept[IllegalArgumentException] { gf.commit(meta - "overlap") }
+      assert(e.getMessage.contains("exactly one row"))
+    }
+    assert(IncrementalClusters.currentLabelsDir(path) == v1,
+      "a refused commit must leave the pointer on the old snapshot")
+  }
+
   test("a labels file lost BETWEEN collect and commit refuses the fold (ADVICE r16 tamper)") {
     // the prepare-time manifest check is stale by commit time; the
     // commit re-validates the listing it is about to enumerate — a lost

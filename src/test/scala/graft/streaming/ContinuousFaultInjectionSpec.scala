@@ -233,4 +233,95 @@ class ContinuousFaultInjectionSpec extends SparkSpec {
     graft.ops.Persists.releaseAll()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
   }
+
+  test("a tampered GUARD-LEG store (segments docs) fails the batch at prepare; restore -> retry") {
+    // third class (r16): the bm25 case fails at the APPEND's manifest
+    // check and the drift case at the merge-rewrite read; this one hits
+    // the GUARD LEG itself — the id-overlap leg enumerates the docs
+    // store via BucketStore.readChecked at prepare, so a lost docs file
+    // refuses the batch BEFORE any overlap count can be silently
+    // under-counted (the corruption the r16 guard-read campaign closes:
+    // a short listing passing a guard that must refuse)
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val p = java.nio.file.Files.createTempDirectory("graft-faultinj-segs").toString
+    IncrementalDedup.writeIndex(corpus, s"$p/index")
+    IncrementalClusters.writeState(keyedOf(corpus), "doc_id", Seq("k1", "k2"),
+      s"$p/state", nBuckets = 16)
+    DriftStore.writeProfile(corpus, s"$p/drift")
+    IncrementalSpans.writeState(corpus.select("doc_id", "text"), s"$p/spans",
+      n = 8, nBuckets = 16)
+    graft.ops.IncrementalSegments.writeState(
+      corpus.select("doc_id", "source", "text"), s"$p/segs", nBuckets = 16)
+
+    def drain(): Long = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$p/feed/b*")
+      ContinuousIngest.run(stream, s"$p/index", s"$p/state",
+        s"$p/pairs", s"$p/drift", s"$p/spans", keyedOf,
+        spanN = 8, spanBuckets = 16, nBuckets = 16,
+        checkpoint = Some(s"$p/ckpt"), segmentsRoot = Some(s"$p/segs"))
+    }
+    def statusOf5(): Map[String, (Long, String)] =
+      ContinuousIngest.status(spark, Map(
+        "dedup_index" -> s"$p/index", "clusters" -> s"$p/state/labels",
+        "drift" -> s"$p/drift", "spans" -> s"$p/spans",
+        "segments" -> s"$p/segs"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    docs.filter(col("doc_id") % 4 === 1).coalesce(1).write.parquet(s"$p/feed/b1")
+    assert(drain() == 1)
+    val fid1 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 1)).get
+    assert(statusOf5().values.forall(_ == ((1L, fid1))))
+    val segsVerBefore = SnapshotRoot.currentVersion(s"$p/segs")
+
+    // tamper the docs table — the GUARD input, not a rewrite input
+    val docsDir = new java.io.File(
+      s"${SnapshotRoot.currentDir(s"$p/segs")}/docs")
+    val victim = SnapshotRoot.listDir(docsDir)
+      .filter(_.isDirectory).flatMap(SnapshotRoot.listDir)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .head
+    val stash = java.nio.file.Paths.get(p, "stashed_" + victim.getName)
+    java.nio.file.Files.move(victim.toPath, stash)
+
+    docs.filter(col("doc_id") % 4 === 2).coalesce(1).write.parquet(s"$p/feed/b2")
+    docs.filter(col("doc_id") % 4 === 3).coalesce(1).write.parquet(s"$p/feed/b3")
+    val e = intercept[Exception] { drain() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("manifest")),
+      s"expected a manifest refusal, got: ${chain(e)}")
+    val fid2 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 2)).get
+    val st2 = statusOf5()
+    assert(st2("segments") == ((1L, fid1)),
+      s"tampered segments store must not advance: ${st2("segments")}")
+    assert(SnapshotRoot.currentVersion(s"$p/segs") == segsVerBefore)
+    st2.foreach { case (fam, s) =>
+      assert(s == ((1L, fid1)) || s == ((2L, fid2)),
+        s"family $fam in a state its ledger doesn't record: $s")
+    }
+
+    java.nio.file.Files.move(stash, victim.toPath)
+    assert(drain() == 2)
+    val fid3 = Folds.contentFoldId(docs.filter(col("doc_id") % 4 === 3)).get
+    assert(statusOf5().values.forall(_ == ((3L, fid3))))
+    // final-state equality: one keeper per distinct fingerprint and the
+    // kept-segment total equals the batch dedup's over the union
+    val keepers = graft.ops.IncrementalSegments.readKeepers(spark, s"$p/segs")
+      .collect()
+    assert(keepers.map(_.getString(0)).distinct.length == keepers.length)
+    val incKept = graft.ops.IncrementalSegments
+      .dedupFromState(spark, s"$p/segs")
+      .agg(sum("kept_segments")).head().getLong(0)
+    val batchKept = graft.ops.SegmentDedup.dedup(docs,
+        graft.ops.SegmentDedup.tokenWindows(col("text"), 16), sep = " ")
+      .agg(sum("kept_segments")).head().getLong(0)
+    assert(incKept == batchKept && incKept == keepers.length,
+      "segment state after tamper+retry == batch dedup over the union")
+
+    graft.ops.Persists.releaseAll()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+  }
 }
