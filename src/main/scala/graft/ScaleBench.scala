@@ -145,7 +145,9 @@ object ScaleBench {
     // repeat runs replay the staged parquet, so the min would record
     // the replay, not the pipeline — its FIRST run is the number (same
     // policy as Bench's singleRun set).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    // clamp like the sibling mains (ADVICE r16): SPARK_GRAFT_SCALE_RUNS=0
+    // in subset mode otherwise yields empty sample vectors and .min throws
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
     // subset mode (r14, VERDICT r13 task 3): re-measure a handful of
     // sweep rows at higher n without paying the full ~50-query matrix —
     // the measure-or-explain loop for ratios that land above the

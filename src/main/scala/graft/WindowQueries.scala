@@ -375,8 +375,24 @@ object WindowQueries {
       .query(Seq("market_segment", "order_date"), Seq("trailing_30d_stddev"))
       .orderBy("market_segment", "order_date")
 
+  /** W1 through the SQL surface (VERDICT r16 task 5): the same
+    * trailing-7d window measure as [[trailing7d]], but via
+    * `spark.sql` MEASURE() expansion — directly hash-gated by the same
+    * DuckDB oracle instead of transitively via SqlMeasureSpec's
+    * SQL-equals-DataFrame gate. */
+  def sqlWindow(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.catalog(s, dir) // registers views for the SQL path
+    s.sql(
+      """SELECT order_date,
+        |       CAST(MEASURE(trailing_7d_revenue) AS DOUBLE) AS trailing_7d_revenue
+        |FROM mv_order_metrics
+        |GROUP BY order_date
+        |ORDER BY order_date""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_routed_window"          -> (routedWindow _),
+    "q_sql_window"             -> (sqlWindow _),
     "q_win_stddev"             -> (trailingStddev _),
     "q_win_trailing7d"         -> (trailing7d _),
     "q_win_trailing7d_segment" -> (trailing7dSegment _),
@@ -394,6 +410,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "q_routed_window"          -> trailingStddevSql,
+    "q_sql_window"             -> trailing7dSql,
     "q_win_stddev"             -> trailingStddevSql,
     "q_win_trailing7d"         -> trailing7dSql,
     "q_win_trailing7d_segment" -> trailing7dSegmentSql,
