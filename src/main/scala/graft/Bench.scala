@@ -31,8 +31,100 @@ import org.apache.spark.sql.SparkSession
   *     MEDIANS, `stage_runs` every rep. r11 reported n=1 stage splits
   *     sampled inside a contended full sweep, which is how the spans
   *     fold's 2× regression hid behind ambient drift.
+  *
+  * == Host controls (r15 suite-level, r17 stage-level) ==
+  * `host_control` is the median per-query min ratio vs a committed
+  * baseline BENCH_LOCAL artifact — it normalizes the INTERLEAVED
+  * suite. r16 proved it does NOT transfer to the dedicated stage pass
+  * run minutes later in the same session (suite ratio 0.851 while the
+  * stage passes ran 1.3–1.8× hot, so dividing by it moved the
+  * stream_fold reading AWAY from its band). So the stage pass carries
+  * its OWN control: a fixed mid-weight witness query (~2–3 s at
+  * sf0.1; sub-second witnesses over-read bursts, r16) brackets every
+  * stage rep, each rep's readings divide by the host-speed ratio
+  * measured in that rep's own time window, and `stages_normalized` is
+  * the per-stage median of those normalized reps. Band checks
+  * (SCALE.md) read `stages_normalized` when a baseline is present and
+  * fall back to raw `stages` otherwise.
   */
 object Bench {
+
+  private[graft] def median(v: Vector[Double]): Double = {
+    val s = v.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Top-level `"key":{...numbers...}` map extracted with a
+    * balanced-brace scan anchored on the writer's own key shape —
+    * the r16 parse took `substring` to the FIRST '}' after the first
+    * `"queries"`, which silently degrades on any format evolution
+    * (ADVICE r16). Returns empty on a missing key; the caller gates
+    * plausibility. */
+  private[graft] def numberMap(txt: String, key: String): Map[String, Double] = {
+    val anchor = "\"" + key + "\":{"
+    val start = txt.indexOf(anchor)
+    if (start < 0) return Map.empty
+    val open = start + anchor.length - 1
+    var depth = 0
+    var end = -1
+    var j = open
+    while (j < txt.length && end < 0) {
+      txt.charAt(j) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (end < 0) return Map.empty
+    "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+      .findAllMatchIn(txt.substring(open + 1, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Host-drift baseline every control in this run divides by:
+    * pinned via SPARK_GRAFT_BENCH_BASELINE (ADVICE r16 — a re-run
+    * after committing the current round's own artifact otherwise
+    * self-compares at ~1.0, masking drift exactly during A/B triage),
+    * else the newest committed BENCH_LOCAL_r*.json in cwd. Returns
+    * (name, per-query min map, per-query median map). A parse that
+    * yields an implausibly small queries map fails VISIBLY to stderr
+    * instead of silently emitting a null control. */
+  private[graft] def loadBaseline(sfDir: String): Option[(String, Map[String, Double], Map[String, Double])] = {
+    val pat = "BENCH_LOCAL_r(\\d+)\\.json".r
+    val file = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(p => new java.io.File(p))
+      .orElse {
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case pat(n) => Some((n.toInt, f)); case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+      }
+    file.flatMap { f =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val qs = numberMap(txt, "queries")
+        val meds = numberMap(txt, "medians")
+        if (qs.size < 20) sys.error(
+          s"implausible queries map (${qs.size} entries) — format drift?")
+        // a control vs a different scale factor is not host drift, it
+        // is the workload itself — refuse rather than emit garbage
+        // (smoke runs at sf0.001 otherwise divide by sf0.1 numbers)
+        val sfPat = "\"sf\":\"([^\"]+)\"".r
+        sfPat.findFirstMatchIn(txt).map(_.group(1)).filter(_ != sfDir)
+          .foreach(bSf => sys.error(s"baseline measured at $bSf, this run is $sfDir"))
+        Some((f.getName, qs, meds))
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] baseline load FAILED (${f.getName}): ${e.getMessage}")
+        None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,20 +193,48 @@ object Bench {
     }
     // 1. warm-up (untimed; builds every staged artifact)
     ordered.foreach { case (name, fn) => runOne(name, fn, record = false) }
+
+    // stage-owning = wrote a stageTimings entry during warm-up; known
+    // BEFORE the timed sweeps so a misconfigured witness fails in
+    // seconds, not after the ~90 min suite
+    val stageOwners = ordered.filter { case (n, _) =>
+      ExtQueries.stageTimings.contains(n) }
+    // Stage witness (VERDICT r16 task 1, header above): mid-weight,
+    // staging-free (the stage pass clears staging every rep — a
+    // staged-artifact consumer would time its own rebuild), and not a
+    // stage owner (its clock must not include the measured work).
+    // q_bigram_quality is a pure two-pass LM aggregate over the
+    // documents table, ~2.5-3 s at sf0.1.
+    val witnessName = sys.env.getOrElse("SPARK_GRAFT_STAGE_WITNESS", "q_bigram_quality")
+    val witnessFn = SparkEntry.queries.getOrElse(witnessName,
+      sys.error(s"unknown stage witness $witnessName"))
+    require(!stageOwners.exists(_._1 == witnessName),
+      s"stage witness $witnessName owns a stage — pick a staging-free query")
+
     // 2. timed interleaved sweeps
     for (_ <- 1 to runs; (name, fn) <- ordered) runOne(name, fn, record = true)
 
     // 3. dedicated stage pass: per rep, clear staging and re-run every
-    // stage-owning query so its build records fresh per-stage clocks.
-    // Stage-owning = wrote a stageTimings entry during warm-up/sweeps.
-    val stageOwners = ordered.filter { case (n, _) =>
-      ExtQueries.stageTimings.contains(n) }
+    // stage-owning query so its build records fresh per-stage clocks,
+    // with a witness probe BRACKETING each rep (before rep 1 and after
+    // every rep) so each rep carries a control from its own window.
     val stageSamples = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
     // counters (counts, not seconds) collected apart from the stage
     // durations so artifact consumers never misread a count as seconds
     val counterSamples = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[String, Vector[Long]]]()
+    var witnessRuns = Vector.empty[Double]
+    def witnessProbe(): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        witnessFn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        witnessRuns = witnessRuns :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stage witness failed: ${e.getMessage}")
+      }
+    }
+    witnessProbe()
     for (_ <- 1 to stageRuns) {
       ExtQueries.clearStaging()
       ExtQueries.stageTimings.clear()
@@ -138,14 +258,9 @@ object Bench {
           System.err.println(s"[bench] stage pass $name failed: ${e.getMessage}")
         }
       }
+      witnessProbe()
     }
 
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted
-      if (s.isEmpty) -1.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val results = times.toSeq.map { case (k, ts) =>
       (k, if (ts.isEmpty) -1.0 else ts.min)
     }
@@ -178,20 +293,79 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ROUTING_REPLICAS", "512").toInt))
       catch { case e: Throwable =>
         System.err.println(s"[bench] routing bench failed: ${e.getMessage}"); None }
-    // per-run samples for BOTH sides (VERDICT r14 task 4): the band,
-    // not just the min, is the artifact — the unrouted min-of-3 swung
-    // the headline 16×→33× between rounds on host load alone
+    // per-run samples for BOTH sides (VERDICT r14 task 4) plus the
+    // medians (VERDICT r16 task 4): the band, not just the min, is the
+    // artifact — the unrouted min-of-3 swung the headline 16×→33×
+    // between rounds on host load alone, and the median is the
+    // spread-robust second statistic for bursty hosts
     val routingJson = routing.map { r =>
       val ur = r.unroutedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
       val rr = r.routedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
-      f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f,"unrouted_runs":$ur%s,"routed_runs":$rr%s}"""
+      f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f,"unrouted_median":${median(r.unroutedRuns)}%.3f,"routed_median":${median(r.routedRuns)}%.3f,"unrouted_runs":$ur%s,"routed_runs":$rr%s}"""
     }.getOrElse(""","routing_speedup":-1""")
+
+    // ---- host controls ----
+    val baseline = loadBaseline(sfDir)
+    // suite-level control (r15): median per-query min ratio vs the
+    // baseline, with the pure-scan witness queries' ratios alongside
+    val hostControlJson = baseline.flatMap { case (fname, prev, _) =>
+      val ratios = results.flatMap { case (k, cur) =>
+        prev.get(k).filter(p => p > 0 && cur > 0).map(p => k -> cur / p) }
+      if (ratios.isEmpty) None
+      else {
+        val med = median(ratios.map(_._2).toVector)
+        val wits = Seq("q_stg_customers", "q_mv_segment")
+          .flatMap(w => ratios.collectFirst {
+            case (`w`, r) => "\"" + w + "\":" + f"$r%.3f" })
+          .mkString("{", ",", "}")
+        Some(s"""{"baseline":"$fname","median_min_ratio":${f"$med%.3f"},"n":${ratios.size},"witnesses":$wits}""")
+      }
+    }.getOrElse("null")
+    // stage-level control (r17): witness medians + per-rep host-speed
+    // ratios vs the baseline's witness median. rep i's control is the
+    // mean of the witness runs bracketing it, divided by the quiet
+    // baseline value — >1 means rep i's window ran slow.
+    val witSuiteMed = median(times.getOrElse(witnessName, Vector.empty))
+    val witMed = median(witnessRuns)
+    val witBase = baseline.flatMap { case (_, prevQ, prevM) =>
+      prevM.get(witnessName).orElse(prevQ.get(witnessName)).filter(_ > 0) }
+    val repControls: Option[Vector[Double]] = witBase.flatMap { wb =>
+      if (witnessRuns.size == stageRuns + 1)
+        Some((0 until stageRuns).toVector.map(i =>
+          ((witnessRuns(i) + witnessRuns(i + 1)) / 2) / wb))
+      else None // a witness rep failed — per-rep pairing is broken
+    }
+    val stageWitnessJson = {
+      val runsS = witnessRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val baseS = witBase.map(b => f"$b%.4f").getOrElse("null")
+      val shc = witBase.filter(_ => witMed > 0)
+        .map(b => f"${witMed / b}%.3f").getOrElse("null")
+      val svs = if (witSuiteMed > 0 && witMed > 0)
+        f"${witMed / witSuiteMed}%.3f" else "null"
+      val prc = repControls.map(_.map(c => f"$c%.3f")
+        .mkString("[", ",", "]")).getOrElse("null")
+      s"""{"name":"$witnessName","runs":$runsS,"median":${f"$witMed%.3f"},"suite_median":${f"$witSuiteMed%.3f"},"baseline_median":$baseS,"stage_host_control":$shc,"stage_vs_suite":$svs,"per_rep_control":$prc}"""
+    }
+
     // per-stage MEDIANS from the dedicated pass (backward-compatible
-    // scalar shape), with every rep alongside
-    val stages = stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
-      "\"" + q + "\":" + ss.map { case (k, v) =>
-        "\"" + k + "\":" + f"${median(v)}%.3f" }.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
+    // scalar shape), raw and normalized-by-rep-control, with every
+    // rep alongside
+    val stageMedians: Seq[(String, Seq[(String, Double)])] =
+      stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
+        q -> ss.toSeq.map { case (st, v) => st -> median(v) } }
+    val stageNormMedians: Option[Seq[(String, Seq[(String, Double)])]] =
+      repControls.map { cs =>
+        stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
+          q -> ss.toSeq.map { case (st, v) =>
+            st -> median(v.zip(cs).map { case (raw, c) => raw / c }) } } }
+    def renderStages(src: Seq[(String, Seq[(String, Double)])]): String =
+      src.map { case (q, ss) =>
+        "\"" + q + "\":" + ss.map { case (k, v) =>
+          "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val stages = renderStages(stageMedians)
+    val stagesNormalized =
+      stageNormMedians.map(renderStages).getOrElse("null")
     val stageRunsJson = stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
       "\"" + q + "\":" + ss.map { case (k, v) =>
         "\"" + k + "\":" + v.map(x => f"$x%.3f").mkString("[", ",", "]")
@@ -204,100 +378,83 @@ object Bench {
         "\"" + k + "\":" + v.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    // host-drift control (VERDICT r15 task 6): median per-query min
-    // ratio vs the newest committed BENCH_LOCAL_r*.json, with the
-    // pure-scan witness queries' ratios alongside — SCALE.md's
-    // ratio-over-control rule emitted INTO the artifact, so every
-    // bench line is self-normalizing (r15 ran on a host ~12% slower
-    // than r14; the control was judge-re-derived from prose that
-    // round). null when no baseline artifact is present in cwd.
-    val hostControlJson = {
-      val pat = "BENCH_LOCAL_r(\\d+)\\.json".r
-      val newest = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case pat(n) => Some((n.toInt, f)); case _ => None
-        }).sortBy(-_._1).headOption
-      newest.flatMap { case (_, f) =>
-        try {
-          val txt = new String(
-            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          val qStart = txt.indexOf("\"queries\":{")
-          if (qStart < 0) None
-          else {
-            val sub = txt.substring(qStart + "\"queries\":".length)
-            val body = sub.substring(1, sub.indexOf('}'))
-            val prev = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r
-              .findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            val ratios = results.flatMap { case (k, cur) =>
-              prev.get(k).filter(p => p > 0 && cur > 0).map(p => k -> cur / p)
-            }
-            if (ratios.isEmpty) None
-            else {
-              val med = median(ratios.map(_._2).toVector)
-              val wits = Seq("q_stg_customers", "q_mv_segment")
-                .flatMap(w => ratios.collectFirst {
-                  case (`w`, r) => "\"" + w + "\":" + f"$r%.3f" })
-                .mkString("{", ",", "}")
-              Some(s"""{"baseline":"${f.getName}","median_min_ratio":${f"$med%.3f"},"n":${ratios.size},"witnesses":$wits}""")
-            }
-          }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] host control failed: ${e.getMessage}")
-          None
-        }
-      }.getOrElse("null")
-    }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stage_runs":$stageRunsJson,"counters":$countersJson,"host_control":$hostControlJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stages_normalized":$stagesNormalized,"stage_runs":$stageRunsJson,"counters":$countersJson,"stage_witness":$stageWitnessJson,"host_control":$hostControlJson,"sf":"$sfDir"}"""
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it
     // to a file so the full queries/runs/errors maps are recoverable
     val out = java.nio.file.Paths.get("target/bench_result.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
-    // the JSON lines are the LAST stdout acts, after all Spark activity
-    // is quiesced: r12's driver artifact lost its tail to a listener-bus
-    // stack trace printed after the line (VERDICT r12 task 2)
-    spark.stop()
-    println(json)
+
     // compact summary as the FINAL line (r14, VERDICT r13 task 2): the
     // full line outgrew the driver's 2000-char tail window at 135
-    // queries, so its tail parse read null. This line carries the
-    // headline numbers (total, query/error counts, routing with both
-    // sides' run bands, the BUDGET-PINNED stage medians and counters)
-    // in well under 2000 chars; the complete per-query maps stay in
-    // the full line above and in target/bench_result.json.
-    // Stages are CAPPED to the budget-pinned queries (ADVICE r14: the
-    // full map was ~1.1 KB and growing with instrumentation) — the
-    // pinned set is exactly what the round contract audits: spans fold
-    // ≤6s, clusters fold ≤4s, bm25 write<15/fold<10, stream_fold band.
+    // queries. This line carries the headline numbers (total,
+    // query/error counts, routing with both sides' bands and medians,
+    // the BUDGET-PINNED stage medians raw AND normalized, the stage
+    // witness control, counters) — the complete maps stay in the full
+    // line above and in target/bench_result.json.
+    // Stages are CAPPED to the budget-pinned queries (ADVICE r14) —
+    // the pinned set is exactly what the round contract audits: spans
+    // fold ≤6s, clusters fold ≤4s, bm25 write<15/fold<10, stream_fold
+    // band (SCALE.md).
     val pinned = Set("q_dup_spans_incremental", "q_dedup_clusters_incremental",
       "q_bm25_incremental", "q_stream_curation")
-    val pinnedStages = stageSamples.toSeq.sortBy(_._1)
-      .filter { case (q, _) => pinned(q) }.map { case (q, ss) =>
-        "\"" + q + "\":" + ss.map { case (k, v) =>
-          "\"" + k + "\":" + f"${median(v)}%.3f" }.mkString("{", ",", "}")
-      }.mkString("{", ",", "}")
+    // the band-checked stage keys — the minimum the summary must carry
+    val bandStages = Map(
+      "q_dup_spans_incremental" -> Set("fold"),
+      "q_dedup_clusters_incremental" -> Set("fold"),
+      "q_bm25_incremental" -> Set("write_state", "fold"),
+      "q_stream_curation" -> Set("stream_fold"))
+    def onlyQueries(src: Seq[(String, Seq[(String, Double)])], keep: Set[String]) =
+      src.filter { case (q, _) => keep(q) }
+    def onlyBand(src: Seq[(String, Seq[(String, Double)])]) =
+      src.flatMap { case (q, ss) =>
+        bandStages.get(q).map(ks =>
+          q -> ss.filter { case (k, _) => ks(k) })
+      }.filter(_._2.nonEmpty)
     val pinnedCounters = counterSamples.toSeq.sortBy(_._1)
       .filter { case (q, _) => pinned(q) }.map { case (q, cs) =>
         "\"" + q + "\":" + cs.map { case (k, v) =>
           "\"" + k + "\":" + v.mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    def summaryWith(st: String, ct: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"counters":$ct,"host_control":$hostControlJson,"sf":"$sfDir","detail":"target/bench_result.json"}"""
-    val full = summaryWith(pinnedStages, pinnedCounters)
-    // the 2000-char window is the contract this line exists for: if a
-    // future stage addition outgrows it, say so and ship the headline
-    // numbers without the stage map rather than a truncated line
-    val summary = if (full.length <= 1800) full else {
-      System.err.println(s"[bench] summary ${full.length} chars > 1800 — " +
-        "dropping pinned stages from the summary (full maps remain in " +
-        "the long line and target/bench_result.json)")
-      summaryWith("{}", "{}")
+    val witCompact = {
+      val shc = witBase.filter(_ => witMed > 0)
+        .map(b => f"${witMed / b}%.3f").getOrElse("null")
+      val svs = if (witSuiteMed > 0 && witMed > 0)
+        f"${witMed / witSuiteMed}%.3f" else "null"
+      s"""{"name":"$witnessName","median":${f"$witMed%.3f"},"stage_host_control":$shc,"stage_vs_suite":$svs}"""
     }
+    def summaryWith(st: String, stN: String, ct: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"stages_normalized":$stN,"stage_witness":$witCompact,"counters":$ct,"host_control":$hostControlJson,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+    val normBand = stageNormMedians
+      .map(s => renderStages(onlyBand(s))).getOrElse("null")
+    // degradation ladder, most→least informative, first fit ≤1600 of
+    // the driver's 2000-char tail window (r17: the r16 summary fit
+    // 1800 but an 800-char post-summary WARN evicted its head — the
+    // log-level clamp below is the real fix; the smaller cap is slack)
+    val candidates = Seq(
+      summaryWith(renderStages(onlyQueries(stageMedians, pinned)), normBand, pinnedCounters),
+      summaryWith(renderStages(onlyBand(stageMedians)), normBand, pinnedCounters),
+      summaryWith(renderStages(onlyBand(stageMedians)), normBand, "{}"),
+      summaryWith("{}", "null", "{}"))
+    val summary = candidates.find(_.length <= 1600).getOrElse(candidates.last)
+    if (summary != candidates.head)
+      System.err.println(s"[bench] summary degraded to ${summary.length} chars " +
+        "(full maps remain in the long line and target/bench_result.json)")
+
+    // the JSON lines are the LAST stdout acts, after all Spark activity
+    // is quiesced: r12 lost the tail to a listener-bus stack trace;
+    // r16 lost the summary's HEAD to a StateStore maintenance WARN
+    // logged AFTER the summary at JVM shutdown (VERDICT r16 task 2).
+    // Root level ERROR silences late maintenance/shutdown threads that
+    // outlive spark.stop(); stop() quiesces everything stoppable.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(json)
     println(summary)
+    System.out.flush()
   }
 }
