@@ -43,9 +43,13 @@ import org.apache.spark.sql.SparkSession
   * sf0.1; sub-second witnesses over-read bursts, r16) brackets every
   * stage rep, each rep's readings divide by the host-speed ratio
   * measured in that rep's own time window, and `stages_normalized` is
-  * the per-stage median of those normalized reps. Band checks
-  * (SCALE.md) read `stages_normalized` when a baseline is present and
-  * fall back to raw `stages` otherwise.
+  * the per-stage median of those normalized reps. The BAND GATE
+  * itself reads `stages_min` (SCALE.md r17): stage timings are
+  * lower-bounded, bursts only add, and r17 measured minutes-long
+  * bursts INSIDE reps that boundary witnesses read through — the min
+  * over dedicated full-rebuild reps is burst-robust while remaining
+  * fully sensitive to real regressions, which elevate every rep. The
+  * witness and `stages_normalized` stay as window evidence.
   */
 object Bench {
 
@@ -353,6 +357,19 @@ object Bench {
     val stageMedians: Seq[(String, Seq[(String, Double)])] =
       stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
         q -> ss.toSeq.map { case (st, v) => st -> median(v) } }
+    // per-stage MIN over the dedicated reps — the band-gate statistic
+    // (r17): stage timings are lower-bounded, so host contention only
+    // ever ADDS time, and the r17 run showed minutes-long bursts INSIDE
+    // reps that the boundary witnesses read right through (rep 5 ran
+    // 2.2x slow on every substage incl. trivial ones while its control
+    // read 0.987). Each rep is a complete fresh rebuild, so the min is
+    // a valid full measurement of the op — the same policy as the
+    // suite's min-of-5 — while staying exactly as sensitive to a real
+    // regression, which elevates every rep including the quietest.
+    val stageMins: Seq[(String, Seq[(String, Double)])] =
+      stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
+        q -> ss.toSeq.map { case (st, v) =>
+          st -> (if (v.isEmpty) -1.0 else v.min) } }
     val stageNormMedians: Option[Seq[(String, Seq[(String, Double)])]] =
       repControls.map { cs =>
         stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
@@ -364,6 +381,7 @@ object Bench {
           "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val stages = renderStages(stageMedians)
+    val stagesMin = renderStages(stageMins)
     val stagesNormalized =
       stageNormMedians.map(renderStages).getOrElse("null")
     val stageRunsJson = stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
@@ -380,7 +398,7 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stages_normalized":$stagesNormalized,"stage_runs":$stageRunsJson,"counters":$countersJson,"stage_witness":$stageWitnessJson,"host_control":$hostControlJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stages_min":$stagesMin,"stages_normalized":$stagesNormalized,"stage_runs":$stageRunsJson,"counters":$countersJson,"stage_witness":$stageWitnessJson,"host_control":$hostControlJson,"sf":"$sfDir"}"""
     // the artifact must survive stdout truncation (BENCH_r05 lost its
     // tail once the per-run arrays made the line long) — also write it
     // to a file so the full queries/runs/errors maps are recoverable
@@ -427,19 +445,22 @@ object Bench {
         f"${witMed / witSuiteMed}%.3f" else "null"
       s"""{"name":"$witnessName","median":${f"$witMed%.3f"},"stage_host_control":$shc,"stage_vs_suite":$svs}"""
     }
-    def summaryWith(st: String, stN: String, ct: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"stages_normalized":$stN,"stage_witness":$witCompact,"counters":$ct,"host_control":$hostControlJson,"sf":"$sfDir","detail":"target/bench_result.json"}"""
+    def summaryWith(st: String, stMin: String, stN: String, ct: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${lastErr.count { case (k, _) => times(k).isEmpty }}$routingJson,"stages":$st,"stages_min":$stMin,"stages_normalized":$stN,"stage_witness":$witCompact,"counters":$ct,"host_control":$hostControlJson,"sf":"$sfDir","detail":"target/bench_result.json"}"""
     val normBand = stageNormMedians
       .map(s => renderStages(onlyBand(s))).getOrElse("null")
+    // the band-gate statistic always rides the summary: min over reps
+    // for the band stages (SCALE.md r17 band rule)
+    val minBand = renderStages(onlyBand(stageMins))
     // degradation ladder, most→least informative, first fit ≤1600 of
     // the driver's 2000-char tail window (r17: the r16 summary fit
     // 1800 but an 800-char post-summary WARN evicted its head — the
     // log-level clamp below is the real fix; the smaller cap is slack)
     val candidates = Seq(
-      summaryWith(renderStages(onlyQueries(stageMedians, pinned)), normBand, pinnedCounters),
-      summaryWith(renderStages(onlyBand(stageMedians)), normBand, pinnedCounters),
-      summaryWith(renderStages(onlyBand(stageMedians)), normBand, "{}"),
-      summaryWith("{}", "null", "{}"))
+      summaryWith(renderStages(onlyQueries(stageMedians, pinned)), minBand, normBand, pinnedCounters),
+      summaryWith(renderStages(onlyBand(stageMedians)), minBand, normBand, pinnedCounters),
+      summaryWith(renderStages(onlyBand(stageMedians)), minBand, normBand, "{}"),
+      summaryWith("{}", minBand, "null", "{}"))
     val summary = candidates.find(_.length <= 1600).getOrElse(candidates.last)
     if (summary != candidates.head)
       System.err.println(s"[bench] summary degraded to ${summary.length} chars " +
