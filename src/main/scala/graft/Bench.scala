@@ -83,7 +83,9 @@ object Bench {
       j += 1
     }
     if (end < 0) return Map.empty
-    "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+    // value class must admit Scala's Double.toString E-notation incl.
+    // negative exponents ("1.0E-5" for sub-1e-3 timings)
+    "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
       .findAllMatchIn(txt.substring(open + 1, end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }

@@ -27,6 +27,13 @@ class BenchControlSpec extends AnyFunSuite {
     assert(Bench.numberMap(txt, "queries") == Map("q_a" -> 0.4))
   }
 
+  test("numberMap admits Double.toString E-notation incl. negative exponents") {
+    // a sub-1e-3 timing serializes as "1.0E-5" in the queries map
+    val txt = """{"queries":{"q_tiny":1.0E-5,"q_neg":-2.5,"q_exp":1.5E2}}"""
+    val m = Bench.numberMap(txt, "queries")
+    assert(m("q_tiny") == 1.0e-5 && m("q_neg") == -2.5 && m("q_exp") == 150.0)
+  }
+
   test("numberMap on a missing key is empty, not a crash") {
     assert(Bench.numberMap("""{"value":1}""", "queries").isEmpty)
     assert(Bench.numberMap("""{"queries":{"q_a":0.4""", "queries").isEmpty) // unbalanced
