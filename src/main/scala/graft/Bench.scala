@@ -60,6 +60,57 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Per-stage median of rep-control-normalized readings, paired by
+    * the rep INDEX each reading came from (ADVICE r17 medium: a failed
+    * stage-pass rep shortens that query's sample vector, and a
+    * positional zip then divides each surviving reading by the WRONG
+    * rep's control). `repIdx(q)` lists the rep index of each recorded
+    * sample in order; a stage whose reading count disagrees with the
+    * query's recorded rep indices reports -1 rather than mispair. */
+  private[graft] def normalizedMedians(
+      samples: Seq[(String, Seq[(String, Vector[Double])])],
+      repIdx: Map[String, Vector[Int]],
+      controls: Vector[Double]): Seq[(String, Seq[(String, Double)])] =
+    samples.map { case (q, ss) =>
+      val idxs = repIdx.getOrElse(q, Vector.empty)
+      q -> ss.map { case (st, v) =>
+        st -> (if (v.size == idxs.size && idxs.forall(_ < controls.size))
+                 median(v.zip(idxs).map { case (raw, i) => raw / controls(i) })
+               else -1.0)
+      }
+    }
+
+  /** Self-evaluating band gate (r17; limits from [[BandBudgets]] since
+    * r18 — one structure both enforced and printed, VERDICT r17
+    * task 4): the budgets applied to `stages_min`, so the artifact
+    * declares its own verdict instead of leaving the arithmetic to a
+    * reader. Triples are [reading, limit, pass]. The bm25 fold band
+    * additionally requires ZERO bucket compactions in every rep
+    * (ADVICE r17: `all_pass` used to check only the timings, so it
+    * could mask a compaction regression that invalidates the fold
+    * reading) — emitted as its own [total, 0, pass] triple. */
+  private[graft] def evalBands(
+      stageMins: Seq[(String, Seq[(String, Double)])],
+      counters: Map[String, Map[String, Vector[Long]]]): String = {
+    def minOf(q: String, st: String): Option[Double] =
+      stageMins.collectFirst { case (`q`, ss) => ss }.flatMap(
+        _.collectFirst { case (`st`, v) if v >= 0 => v })
+    val parts = BandBudgets.stageBands.map { b =>
+      minOf(b.query, b.stage)
+        .map(v => s""""${b.name}":[${f"$v%.3f"},${b.limit},${v <= b.limit}]""")
+        .getOrElse(s""""${b.name}":null""") // a missing stage FAILS all_pass
+    }
+    val comp = counters.get(BandBudgets.bm25CompactionQuery)
+      .flatMap(_.get(BandBudgets.bm25CompactionCounter))
+    val compJson = comp
+      .map(v => s""""bm25_zero_compactions":[${v.sum},0,${v.forall(_ == 0L)}]""")
+      .getOrElse(""""bm25_zero_compactions":null""")
+    val allPass = BandBudgets.stageBands.forall(b =>
+      minOf(b.query, b.stage).exists(_ <= b.limit)) &&
+      comp.exists(_.forall(_ == 0L))
+    s"""{${(parts :+ compJson).mkString(",")},"all_pass":$allPass}"""
+  }
+
   /** Top-level `"key":{...numbers...}` map extracted with a
     * balanced-brace scan anchored on the writer's own key shape —
     * the r16 parse took `substring` to the FIRST '}' after the first
@@ -230,6 +281,11 @@ object Bench {
     // durations so artifact consumers never misread a count as seconds
     val counterSamples = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[String, Vector[Long]]]()
+    // which rep index each recorded sample came from, per query —
+    // normalization pairs readings with controls BY INDEX (ADVICE r17:
+    // a failed rep otherwise shifts every later reading onto the wrong
+    // rep's control)
+    val stageRepIdx = scala.collection.mutable.LinkedHashMap[String, Vector[Int]]()
     var witnessRuns = Vector.empty[Double]
     def witnessProbe(): Unit = {
       val t0 = System.nanoTime()
@@ -241,7 +297,7 @@ object Bench {
       }
     }
     witnessProbe()
-    for (_ <- 1 to stageRuns) {
+    for (rep <- 0 until stageRuns) {
       ExtQueries.clearStaging()
       ExtQueries.stageTimings.clear()
       ExtQueries.stageCounters.clear()
@@ -249,6 +305,7 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           ExtQueries.stageTimings.get(name).foreach { ss =>
+            stageRepIdx(name) = stageRepIdx.getOrElse(name, Vector.empty) :+ rep
             val per = stageSamples.getOrElseUpdate(name,
               scala.collection.mutable.LinkedHashMap())
             ss.foreach { case (st, v) =>
@@ -307,7 +364,9 @@ object Bench {
     val routingJson = routing.map { r =>
       val ur = r.unroutedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
       val rr = r.routedRuns.map(x => f"$x%.3f").mkString("[", ",", "]")
-      f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f,"unrouted_median":${median(r.unroutedRuns)}%.3f,"routed_median":${median(r.routedRuns)}%.3f,"unrouted_runs":$ur%s,"routed_runs":$rr%s}"""
+      val uo = r.unroutedOutliers.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val ro = r.routedOutliers.map(x => f"$x%.3f").mkString("[", ",", "]")
+      f""","routing_speedup":${r.speedup}%.2f,"routing":{"replicas":${r.replicas},"unrouted_sec":${r.unroutedSec}%.3f,"routed_sec":${r.routedSec}%.3f,"unrouted_median":${median(r.unroutedRuns)}%.3f,"routed_median":${median(r.routedRuns)}%.3f,"unrouted_runs":$ur%s,"routed_runs":$rr%s,"unrouted_outliers":$uo%s,"routed_outliers":$ro%s}"""
     }.getOrElse(""","routing_speedup":-1""")
 
     // ---- host controls ----
@@ -374,9 +433,9 @@ object Bench {
           st -> (if (v.isEmpty) -1.0 else v.min) } }
     val stageNormMedians: Option[Seq[(String, Seq[(String, Double)])]] =
       repControls.map { cs =>
-        stageSamples.toSeq.sortBy(_._1).map { case (q, ss) =>
-          q -> ss.toSeq.map { case (st, v) =>
-            st -> median(v.zip(cs).map { case (raw, c) => raw / c }) } } }
+        normalizedMedians(
+          stageSamples.toSeq.sortBy(_._1).map { case (q, ss) => q -> ss.toSeq },
+          stageRepIdx.toMap, cs) }
     def renderStages(src: Seq[(String, Seq[(String, Double)])]): String =
       src.map { case (q, ss) =>
         "\"" + q + "\":" + ss.map { case (k, v) =>
@@ -399,30 +458,13 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
 
-    // Self-evaluating band gate (r17): the SCALE.md budgets applied to
-    // stages_min, so the artifact declares its own verdict instead of
-    // leaving the arithmetic to a reader. Only meaningful at the SF the
-    // bands were measured at (sf0.1); other SFs emit null. stream_fold's
-    // 19-22 window is descriptive of the quiet cost — the GATE is the
-    // <=22 upper edge (a lower reading is a faster host, not a failure).
-    val bandsJson = if (!sfDir.contains("sf0.1")) "null" else {
-      def minOf(q: String, st: String): Option[Double] =
-        stageMins.collectFirst { case (`q`, ss) => ss }.flatMap(
-          _.collectFirst { case (`st`, v) if v >= 0 => v })
-      val checks = Seq(
-        ("spans_fold", minOf("q_dup_spans_incremental", "fold"), 6.0),
-        ("clusters_fold", minOf("q_dedup_clusters_incremental", "fold"), 4.0),
-        ("bm25_write", minOf("q_bm25_incremental", "write_state"), 15.0),
-        ("bm25_fold", minOf("q_bm25_incremental", "fold"), 10.0),
-        ("stream_fold", minOf("q_stream_curation", "stream_fold"), 22.0))
-      // compact [min_over_reps, limit, pass] triples
-      val parts = checks.map { case (n, vOpt, lim) =>
-        vOpt.map(v => s""""$n":[${f"$v%.3f"},$lim,${v <= lim}]""")
-          .getOrElse(s""""$n":null""") // a missing stage FAILS all_pass below
-      }
-      val allPass = checks.forall { case (_, v, lim) => v.exists(_ <= lim) }
-      s"""{${parts.mkString(",")},"all_pass":$allPass}"""
-    }
+    // Self-evaluating band gate (r17; see evalBands — budgets live in
+    // BandBudgets, the one structure enforced AND printed). Only
+    // meaningful at the SF the bands were measured at (sf0.1); other
+    // SFs emit null.
+    val bandsJson = if (!sfDir.contains("sf0.1")) "null" else
+      evalBands(stageMins,
+        counterSamples.map { case (q, cs) => q -> cs.toMap }.toMap)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$runsJson,"errors":$errs$routingJson,"stages":$stages,"stages_min":$stagesMin,"stages_normalized":$stagesNormalized,"stage_runs":$stageRunsJson,"counters":$countersJson,"stage_witness":$stageWitnessJson,"host_control":$hostControlJson,"bands":$bandsJson,"sf":"$sfDir"}"""
     // the artifact must survive stdout truncation (BENCH_r05 lost its
@@ -481,13 +523,15 @@ object Bench {
     // degradation ladder, most→least informative, first fit ≤1600 of
     // the driver's 2000-char tail window (r17: the r16 summary fit
     // 1800 but an 800-char post-summary WARN evicted its head — the
-    // log-level clamp below is the real fix; the smaller cap is slack)
+    // log-level clamp below is the real fix; the smaller cap is slack.
+    // ADVICE r17: the cap now matches this comment — 1900 left only
+    // 100 chars of slack, smaller than the WARN that already failed)
     val candidates = Seq(
       summaryWith(renderStages(onlyQueries(stageMedians, pinned)), minBand, normBand, pinnedCounters),
       summaryWith(renderStages(onlyBand(stageMedians)), minBand, normBand, pinnedCounters),
       summaryWith(renderStages(onlyBand(stageMedians)), minBand, normBand, "{}"),
       summaryWith("{}", minBand, "null", "{}"))
-    val summary = candidates.find(_.length <= 1900).getOrElse(candidates.last)
+    val summary = candidates.find(_.length <= 1600).getOrElse(candidates.last)
     if (summary != candidates.head)
       System.err.println(s"[bench] summary degraded to ${summary.length} chars " +
         "(full maps remain in the long line and target/bench_result.json)")

@@ -3000,7 +3000,9 @@ object ExtQueries {
     * contracts are gated by ContinuousIngestSpec and their own oracle
     * queries. Stage split: offline builds (index_state_feed) vs the
     * 3-batch drain (stream_fold), plus per-family clocks. */
-  private def streamCurState(s: SparkSession, dir: String): String =
+  // private[graft] (r18): DaemonStatusContentSpec re-reads the staged
+  // daemon's ledger files independently to field-gate q_daemon_status
+  private[graft] def streamCurState(s: SparkSession, dir: String): String =
     stagedTempDir(stagedStreamCur, dir, "graft_stream_cur") { p =>
       val docs = Tables.documents(s, dir)
       val keyedOf = (df: DataFrame) => clusterKeyedOf(df)

@@ -94,6 +94,27 @@ object ScaleBench {
     // scans, and k stays fixed
     "q_chunks", "q_interval_left", "q_bm25_topk")
 
+  /** Self-evaluating sweep bands (VERDICT r17 task 1 — the exact
+    * reader-arithmetic gap the r17 bench bands closed, one artifact
+    * over): every incremental-fold ratio and the topk eviction probe
+    * checked against its [[BandBudgets.sweepBands]] ceiling, plus the
+    * CC fixpoint-depth flatness claim, as [reading, limit, pass]
+    * triples with an `all_pass` the artifact computes itself. A
+    * missing row fails all_pass rather than vanish. */
+  private[graft] def sweepBandsJson(ratios: Map[String, Double],
+      ccBase: Int, ccScaled: Int): String = {
+    val parts = BandBudgets.sweepBands.map { case (k, lim) =>
+      ratios.get(k)
+        .map(r => s""""$k":[${f"$r%.2f"},$lim,${r <= lim}]""")
+        .getOrElse(s""""$k":null""")
+    }
+    val ccLim = ccBase + BandBudgets.ccDepthSlack
+    val ccJson = s""""cc_depth":[$ccScaled,$ccLim,${ccScaled <= ccLim}]"""
+    val allPass = BandBudgets.sweepBands.forall { case (k, lim) =>
+      ratios.get(k).exists(_ <= lim) } && ccScaled <= ccLim
+    s"""{${(parts :+ ccJson).mkString(",")},"all_pass":$allPass}"""
+  }
+
   /** TOP-K EVICTION-REGIME probe samples (r10; extracted r16 so subset
     * mode can re-read the row at higher n): `graft_topk` with doc-id-
     * salted keys — distinct ≫ capacity — so each partition's sketch
@@ -470,7 +491,18 @@ object ScaleBench {
       .map(q => "\"" + q + "\":" + f"${m(q)}%.3f").mkString("{", ",", "}")
     val ratios = Heavy
       .map(q => "\"" + q + "\":" + f"${scaled(q) / base(q)}%.2f").mkString("{", ",", "}")
-    val json = (s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}},"inc_bm25_fixed_delta":{"base_sec":${f"$incBm25Base%.3f"},"scaled_sec":${f"$incBm25Scaled%.3f"},"ratio":${f"${incBm25Scaled / incBm25Base}%.2f"}},"inc_dsir_fixed_delta":{"base_sec":${f"$incDsirBase%.3f"},"scaled_sec":${f"$incDsirScaled%.3f"},"ratio":${f"${incDsirScaled / incDsirBase}%.2f"}}}""")
+    // one ratio list feeds the compact summary, the bands gate, and
+    // SCALE.md's documented keys — computed once
+    val incRatios: Seq[(String, Double)] = Seq(
+      "dedup" -> incScaled / incBase, "dedup_small" -> incSmScaled / incSmBase,
+      "clusters" -> incCcScaled / incCcBase,
+      "clusters_small" -> incCcSmScaled / incCcSmBase,
+      "ann" -> incAnnScaled / incAnnBase, "drift" -> incDriftScaled / incDriftBase,
+      "topk" -> topkScaled / topkBase, "spans" -> incSpansScaled / incSpansBase,
+      "segments" -> incSegsScaled / incSegsBase,
+      "bm25" -> incBm25Scaled / incBm25Base, "dsir" -> incDsirScaled / incDsirBase)
+    val bandsJson = sweepBandsJson(incRatios.toMap, baseRounds, scaledRounds)
+    val json = (s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"base_dir":"$baseDir","scale_dir":"$scaleDir","base_sec":${j(base)},"scaled_sec":${j(scaled)},"ratio":$ratios,"cc_rounds":{"base":$baseRounds,"scaled":$scaledRounds},"inc_dedup_fixed_delta":{"base_sec":${f"$incBase%.3f"},"scaled_sec":${f"$incScaled%.3f"},"ratio":${f"${incScaled / incBase}%.2f"}},"inc_dedup_small_delta":{"base_sec":${f"$incSmBase%.3f"},"scaled_sec":${f"$incSmScaled%.3f"},"ratio":${f"${incSmScaled / incSmBase}%.2f"}},"inc_clusters_fixed_delta":{"base_sec":${f"$incCcBase%.3f"},"scaled_sec":${f"$incCcScaled%.3f"},"ratio":${f"${incCcScaled / incCcBase}%.2f"},"touched_buckets":{"base":$incCcBaseTouched,"scaled":$incCcScaledTouched}},"inc_clusters_small_delta":{"base_sec":${f"$incCcSmBase%.3f"},"scaled_sec":${f"$incCcSmScaled%.3f"},"ratio":${f"${incCcSmScaled / incCcSmBase}%.2f"},"n_buckets":512,"touched_buckets":{"base":$incCcSmBaseTouched,"scaled":$incCcSmScaledTouched}},"inc_ann_fixed_delta":{"base_sec":${f"$incAnnBase%.3f"},"scaled_sec":${f"$incAnnScaled%.3f"},"ratio":${f"${incAnnScaled / incAnnBase}%.2f"}},"inc_drift_fixed_delta":{"base_sec":${f"$incDriftBase%.3f"},"scaled_sec":${f"$incDriftScaled%.3f"},"ratio":${f"${incDriftScaled / incDriftBase}%.2f"}},"topk_tokens":{"base_sec":${f"$topkBase%.3f"},"scaled_sec":${f"$topkScaled%.3f"},"ratio":${f"${topkScaled / topkBase}%.2f"}},"inc_spans_fixed_delta":{"base_sec":${f"$incSpansBase%.3f"},"scaled_sec":${f"$incSpansScaled%.3f"},"ratio":${f"${incSpansScaled / incSpansBase}%.2f"}},"inc_segments_fixed_delta":{"base_sec":${f"$incSegsBase%.3f"},"scaled_sec":${f"$incSegsScaled%.3f"},"ratio":${f"${incSegsScaled / incSegsBase}%.2f"}},"inc_bm25_fixed_delta":{"base_sec":${f"$incBm25Base%.3f"},"scaled_sec":${f"$incBm25Scaled%.3f"},"ratio":${f"${incBm25Scaled / incBm25Base}%.2f"}},"inc_dsir_fixed_delta":{"base_sec":${f"$incDsirBase%.3f"},"scaled_sec":${f"$incDsirScaled%.3f"},"ratio":${f"${incDsirScaled / incDsirBase}%.2f"}},"bands":$bandsJson}""")
     // same artifact defense as Bench (VERDICT r12 task 3): the r12
     // sweep's ratios existed only as stdout history — write the file
     // FIRST, then quiesce Spark, then print as the last stdout act
@@ -483,17 +515,12 @@ object ScaleBench {
     // 2, the Bench rule): the full line is several KB, so a 2000-char
     // tail reader gets an unparseable fragment — this line carries
     // every ratio in a few hundred chars.
-    val incRatio = Seq(
-      "dedup" -> incScaled / incBase, "dedup_small" -> incSmScaled / incSmBase,
-      "clusters" -> incCcScaled / incCcBase,
-      "clusters_small" -> incCcSmScaled / incCcSmBase,
-      "ann" -> incAnnScaled / incAnnBase, "drift" -> incDriftScaled / incDriftBase,
-      "topk" -> topkScaled / topkBase, "spans" -> incSpansScaled / incSpansBase,
-      "segments" -> incSegsScaled / incSegsBase,
-      "bm25" -> incBm25Scaled / incBm25Base, "dsir" -> incDsirScaled / incDsirBase)
+    val incRatio = incRatios
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"ratio":$ratios,"inc_ratio":$incRatio,"detail":"target/scale_result.json"}""")
+    // the bands verdict rides the compact summary too — a tail reader
+    // sees the gate without opening the detail file
+    println(s"""{"metric":"scale_sweep","replicas":$replicas,"runs":$runs,"ratio":$ratios,"inc_ratio":$incRatio,"bands":$bandsJson,"detail":"target/scale_result.json"}""")
   }
 
   /** Replicate-and-perturb the three LLM-pipeline tables into

@@ -32,6 +32,49 @@ import org.apache.spark.sql.functions._
   */
 object StageProbe {
 
+  /** Self-evaluating daemonfloor gate (VERDICT r17 task 2 — the
+    * artifact used to adjudicate in prose). Two parts, anchors and
+    * tolerances from [[graft.BandBudgets]]:
+    *
+    *  1. the SCALE.md r17 gate as pass booleans: min(drain_1batch) /
+    *     min(drain_3batch) within `drainTolerance` ABOVE the r14/r15
+    *     quiet-host anchors (a lower reading is a faster host) —
+    *     [reading, limit, pass] triples + `pass`;
+    *  2. the quiet-session detector: two CONSECUTIVE reps whose
+    *     1-batch AND 3-batch drains agree within `quietTolerance` and
+    *     sit at anchor level. When it fires, the intercept read from
+    *     that window — f = (min d3 − min d1)/2 over the quiet pair —
+    *     is a valid floor measurement, recorded with its verdict
+    *     against the ≤`interceptFloor` target so the floor stops
+    *     being carried on r15's authority. When it never fires the
+    *     artifact says so (`"fired":false`), which is itself the
+    *     adjudication ("no quiet session this run").
+    */
+  private[tools] def daemonfloorGateJson(
+      d1: Vector[Double], d3: Vector[Double]): String = {
+    import graft.BandBudgets._
+    require(d1.nonEmpty && d1.size == d3.size, "paired drain vectors required")
+    val lim1 = drain1Anchor * (1 + drainTolerance)
+    val lim3 = drain3Anchor * (1 + drainTolerance)
+    val m1 = d1.min
+    val m3 = d3.min
+    def close(a: Double, b: Double, tol: Double) =
+      math.max(a, b) / math.min(a, b) <= 1 + tol
+    val quietIdx = (0 until d1.size - 1).find { i =>
+      close(d1(i), d1(i + 1), quietTolerance) &&
+        close(d3(i), d3(i + 1), quietTolerance) &&
+        math.min(d1(i), d1(i + 1)) <= drain1Anchor * (1 + quietTolerance) &&
+        math.min(d3(i), d3(i + 1)) <= drain3Anchor * (1 + quietTolerance)
+    }
+    val quietJson = quietIdx.map { i =>
+      val f = (math.min(d3(i), d3(i + 1)) - math.min(d1(i), d1(i + 1))) / 2
+      val confirmed = f <= interceptFloor
+      s""""quiet":{"fired":true,"reps":[${i + 1},${i + 2}],"intercept_f":${f"$f%.2f"},"floor":$interceptFloor,"floor_confirmed":$confirmed}"""
+    }.getOrElse(""""quiet":{"fired":false}""")
+    val pass = m1 <= lim1 && m3 <= lim3
+    s"""{"drain_1batch_min":[${f"$m1%.2f"},${f"$lim1%.2f"},${m1 <= lim1}],"drain_3batch_min":[${f"$m3%.2f"},${f"$lim3%.2f"},${m3 <= lim3}],"anchors":{"drain_1batch":$drain1Anchor,"drain_3batch":$drain3Anchor,"tolerance":$drainTolerance},"pass":$pass,$quietJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ab")) { runAb(args.drop(1)); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +103,9 @@ object StageProbe {
     // per-family per-label sample vectors, for the PROBE_JSON lines
     val recorded = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
+    // daemonfloor's self-evaluated gate, emitted as the final stdout
+    // act and as target/stageprobe_daemonfloor.json
+    var daemonfloorGate: Option[String] = None
     var currentFamily = ""
     def record(label: String, t: Double): Unit = {
       val per = recorded.getOrElseUpdate(currentFamily,
@@ -216,6 +262,10 @@ object StageProbe {
       println(f"medians: 1-batch ${med(oneB.toSeq)}%.2f s, " +
         f"3-batch ${med(threeB.toSeq)}%.2f s, " +
         f"fixed cost/batch ${(med(threeB.toSeq) - med(oneB.toSeq)) / 2}%.2f s")
+      // self-evaluating gate + quiet-session detector (VERDICT r17
+      // task 2) — written to its own artifact file and queued for the
+      // final stdout line (after PROBE_JSON, Spark quiesced)
+      daemonfloorGate = Some(daemonfloorGateJson(oneB.toVector, threeB.toVector))
     }
 
     if (families("streamcur")) {
@@ -277,6 +327,17 @@ object StageProbe {
         "\"" + k + "\":" + v.map(x => f"$x%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       println(s"""PROBE_JSON {"probe":"$fam","reps":$reps,"stages":$st}""")
+    }
+    daemonfloorGate.foreach { gate =>
+      val runsJson = recorded.get("daemonfloor").map(_.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(x => f"$x%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")).getOrElse("{}")
+      val json =
+        s"""{"metric":"daemonfloor_gate","reps":$reps,"runs":$runsJson,"gate":$gate}"""
+      val out = java.nio.file.Paths.get("target/stageprobe_daemonfloor.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      println(s"DAEMONFLOOR_JSON $json")
     }
   }
 
