@@ -203,6 +203,17 @@ object Bench {
       // storage the distributed listing is right; this is a local-mode
       // knob like maxPartitionBytes above.)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // r18 (guide §1 measured, §4 expression/codegen): the generated-
+      // class cache defaults to 100 entries per JVM; a suite of 136
+      // distinct queries cycles ~10x that many codegen units per sweep,
+      // so EVERY query re-Janino-compiled its stages on EVERY run
+      // (~30% of total suite time, measured 134.5 -> 95.7 s at sf0.1).
+      // Not a local-mode knob: executors pay the same compile on a
+      // cluster whenever a deployment runs a query library larger than
+      // the default cache. Sized to hold this suite with headroom
+      // (~5k classes x ~10-50 KB bytecode - bounded metaspace cost).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

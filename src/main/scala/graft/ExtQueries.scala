@@ -13,13 +13,22 @@ object ExtQueries {
   // ------------------------------------------------------------ text analysis
 
   /** Token counting + quality scoring over documents (per-row HOFs,
-    * fully codegen'd — no shuffle). */
+    * fully codegen'd — no shuffle).
+    *
+    * Sorted BEFORE the stats projection (r18, guide §7.2 duplicated
+    * subtrees): a global orderBy's range-partitioning pass samples its
+    * CHILD, so `project-then-sort` evaluated the whole stats
+    * expression tree twice per run (once for boundary sampling, once
+    * for real). Sorting the slim (doc_id, text) scan first and
+    * projecting after the exchange computes the stats exactly once;
+    * doc_id is unique, so row order — and the hash oracle — are
+    * unchanged. */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    TextOps.textStats(Tables.documents(s, dir))
+    TextOps.textStats(
+        Tables.documents(s, dir).select("doc_id", "text").orderBy("doc_id"))
       .select("doc_id", "token_count", "bpe_token_count", "char_count",
         "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio",
         "quality_score")
-      .orderBy("doc_id")
 
   val textStatsSql: String =
     """WITH toks AS (
@@ -347,9 +356,13 @@ object ExtQueries {
     * is spec-tested; the marker-scoring contract itself is oracled —
     * the same marker sets + argmax fold re-expressed in DuckDB SQL). */
   def langId(s: SparkSession, dir: String): DataFrame =
+    // sort-then-project (r18): see textStats — projecting langId before
+    // the global orderBy evaluated the marker scans twice (range-bound
+    // sampling re-runs the projection); doc_id is unique so the final
+    // order is identical
     Tables.documents(s, dir)
+      .select("doc_id", "text").orderBy("doc_id")
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
 
   /** DuckDB re-expression of TextOps.langId: same marker sets, same
     * `score / (|tokens|+1)` arithmetic, same strict-improvement argmax
@@ -1473,7 +1486,9 @@ object ExtQueries {
     * DuckDB re-derives the bit-vote fold exactly (VERDICT r6 task 6 —
     * the same swap that oracled minhash in r6). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
-    SimHash.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")
+    // sort-then-project (r18): see textStats — one simhash pass, not two
+    SimHash.fingerprints(
+      Tables.documents(s, dir).select("doc_id", "text").orderBy("doc_id"))
 
   /** DuckDB re-expression of [[SimHash.simhash]]: PolyHash61 per
     * lower-cased whitespace token, then each hash votes ±1 on each of
@@ -3755,12 +3770,14 @@ object ExtQueries {
       when(col("doc_id") % 7 === 0, lit("call 555-123-4567")),
       when(col("doc_id") % 13 === 0, lit("from 10.0.0.1")),
       col("text")).as("text"))
-    injected.select(col("doc_id"),
+    // sort-then-project (r18): see textStats — the four regex passes
+    // used to run twice under the terminal orderBy's range sampling
+    injected.orderBy("doc_id")
+      .select(col("doc_id"),
         graft.ops.Pii.emailCount(col("text")).as("n_emails"),
         graft.ops.Pii.phoneCount(col("text")).as("n_phones"),
         graft.ops.Pii.ipCount(col("text")).as("n_ips"),
         length(graft.ops.Pii.redact(col("text"))).as("redacted_chars"))
-      .orderBy("doc_id")
   }
 
   val piiScrubSql: String =

@@ -23,6 +23,10 @@ object Verify {
       // spawns a distributed listing JOB per read — pure scheduler
       // overhead on a local FS (local-mode knob, see Bench)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // generated-class cache sized for the full query library
+      // (r18; measured in Bench.scala - same rationale)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -86,9 +86,12 @@ object Decontamination {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     val spark = train.sparkSession
-    val benchGrams = benchmark
+    // cacheFor(2) (r18): the bloom-build head() and the exact-verify
+    // broadcast BOTH consume the benchmark gram set — uncached, the
+    // eval-side n-gram explode + distinct ran twice per scan
+    val benchGrams = Persists.cacheFor(benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+      .distinct(), actions = 2)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedGrams, fpp)
     def hashed(c: Column) = XxHash64(Seq(GraftBridge.expression(spark, c)), 42L)

@@ -79,9 +79,18 @@ object KMeans {
   def fit(corpus: DataFrame, k: Int, iters: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     require(iters >= 0 && k >= 1 && dim >= 1, s"bad params k=$k iters=$iters dim=$dim")
-    var model = init(corpus, k, idCol, vecCol)
+    // r18 (guide §5 caching for reuse): init + every Lloyd iteration is
+    // its own action over `corpus`, so an uncached fit re-reads and
+    // re-decodes the vector column 1+iters times — the standard
+    // iterative-training posture is to cache the training frame once.
+    // Registered for exactly the fit's own actions; the caller's
+    // terminal plan re-derives from the source (correctness unchanged,
+    // centroids are partitioning-invariant by the decimal-sum design).
+    val cached = Persists.cacheFor(
+      corpus.select(col(idCol), col(vecCol)), actions = 1 + iters)
+    var model = init(cached, k, idCol, vecCol)
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(
+      val assigned = cached.select(
         graft.functions.CentroidAssign(col(vecCol), model.centroids)
           .getField("cluster").as("__cl"),
         col(vecCol).as("__v"))

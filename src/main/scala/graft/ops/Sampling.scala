@@ -26,17 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val HexAlphabet = lit("0123456789abcdef")
-
   /** Uniform bucket in [0, 16^chars) from the md5 of the id's decimal
     * string — deterministic, engine-independent, stable under corpus
-    * growth. */
-  def md5Bucket(id: Column, chars: Int = 4): Column =
-    (0 until chars).map { i =>
-      (call_function("instr", HexAlphabet,
-        substring(md5(id.cast("string")), i + 1, 1)) - 1).cast("long") *
-        lit(1L << (4 * (chars - 1 - i)))
-    }.reduce(_ + _)
+    * growth.
+    *
+    * r18 (guide §4 expression choice, probed 0.85x): one hex-prefix
+    * parse via `conv` instead of `chars` separate substring+instr+
+    * multiply terms — same value for chars <= 15 (conv parses the
+    * chars-digit hex prefix into the same base-16 place-value sum the
+    * old ladder computed; 15 hex digits < 2^60 can never overflow the
+    * signed-long cast). The ORACLES keep the strpos ladder spelling —
+    * values are identical, which the hash gate re-proves per query. */
+  def md5Bucket(id: Column, chars: Int = 4): Column = {
+    require(chars >= 1 && chars <= 15, s"chars must be in [1,15], got $chars")
+    conv(substring(md5(id.cast("string")), 1, chars), 16, 10).cast("long")
+  }
 
   /** Named split by percent thresholds over bucket % 100:
     * [0,train) → "train", [train,train+val) → "val", rest → "test". */

@@ -100,19 +100,24 @@ object TextOps {
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokensOf(df, textCol)
-    val stopArr = array(stopwords.map(lit): _*)
     df.withColumn("token_count", size(toks))
       .withColumn("bpe_token_count", bpeishTokenCount(t))
       .withColumn("char_count", length(t))
       .withColumn("avg_token_len",
         round(aggregate(transform(toks, w => length(w)), lit(0),
           (acc: Column, x: Column) => acc + x).cast("double") / size(toks), 6))
+      // class-member COUNTS via translate-and-subtract instead of a
+      // regex rewrite of the whole row (r18, probed 0.87-0.88x, byte-
+      // identical: |chars in class| = len(t) - len(t without them));
+      // stopword membership via isin — the optimizer converts a >10-
+      // literal In to a hashed InSet, vs array_contains's linear scan
+      // (probed 0.79x, identical counts)
       .withColumn("punct_ratio",
-        round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t), 6))
+        round((length(t) - length(translate(t, ".,;:!?", ""))).cast("double") / length(t), 6))
       .withColumn("digit_ratio",
-        round(length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t), 6))
+        round((length(t) - length(translate(t, "0123456789", ""))).cast("double") / length(t), 6))
       .withColumn("stopword_ratio",
-        round(size(filter(toks, w => array_contains(stopArr, w))).cast("double") / size(toks), 6))
+        round(size(filter(toks, w => w.isin(stopwords: _*))).cast("double") / size(toks), 6))
       .withColumn("quality_score", round(qualityScore(
         size(toks), col("punct_ratio"), col("stopword_ratio"), col("digit_ratio")), 6))
   }

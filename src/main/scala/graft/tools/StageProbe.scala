@@ -93,6 +93,10 @@ object StageProbe {
       // storage the distributed listing is right; this is a local-mode
       // knob like maxPartitionBytes above.)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // generated-class cache sized for the full query library
+      // (r18; measured in Bench.scala - same rationale)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
