@@ -1864,10 +1864,15 @@ object ExtQueries {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= n)
-    val dgs = Persists.cacheFor(d.select(col("doc_id"), col("source"),
+    // NOT cached (r18, measured): persisting the exploded gram frame
+    // materializes corpus×grams rows to MEMORY_AND_DISK and reads them
+    // back in both branches — recomputing the narrow per-row gram
+    // build twice is cheaper than one spill write + two spill reads
+    // (the q_dup_spans posture; shuffle/broadcast shape unchanged)
+    val dgs = d.select(col("doc_id"), col("source"),
       explode(array_distinct(expr(
         s"transform(sequence(0, size(tk) - $n), i -> array_join(slice(tk, i + 1, $n), ' '))")))
-        .as("g")), 2)
+        .as("g"))
     val dfT = dgs.groupBy("g").agg(count(lit(1)).as("df"))
     dgs.join(dfT, "g")
       .groupBy("doc_id", "source")

@@ -86,12 +86,13 @@ object Decontamination {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     val spark = train.sparkSession
-    // cacheFor(2) (r18): the bloom-build head() and the exact-verify
-    // broadcast BOTH consume the benchmark gram set — uncached, the
-    // eval-side n-gram explode + distinct ran twice per scan
-    val benchGrams = Persists.cacheFor(benchmark
+    // NOT cached (r18, measured): the bloom-build head() and the exact-
+    // verify broadcast both consume this gram set, but the eval side is
+    // tiny by contract — a MEMORY_AND_DISK materialization cost more
+    // than recomputing the explode+distinct (min-of-3 probe: +0.7 s)
+    val benchGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct(), actions = 2)
+      .distinct()
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedGrams, fpp)
     def hashed(c: Column) = XxHash64(Seq(GraftBridge.expression(spark, c)), 42L)

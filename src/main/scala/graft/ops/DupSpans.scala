@@ -50,9 +50,15 @@ object DupSpans {
     require(minDf >= 2, s"minDf < 2 would mark every position, got $minDf")
     val grams = gramRows(docs, n, idCol, textCol)
     // distinct-doc frequency per gram: a gram repeated WITHIN one doc
-    // is self-similarity, not corpus duplication
-    val df = grams.groupBy("g")
-      .agg(countDistinct(col(idCol)).as("df"))
+    // is self-similarity, not corpus duplication. r18 (guide §2.3
+    // aggregate before you shuffle): df comes from [[docGramSets]] —
+    // the within-doc dedupe happens NARROW (array_distinct per row),
+    // so the shuffle carries map-side-combined (g, count) partials
+    // instead of countDistinct's full (g, doc) pair expansion (one
+    // Exchange instead of two; the incremental fold has always counted
+    // df this way, so fold==rebuild already proves the equivalence).
+    val df = docGramSets(docs, n, idCol, textCol).groupBy("g")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     spansFrom(grams, df, n, idCol)
   }
