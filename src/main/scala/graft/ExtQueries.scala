@@ -1108,7 +1108,15 @@ object ExtQueries {
           * (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)")))
       .select("l_orderkey", "rev")
     Tables.orders(s, dir)
-      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      // r18 (guide §6 predicate pushdown): the year(to_date(ts))
+      // predicate is derived, so nothing reached the parquet scan —
+      // conjoin the equivalent raw-timestamp range (session tz is
+      // pinned UTC; year(to_date(ts)) = 1995 ⟺ ts ∈ [1995-01-01,
+      // 1996-01-01) exactly, all inputs), which pushes as min/max
+      // row-group pruning. The original conjunct stays — same rows.
+      .filter(year(to_date(col("o_orderdate"))) === 1995 &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
       .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
